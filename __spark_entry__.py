@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over skinnerdb_spark.registry — every implemented operator from
+SURVEY.md §2 (plus the beyond-reference pipeline tier) registers a Spark
+implementation and, where SQL-expressible, a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +11,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from skinnerdb_spark.registry import all_specs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H q03 shape —
+    3-way join + group + order/limit, the full NONE->GROUPS pipeline of the
+    reference's query lifecycle (SURVEY §3.1)."""
+    specs = all_specs()
+    return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented query/operator from SURVEY.md §2."""
+    return {name: spec.spark for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL equivalent for each queries() entry.
+
+    Entries without an oracle (genuinely non-SQL-expressible ops) are omitted
+    -> the driver records a weaker rows-only check for those.
     """
-    return {}
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}

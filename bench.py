@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness — replicates the reference's `bench` command
+(src/console/SkinnerCmd.java:67-99 -> src/benchmark/BenchUtil.java) on the
+driver warehouse.
+
+Runs every registered headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times end-to-end execution
+(plan + execute + collect-to-count), and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Per-query details (rows, per-query seconds) land in the same JSON. The
+reference's UCT counters have no Spark equivalent; wall-clock per query is
+the comparable metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.session import get_spark
+
+    spark = get_spark(app_name="skinnerdb-spark-bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bootstrap (the reference's "warm" run, README.md:45)
+    next(iter(specs.values())).spark(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.monotonic()
+        n = spec.spark(spark, sf_dir).count()
+        per_query[name] = round(time.monotonic() - t0, 4)
+        rows[name] = n
+
+    sf = None
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "rows": rows,
+        "sf": sf,
+        "n_queries": len(per_query),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

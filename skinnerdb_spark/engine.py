@@ -1,0 +1,63 @@
+"""Engine facade — the user-visible surface a reference user would switch to.
+
+Maps the reference console's commands (src/console/SkinnerCmd.java:298-344)
+to Spark-native equivalents:
+
+    SkinnerDB console                      Engine
+    -----------------------------------   -------------------------------
+    SELECT ... / DDL                       .sql(text) -> DataFrame
+    load <table> <csv> <sep> <nullRep>     .load_csv(...)
+    compress                               no-op (Parquet dictionary pages)
+    index <col> / index all                .cache_table(name) (RAM columnar)
+    bench <dir>                            bench.py harness
+    explain <query>                        .explain(sql)
+
+Queries pass through ``spark.sql`` — Catalyst performs every rewrite the
+reference hand-rolls (SURVEY §4.1) plus the ones it lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from skinnerdb_spark.catalog import TABLES, read_table, register_views
+from skinnerdb_spark.session import get_spark
+from skinnerdb_spark.sources.csv import load_csv
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark()
+        if sf_dir:
+            self.attach_warehouse(sf_dir)
+
+    def attach_warehouse(self, sf_dir: str) -> None:
+        """Register every warehouse table as a view (the reference's eager
+        BufferManager.loadDB, minus the eagerness)."""
+        register_views(self.spark, sf_dir)
+
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def load_csv(self, name: str, path: str, schema: T.StructType | str, **opts) -> DataFrame:
+        df = load_csv(self.spark, path, schema, **opts)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def cache_table(self, name: str) -> None:
+        """In-memory columnar cache — the capability analogue of the
+        reference's RAM-resident indexes (src/indexing/Indexer.java:23-71):
+        repeated queries hit deserialized columnar batches."""
+        self.spark.table(name).cache()
+
+    def explain(self, text: str) -> str:
+        return self.spark.sql(text)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    def drop(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines (beyond-reference tier).
+
+Five dedup families, each a `queries()` entry with a DuckDB oracle:
+
+- exact         : hash-groupBy on a normalized key (one shuffle)
+- MinHash + LSH : shingle -> 8 minhashes -> 4 bands -> bucket self-join
+- SimHash       : 32-bit sign-of-sums signature + band bucketing
+- n-gram Jaccard: shingle-set overlap for candidate pairs
+- embedding-cosine near-dup: see operators/similarity.py (shares machinery)
+
+Portability: every hash is md5-hex (see textprims.py). At 100 TB the shapes
+hold: shingle explosion is map-side; minhash/simhash aggregation is one
+groupBy per doc (combiner-friendly: MIN/SUM partial-aggregate map-side); the
+LSH self-join shuffles on (band, key) — exactly the bucket-join that makes
+near-dup detection tractable at scale (vs the O(n^2) naive pair join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.textprims import (
+    hex_high_sql,
+    oracle_shingles_cte,
+    shingles_expr,
+)
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (rows per band = 2)
+SIMHASH_BITS = 32
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT SUBSTR(LOWER(text), 1, 30) AS norm_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY norm_key
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized key (lowercased 30-char prefix — the corpus
+    has no byte-identical dups, but prefix collisions exist). One hash
+    shuffle; at scale this is the cheapest dedup pass and runs first."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring(F.lower("text"), 1, 30).alias("norm_key"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, j, mh): per-doc minhash j = MIN(md5(j || ':' || shingle)).
+
+    Using H seeded md5s over distinct 3-word shingles. MIN over hex strings is
+    a valid minhash (uniform over the hash's order); partial-aggregates
+    map-side so the shuffle carries only |docs| * H rows.
+    """
+    sh = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
+        .distinct()
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+    return (
+        sh.select("doc_id", "s", seeds)
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")).cast("binary"))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, key): band key = md5 of the band's minhashes in j-order."""
+    rows_per_band = N_HASHES // n_bands
+    return (
+        sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
+                    ),
+                ).cast("binary")
+            ).alias("key")
+        )
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE)
+             / {N_HASHES} AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b AND y.j = x.j
+    GROUP BY c.doc_a, c.doc_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with estimated Jaccard.
+
+    shingle -> minhash -> band -> bucket self-join: the scale path. The
+    candidate join shuffles on (band, key) so only same-bucket docs ever meet;
+    the final signature-compare join is |cand| * H rows.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    bands = lsh_bands(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("j").alias("xj"), F.col("mh").alias("xmh"))
+    y = sigs.select(F.col("doc_id").alias("yd"), F.col("j").alias("yj"), F.col("mh").alias("ymh"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, (F.col("doc_b") == F.col("yd")) & (F.col("xj") == F.col("yj")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("xmh") == F.col("ymh"), 1).otherwise(0)).cast("double")
+                / N_HASHES
+            ).alias("est_jaccard")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+_SIMHASH_ORACLE = f"""
+    WITH wt AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+    bits AS (SELECT doc_id, i,
+                    CASE WHEN SUM(CASE WHEN {hex_high_sql("SUBSTR(md5(w), i, 1)")}
+                                       THEN 1 ELSE -1 END) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM wt, generate_series(1, {SIMHASH_BITS}) AS g(i)
+             GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+            FROM bits GROUP BY doc_id)
+    SELECT doc_id, simhash, SUBSTR(simhash, 1, 16) AS bucket16
+    FROM sig
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup", "pipeline"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document + 16-bit band bucket.
+
+    Bit i is the sign of the sum over words of (+1/-1) from bit i of the
+    word's md5 (hex-nibble high-bit trick -> portable). Near-dup docs differ
+    in few bits; bucket16 gives the LSH-style blocking key. Word frequency
+    weights naturally (no distinct), matching classic SimHash.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    wt = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hexhigh = F.substring(F.md5(F.col("w").cast("binary")), F.col("i"), 1).isin(*"89abcdef")
+    bits = (
+        wt.select("doc_id", "w", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"))
+        .select("doc_id", "i", F.when(hexhigh, 1).otherwise(-1).alias("contrib"))
+        .groupBy("doc_id", "i")
+        .agg(F.when(F.sum("contrib") > 0, "1").otherwise("0").alias("bit"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "bit"))), lambda x: x["bit"]),
+        ).alias("simhash")
+    )
+    return sig.select("doc_id", "simhash", F.substring("simhash", 1, 16).alias("bucket16"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (candidate pairs from LSH-free blocking: adjacent doc ids
+# would be meaningless at scale; here we verify the *measure* on a bounded
+# deterministic pair set, while dedup_minhash_lsh provides the scale blocking)
+# --------------------------------------------------------------------------
+_JACCARD_ORACLE = f"""
+    WITH {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+              FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+              GROUP BY doc_a, doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) > 0.0
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE, tags=("dedup", "pipeline"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for adjacent-id doc pairs (a bounded
+    deterministic candidate set; production blocking comes from
+    dedup_minhash_lsh). Set algebra via distinct-shingle joins — all
+    shuffle-on-key, no O(n^2)."""
+    docs = read_table(spark, sf_dir, "documents")
+    shd = (
+        docs.withColumn("w", F.split("text", " "))
+        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
+        .distinct()
+        .cache()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = (
+        a.join(b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > 0.0)
+    )

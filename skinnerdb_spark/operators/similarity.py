@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (beyond-reference tier).
+
+- brute-force cosine top-k: the correctness baseline (query-set x corpus)
+- sign-LSH (random-hyperplane) bucketed ANN: the scale path — candidates
+  meet only inside a hash bucket, turning O(Q*N) into O(Q*bucket).
+
+Cross-engine exactness: dot products and norms are summed in DECIMAL space
+over element-wise double products (element order = index order is fixed by
+construction), so Spark and DuckDB produce bit-identical scores; see
+functions/exact.py for why plain double SUM would not hash-match.
+
+At 100 TB: embeddings live as array<float> columns in Parquet; the brute-force
+path broadcasts the (small) query set and scans the corpus once —
+embarrassingly parallel; the LSH path adds one groupBy on bucket. A real IVF
+index (k-means centroids) is the round-2 upgrade; the bucket-join skeleton is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.operators.textprims import hex_high_sql
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+DIM = 64  # embedding dimensionality in the test warehouse
+N_PLANES = 8  # sign-LSH hyperplanes
+N_QUERIES = 10  # deterministic query set: vec_id < N_QUERIES
+TOP_K = 5
+
+
+def decimal_fold(elements: str) -> str:
+    """Exact decimal sum of an array<decimal(28,12)> expression.
+
+    Accumulator stays at DECIMAL(30,12): (30,12)+(28,12) types as (31,12) —
+    exact, below Spark's 38-precision cap (at 38 Spark would *round away* the
+    last scale digit) — then re-casts to (30,12) losslessly.
+    """
+    return (
+        f"CAST(aggregate({elements}, CAST(0 AS DECIMAL(30,12)), "
+        f"(acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)"
+    )
+
+
+def dot_exact(a: str, b: str) -> Column:
+    """Order-independent exact dot product of two array<float> columns."""
+    return F.expr(
+        decimal_fold(
+            f"zip_with({a}, {b}, (x, y) -> "
+            f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12)))"
+        )
+    )
+
+
+def norm_exact(a: str) -> Column:
+    return F.sqrt(dot_exact(a, a))
+
+
+def _oracle_dot(a: str, b: str) -> str:
+    """DuckDB lateral-sum mirror of :func:`dot_exact` (1-based index order)."""
+    return (
+        f"(SELECT CAST(SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS DECIMAL(28,12))) AS DOUBLE) FROM generate_series(1, {DIM}) AS g(i))"
+    )
+
+
+_BRUTE_ORACLE = f"""
+    WITH normed AS (
+        SELECT vec_id, embedding, SQRT({_oracle_dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_bruteforce_topk", _BRUTE_ORACLE, tags=("similarity", "pipeline"))
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, scan the corpus once,
+    window-rank per query. The ANN baseline every approximate variant is
+    measured against."""
+    e = read_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
+    q = (
+        normed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot_exact("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# sign-LSH bucketing: plane j coefficient for dimension i is +-1 derived from
+# md5('p<j>_<i>') — deterministic, identical in both engines, no RNG needed.
+# --------------------------------------------------------------------------
+def _plane_sign_sql(j: str, i: str) -> str:
+    """+1/-1 coefficient (DuckDB SQL) for plane j, dim i (1-based i)."""
+    ch = "SUBSTR(md5('p' || " + j + " || '_' || " + i + "), 1, 1)"
+    return f"CASE WHEN {hex_high_sql(ch)} THEN 1 ELSE -1 END"
+
+
+_LSH_BUCKET_ORACLE = f"""
+    WITH proj AS (
+        SELECT e.vec_id, g.j,
+               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS p
+        FROM embeddings e,
+             generate_series(0, {N_PLANES - 1}) AS g(j),
+             generate_series(1, {DIM}) AS d(i)
+        GROUP BY e.vec_id, g.j),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM proj GROUP BY vec_id)
+    SELECT bucket, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+"""
+
+
+@register("sim_lsh_buckets", _LSH_BUCKET_ORACLE, tags=("similarity", "pipeline", "lsh"))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign-LSH bucket assignment (the ANN scale path).
+
+    Bucket = 8 sign bits of projections onto deterministic +-1 hyperplanes.
+    Approximate neighbors are then searched within a bucket only; this query
+    verifies the bucketing itself (size histogram) cross-engine.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    # (vec_id, j, p): projection of each vector onto plane j
+    planes = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
+    )
+    sign = (
+        "CASE WHEN substring(md5(cast(concat('p', j, '_', i) as binary)), 1, 1) "
+        "IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+    proj = planes.select(
+        "vec_id",
+        "j",
+        F.expr(
+            decimal_fold(
+                f"transform(sequence(1, {DIM}), i -> "
+                f"CAST(({sign}) * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(28,12)))"
+            )
+        ).alias("p"),
+    )
+    sig = (
+        proj.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"))
+                        )
+                    ),
+                    lambda x: x["bit"],
+                ),
+            ).alias("bucket")
+        )
+    )
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+    WITH normed AS (
+        SELECT vec_id, embedding, SQRT({_oracle_dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_oracle_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100)
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine > 0.30
+"""
+
+
+@register("dedup_embed_cosine", _NEARDUP_ORACLE, tags=("dedup", "similarity", "pipeline"))
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded probe set vec_id < 100;
+    demo threshold 0.30 — the synthetic corpus has no true near-dups, max
+    cosine ~0.44). Production blocking = sim_lsh_buckets."""
+    e = read_table(spark, sf_dir, "embeddings")
+    normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
+    a = normed.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        b.join(F.broadcast(a), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot_exact("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.30)
+    )

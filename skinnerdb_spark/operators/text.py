@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference tier).
+
+Language-ID (marker-word heuristic), quality scoring (length/stopword ratios),
+token counting, and document fingerprinting (md5 + min-shingle-hash, a
+rolling-hash-style signature). All pure column algebra — JVM-side, no UDFs,
+fully distributed; each query is one scan + (at most) one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.textprims import oracle_shingles_cte, shingles_expr
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+
+def _occurrences(text: F.Column, needle: str) -> F.Column:
+    """# of occurrences of a literal substring (portable: length/replace)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS char_len,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len,
+           CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS stopword_ratio
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+    tags=("text", "pipeline"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals. Whitespace tokenizer expressed as
+    length arithmetic (identical semantics in both engines; no regex —
+    dialects differ)."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    no_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_tokens = F.length(text) - no_space + 1
+    return d.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("char_len"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (no_space.cast("double") / n_tokens).alias("avg_token_len"),
+        (_occurrences(text, "the").cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           (CASE WHEN n_tokens BETWEEN 10 AND 500 THEN 0.5 ELSE 0.0 END
+          + CASE WHEN avg_len BETWEEN 3.0 AND 9.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN the_cnt > 0 THEN 0.2 ELSE 0.0 END) AS quality_score
+    FROM (
+        SELECT doc_id,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_len,
+               LENGTH(text) - LENGTH(REPLACE(text, 'the', '')) AS the_cnt
+        FROM documents WHERE LENGTH(text) > 0)
+    """,
+    tags=("text", "pipeline"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (heuristic band scoring)."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    no_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_tokens = F.length(text) - no_space + 1
+    avg_len = no_space.cast("double") / n_tokens
+    the_cnt = F.length(text) - F.length(F.replace(text, F.lit("the"), F.lit("")))
+    score = (
+        F.when(n_tokens.between(10, 500), 0.5).otherwise(0.0)
+        + F.when(avg_len.between(3.0, 9.0), 0.3).otherwise(0.0)
+        + F.when(the_cnt > 0, 0.2).otherwise(0.0)
+    )
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+@register(
+    "text_langid",
+    """
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN POSITION(' der ' IN text) > 0 OR POSITION(' und ' IN text) > 0 THEN 'de'
+                WHEN POSITION(' le '  IN text) > 0 OR POSITION(' les ' IN text) > 0 THEN 'fr'
+                WHEN POSITION(' el '  IN text) > 0 OR POSITION(' los ' IN text) > 0 THEN 'es'
+                WHEN POSITION(' the ' IN text) > 0 OR POSITION(' and ' IN text) > 0 THEN 'en'
+                ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram-style detection; the synthetic
+    corpus is English-vocabulary so this mostly predicts en/unknown — the
+    operator's *mechanics* are what is verified)."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def has(m: str) -> F.Column:
+        return F.instr(F.col("text"), m) > 0
+
+    pred = (
+        F.when(has(" der ") | has(" und "), "de")
+        .when(has(" le ") | has(" les "), "fr")
+        .when(has(" el ") | has(" los "), "es")
+        .when(has(" the ") | has(" and "), "en")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {oracle_shingles_cte(k=3)},
+    mins AS (SELECT doc_id, MIN(md5(s)) AS min_shingle_hash
+             FROM sh GROUP BY doc_id)
+    SELECT d.doc_id,
+           SUBSTR(md5(d.text), 1, 16) AS fp,
+           m.min_shingle_hash
+    FROM documents d JOIN mins m ON d.doc_id = m.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 prefix + min-hash over rolling
+    3-word shingles (rolling-window signature, robust to small edits)."""
+    d = read_table(spark, sf_dir, "documents")
+    with_sh = d.withColumn("w", F.split(F.col("text"), " ")).withColumn(
+        "sh", shingles_expr("w", k=3)
+    )
+    mins = (
+        with_sh.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("s").cast("binary"))).alias("min_shingle_hash"))
+    )
+    return d.join(mins, "doc_id").select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp"),
+        "min_shingle_hash",
+    )

@@ -1,0 +1,65 @@
+"""Portable text primitives shared by the text/dedup operators.
+
+Everything here is engineered to produce *bit-identical* results in Spark and
+in the DuckDB oracle:
+
+- tokenization: literal single-space split (same semantics in both engines;
+  the synthetic documents are single-space separated).
+- hashing: md5 hex strings only. Both engines implement RFC-1321 md5 over
+  UTF-8 and print lowercase hex, so MIN() over hex strings (lexicographic,
+  ASCII) and substring tricks are portable. Engine-native hash() functions
+  are NOT portable (Spark xxhash/murmur vs DuckDB) and are never used in
+  oracle-checked paths.
+- word-shingles: contiguous k-grams built with 1-based element indexing
+  (Spark element_at == DuckDB list[i]).
+
+Scale notes: all of this is built-in-function column algebra — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so it distributes trivially; the only
+shuffles are the explicit groupBys in the operators that use these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: words column expression (array<string>) from a text column name
+def words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(words_col: str, k: int = 3) -> Column:
+    """Contiguous k-word shingles as array<string> (empty if < k words).
+
+    Guarded CASE because Spark's sequence(1, n) steps *backwards* when n < 1.
+    """
+    joined = " || ' ' || ".join(f"element_at({words_col}, i + {j})" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({words_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size({words_col}) - {k - 1}), i -> {joined}) END"
+    )
+
+
+def oracle_shingles_cte(k: int = 3, table: str = "documents") -> str:
+    """DuckDB CTE producing (doc_id, s) word-k-shingles — mirror of
+    :func:`shingles_expr`.
+
+    Uses the *list-returning* generate_series + unnest (DuckDB's table
+    function form rejects lateral column arguments); inclusive bounds match
+    Spark's sequence()."""
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    idx AS (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - {k - 1})) AS i
+            FROM ws WHERE len(w) >= {k}),
+    sh AS (SELECT doc_id, {joined} AS s FROM idx)
+    """
+
+
+#: portable hex-nibble high-bit test: md5 hex char in [8-f] <=> top bit set.
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def hex_high_sql(char_expr: str) -> str:
+    quoted = ", ".join(f"'{c}'" for c in HEX_HIGH)
+    return f"({char_expr} IN ({quoted}))"

@@ -1,0 +1,193 @@
+"""Adaptive join ordering — the reference's headline feature, Spark-first.
+
+SkinnerDB picks join orders at run time with UCT Monte-Carlo tree search over
+budgeted episodes, no cost model (src/joining/uct/UctNode.java:208-282,
+episode loop src/joining/JoinProcessor.java:109-152, cartesian-avoid heuristic
+src/query/QueryInfo.java:655-668). That mechanism is an artifact of
+single-node tuple-at-a-time execution: Spark cannot pause a distributed join
+mid-flight, so we reproduce the *spirit* — no prior cost model, learn from
+execution — at the granularity Spark supports:
+
+1. candidate space: left-deep, connected join orders (same cartesian-avoid
+   rule as the reference);
+2. observation: cheap sampled-execution cardinality measurements per prefix
+   (sample the fact side, count the join output — the analogue of a budgeted
+   episode);
+3. policy: UCB1 bandit over candidate orders, rewards = negative normalized
+   cost of the sampled episode; repeated across episodes like the reference's
+   epsilon-greedy/UCB1 policies (src/config/JoinConfig.java:28-34);
+4. execution: winning order emitted as a plain DataFrame join chain, which
+   Catalyst/AQE then executes (broadcast/shuffle selection stays adaptive at
+   stage granularity).
+
+Default engine path remains pure Catalyst; this module is opt-in and must
+always produce identical results, only (maybe) faster plans.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class JoinEdge:
+    """Equi-join predicate left.col == right.col between two named tables."""
+
+    left_table: str
+    left_col: str
+    right_table: str
+    right_col: str
+
+    def touches(self, table: str) -> bool:
+        return table in (self.left_table, self.right_table)
+
+    def other(self, table: str) -> str:
+        return self.right_table if table == self.left_table else self.left_table
+
+
+def connected_orders(
+    tables: list[str], edges: list[JoinEdge], max_orders: int = 64
+) -> list[tuple[str, ...]]:
+    """Enumerate left-deep join orders that never form a cartesian product —
+    the reference's `query.connected` pruning (QueryInfo.java:655-668).
+    Bounded DFS; at most ``max_orders`` orders returned."""
+    orders: list[tuple[str, ...]] = []
+
+    def joinable(prefix: tuple[str, ...], nxt: str) -> bool:
+        return any(e.touches(nxt) and e.other(nxt) in prefix for e in edges)
+
+    def dfs(prefix: tuple[str, ...]) -> None:
+        if len(orders) >= max_orders:
+            return
+        if len(prefix) == len(tables):
+            orders.append(prefix)
+            return
+        for t in tables:
+            if t not in prefix and (not prefix or joinable(prefix, t)):
+                dfs(prefix + (t,))
+
+    dfs(())
+    return orders
+
+
+class UCB1:
+    """UCB1 bandit over a fixed arm set (reference: UctNode UCB1 policy,
+    src/joining/uct/UctNode.java:239-262)."""
+
+    def __init__(self, n_arms: int, exploration: float = math.sqrt(2.0)):
+        self.n = [0] * n_arms
+        self.mean = [0.0] * n_arms
+        self.c = exploration
+        self.t = 0
+
+    def select(self) -> int:
+        self.t += 1
+        for i, cnt in enumerate(self.n):
+            if cnt == 0:  # play every arm once first
+                return i
+        return max(
+            range(len(self.n)),
+            key=lambda i: self.mean[i] + self.c * math.sqrt(math.log(self.t) / self.n[i]),
+        )
+
+    def update(self, arm: int, reward: float) -> None:
+        self.n[arm] += 1
+        self.mean[arm] += (reward - self.mean[arm]) / self.n[arm]
+
+    def best(self) -> int:
+        return max(range(len(self.n)), key=lambda i: (self.n[i], self.mean[i]))
+
+
+def build_join_chain(
+    dfs: dict[str, DataFrame], order: tuple[str, ...], edges: list[JoinEdge]
+) -> DataFrame:
+    """Materialize a left-deep join order as a DataFrame chain; every edge
+    whose both sides are bound attaches at the earliest position (the
+    reference's predicate placement, LeftDeepPlan.java:54-124 — Catalyst would
+    do the same, we just keep the order pinned)."""
+    acc = dfs[order[0]]
+    bound = {order[0]}
+    used: set[int] = set()
+    for t in order[1:]:
+        conds = []
+        for i, e in enumerate(edges):
+            if i in used or not e.touches(t):
+                continue
+            if e.other(t) in bound:
+                lc = e.left_col if e.left_table == t else e.right_col
+                oc = e.right_col if e.left_table == t else e.left_col
+                conds.append(dfs[t][lc] == acc[oc])
+                used.add(i)
+        if not conds:
+            raise ValueError(f"order {order} joins {t} with no bound edge (cartesian)")
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        acc = acc.join(dfs[t], cond)
+        bound.add(t)
+    return acc
+
+
+@dataclass
+class EpisodeStats:
+    order: tuple[str, ...]
+    seconds: float
+    rows: int
+    reward: float
+
+
+@dataclass
+class AdaptiveJoinResult:
+    df: DataFrame
+    best_order: tuple[str, ...]
+    episodes: list[EpisodeStats] = field(default_factory=list)
+
+
+def adaptive_join(
+    dfs: dict[str, DataFrame],
+    edges: list[JoinEdge],
+    fact: str | None = None,
+    episodes: int = 8,
+    sample_fraction: float = 0.05,
+    max_orders: int = 16,
+    seed: int = 42,
+) -> AdaptiveJoinResult:
+    """Bandit-chosen join order, learned from sampled execution.
+
+    Each episode samples the designated fact table (largest input if not
+    given), runs one candidate order's join chain on the sample, and rewards
+    the bandit with -log(elapsed) normalized — the analogue of the reference's
+    per-episode progress reward (OldJoin.java:92-106). The winner is then
+    built over the full inputs. Results are identical for every order (inner
+    joins commute); only the physical plan differs.
+    """
+    tables = list(dfs)
+    fact = fact or tables[0]
+    cands = connected_orders(tables, edges, max_orders=max_orders)
+    # prefer orders that start at the fact table (probe-side last heuristic
+    # falls out of broadcasting the dims)
+    cands.sort(key=lambda o: (o[0] != fact, o))
+    if not cands:
+        raise ValueError("no connected join order exists (query graph is disconnected)")
+    if len(cands) == 1:
+        return AdaptiveJoinResult(build_join_chain(dfs, cands[0], edges), cands[0])
+
+    sampled = dict(dfs)
+    sampled[fact] = dfs[fact].sample(fraction=sample_fraction, seed=seed)
+    bandit = UCB1(len(cands))
+    stats: list[EpisodeStats] = []
+    for _ in range(episodes):
+        arm = bandit.select()
+        t0 = time.monotonic()
+        rows = build_join_chain(sampled, cands[arm], edges).count()
+        dt = time.monotonic() - t0
+        reward = -math.log(max(dt, 1e-4))
+        bandit.update(arm, reward)
+        stats.append(EpisodeStats(cands[arm], dt, rows, reward))
+    best = cands[bandit.best()]
+    return AdaptiveJoinResult(build_join_chain(dfs, best, edges), best, stats)

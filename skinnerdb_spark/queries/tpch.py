@@ -1,0 +1,606 @@
+"""TPC-H-shaped query suite — the reference's own benchmark surface.
+
+The reference ships a 16-query TPC-H subset (tpch/skinnerqueries/{q01,q02,q03,
+q05..q12,q14,q17..q20}.sql — the missing queries need EXISTS/outer joins/CTEs,
+exactly its unsupported surface, SURVEY.md §5). The driver's test warehouse is
+a TPC-H-ish star schema without partsupp and without comment columns
+(TESTDATA.md), so each query here keeps the *shape* of its namesake — same
+operator mix: filters, multi-way equi-joins, group/agg, HAVING, subqueries,
+ORDER BY + constant LIMIT — re-targeted at the available columns.
+
+All implementations are DataFrame-API (Catalyst handles pushdown/pruning/join
+ordering; dimension tables are broadcast explicitly). Every aggregate uses the
+decimal-exact dsum/davg helpers so results hash-match the DuckDB oracle
+bit-for-bit (see functions/exact.py).
+
+Scale notes: every join below is either a broadcast of a bounded dimension
+(region/nation/supplier/part) or a shuffle hash/sort-merge on a high-cardinality
+key (orderkey/custkey/partkey) — no driver-side collects, no UDFs; everything
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.functions.exact import DAVG, DS, davg, dsum
+from skinnerdb_spark.queries.util import read_table, ts
+from skinnerdb_spark.registry import register
+
+B = F.broadcast  # dimension-table broadcast hint
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary report: single scan, group, many aggregates
+# (reference: tpch/skinnerqueries/q01.sql; agg ops SURVEY §2.4)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q01",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DS('l_quantity')} AS sum_qty,
+           {DS('l_extendedprice')} AS sum_base_price,
+           {DS('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DS('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DAVG('l_quantity')} AS avg_qty,
+           {DAVG('l_extendedprice')} AS avg_price,
+           {DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 shape — correlated MAX subquery + multi-join + order/limit
+# (reference q02 uses partsupp/min supplycost; adapted: per-part best-funded
+#  supplier through lineitem. Decorrelation: SURVEY §3.1.)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q02",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+    FROM part p, supplier s, lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND p.p_size BETWEEN 10 AND 30
+      AND s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal)
+            FROM supplier s2, lineitem l2
+            WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey)
+    ORDER BY s.s_acctbal DESC, p.p_partkey
+    LIMIT 25
+    """,
+    tags=("tpch", "subquery"),
+)
+def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 30))
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        l.join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(B(p), l.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .distinct()
+    )
+    best = pairs.groupBy(F.col("p_partkey").alias("bp_partkey")).agg(
+        F.max("s_acctbal").alias("best_acctbal")
+    )
+    return (
+        pairs.join(
+            B(best),
+            (pairs.p_partkey == best.bp_partkey) & (pairs.s_acctbal == best.best_acctbal),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping priority: 3-way join + group + order/limit
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q03",
+    f"""
+    SELECT l_orderkey, o_orderdate,
+           {DS('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1997-01-01"))
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1997-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — local supplier volume: 5-way star join + group
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q05",
+    f"""
+    SELECT n_name, {DS('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders, lineitem, supplier, nation, region
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1995-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(B(n), s.s_nationkey == n.n_nationkey)
+        .join(B(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — forecasting revenue change: pure filter + global agg
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q06",
+    f"""
+    SELECT {DS('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter"),
+)
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — volume shipping: two nation roles (supplier vs customer nation)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q07",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           {DS('l_extendedprice * (1 - l_discount)')} AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+      AND n1.n_nationkey < 5 AND n2.n_nationkey < 5
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(ts("1995-01-01"), ts("1996-12-31"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(B(n1), s.s_nationkey == F.col("n1_key"))
+        .join(B(n2), c.c_nationkey == F.col("n2_key"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — national market share: conditional aggregate ratio
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q08",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           {DS("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {DS('l_extendedprice * (1 - l_discount)')} AS mkt_share
+    FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND s_nationkey = n2.n_nationkey
+      AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(B(n1), c.c_nationkey == F.col("n1_key"))
+        .join(B(r), F.col("n1_region") == r.r_regionkey)
+        .join(B(n2), s.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — product-type profit (sans partsupp): LIKE + 5-way join + group
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q09",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           {DS('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("tpch", "join", "like"),
+)
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(B(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — returned-item reporting: join + group + order/limit
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           {DS('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(B(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 shape — HAVING with scalar-subquery threshold
+# (reference q11 over partsupp; adapted to customer balances by nation)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q11",
+    f"""
+    SELECT c_nationkey, {DS('c_acctbal')} AS balance
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING {DS('c_acctbal')} > (SELECT {DS('c_acctbal')} * 0.042 FROM customer)
+    """,
+    tags=("tpch", "having", "subquery"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(dsum(F.col("c_acctbal")).alias("balance"))
+    threshold = c.agg((dsum(F.col("c_acctbal")) * 0.042).alias("threshold"))
+    return (
+        per_nation.join(B(threshold))  # 1-row broadcast cross join
+        .filter(F.col("balance") > F.col("threshold"))
+        .select("c_nationkey", "balance")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 shape — conditional counts (CASE + IN) grouped
+# (reference q12 groups by l_shipmode; adapted to l_linestatus)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — promotion effect: conditional-aggregate percentage
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q14",
+    f"""
+    SELECT 100.00 * {DS("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                  / {DS('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("tpch", "agg"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-03-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.join(B(p), l.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.00)
+            * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / dsum(vol)
+        ).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — small-quantity-order revenue: correlated AVG subquery
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q17",
+    f"""
+    SELECT {DS('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+      AND l_quantity < (
+            SELECT 0.5 * {DAVG('l2.l_quantity')}
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "subquery"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    l = read_table(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * davg(F.col("l_quantity"))).alias("half_avg_qty")
+    )
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — large-volume customer: grouped-HAVING subquery feeding a join
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM customer, orders,
+         (SELECT l_orderkey AS big_orderkey, {DS('l_quantity')} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {DS('l_quantity')} > 300) big
+    WHERE o_orderkey = big_orderkey AND c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "having"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — discounted revenue: disjunctive multi-attribute predicates
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q19",
+    f"""
+    SELECT {DS('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30))
+    """,
+    tags=("tpch", "filter"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 shape — IN-subquery over grouped HAVING → LEFT SEMI join
+# (semi-join semantics caveat: SURVEY §3.1 — the reference rewrites IN to an
+#  inner join; standard SQL wants semi. We implement the standard semantics.)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q20",
+    f"""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_nationkey < 13
+      AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING {DS('l_quantity')} > 1000)
+    ORDER BY s_name
+    """,
+    tags=("tpch", "subquery", "semijoin"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    busy = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 1000)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(B(n), s.s_nationkey == n.n_nationkey)
+        .join(busy, s.s_suppkey == busy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

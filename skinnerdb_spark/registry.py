@@ -1,0 +1,60 @@
+"""Query registry: the single source of truth for the engine's query surface.
+
+Every implemented operator/query from SURVEY.md §2 (and the beyond-reference
+extension tier) registers here with:
+  - a Spark implementation  (spark, sf_dir) -> DataFrame   [DataFrame API]
+  - an oracle: equivalent ANSI SQL for DuckDB over the same parquet tables,
+    or None for genuinely non-SQL-expressible ops (driver then does a weaker
+    rows-only check).
+
+``__spark_entry__.py`` and ``bench.py`` are thin wrappers over this registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: QueryFn
+    oracle: str | None
+    doc: str = ""
+    #: queries timed by bench.py (headline set)
+    bench: bool = True
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bench: bool = True,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Import all query modules and return the full registry."""
+    # imports are deferred so `import skinnerdb_spark` stays light
+    from skinnerdb_spark.queries import tpch, job, scalar, subquery, extensions  # noqa: F401
+    from skinnerdb_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
+    from skinnerdb_spark.streaming import windows  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Replaces the reference's process bootstrap (src/console/SkinnerCmd.java:351-387,
+which loads the whole DB into RAM up front). Spark needs no eager load: Parquet
+scans are lazy, columnar, and pruned by Catalyst.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime partition coalescing, skew-join splitting, and dynamic
+  join-strategy switching stand in for the reference's intra-query adaptivity
+  (src/joining/JoinProcessor.java episode loop).
+- shuffle partitions default to cores locally; on a real cluster set
+  ``spark.sql.shuffle.partitions`` ~2-3x total cores or rely on AQE coalescing.
+- timestamps in the test data are TIMESTAMP_NTZ; session timezone pinned to UTC
+  so oracle comparisons are tz-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "skinnerdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local testing runs ``local[$SPARK_GRAFT_CPUS]``; every setting below is
+    cluster-safe (nothing assumes single-JVM execution).
+    """
+    cpus = _default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Adaptive execution: coalesce small shuffle partitions, split skewed
+        # ones, switch sort-merge->broadcast at runtime. This is our stand-in
+        # for the reference's run-time adaptivity (SURVEY §4.3).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / mapInPandas operator (operators/).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long and convert in catalog.read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Dimension tables (region/nation/supplier/part at bench SF) are tiny;
+        # raise the auto-broadcast bound so star joins broadcast by default.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

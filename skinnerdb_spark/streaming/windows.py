@@ -1,0 +1,159 @@
+"""Event-time analytics over the events table + Structured Streaming wrappers.
+
+The reference has ZERO streaming capability (SURVEY §2.9) — this whole module
+is extension tier. Strategy: every windowed computation is defined once as
+batch column algebra (oracle-verifiable vs DuckDB), and the streaming entry
+points apply the *same* transformation to a ``readStream`` source with a
+watermark — Structured Streaming's unified batch/stream semantics make the
+batch oracle meaningful for the stream path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.functions.exact import DS, dsum
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "ev_tumbling_hour",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {DS('value')} AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window", "streaming"),
+)
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form; stream form below uses
+    the same grouping with a watermark)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@register(
+    "ev_sessionization",
+    f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts > LAG(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {DS('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session", "streaming"),
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of a session_window/applyInPandasWithState stream op.
+    Timestamps are unique per user in the test data, so ordering is total."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE"), 1
+    ).otherwise(0)
+    sess = e.withColumn("new_session", gap).withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
+@register(
+    "ev_user_activity",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           {DS("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 10
+    """,
+    tags=("events", "agg"),
+)
+def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_p, 1).otherwise(0)).cast("bigint").alias("n_purchases"),
+            dsum(F.when(is_p, F.col("value")).otherwise(F.lit(0.0))).alias("purchase_value"),
+        )
+        .filter(F.col("n_events") > 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# real Structured Streaming entry points (no oracle — stream semantics; the
+# batch twins above are the value-verified forms)
+# --------------------------------------------------------------------------
+def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """readStream over the events parquet directory with an event-time
+    watermark — the late-data bound a production pipeline would set."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window counts (append-able once the watermark
+    passes). Same aggregation as ev_tumbling_hour."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, query_name: str = "skinner_stream") -> list:
+    """Drain all currently-available input through the streaming query
+    (trigger availableNow) into an in-memory sink; returns collected rows.
+    Used by tests to verify the streaming path end-to-end."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from skinnerdb_spark.catalog import TABLES, table_path
+from skinnerdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SKINNER_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="skinnerdb-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
