@@ -64,46 +64,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, mh): per-doc minhash j = MIN(md5(j || ':' || shingle)).
-
-    Using H seeded md5s over distinct 3-word shingles. MIN over hex strings is
-    a valid minhash (uniform over the hash's order); partial-aggregates
-    map-side so the shuffle carries only |docs| * H rows.
-    """
-    sh = (
-        docs.withColumn("w", F.split(F.col("text"), " "))
-        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
-        .distinct()
-    )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+    """(doc_id, sig): sig[j] = MIN(md5(j || ':' || shingle)) as an H-element
+    array computed entirely *within* each row — array_min over the in-row
+    shingle array, no explode, no shuffle. MIN over md5 hex strings is a valid
+    minhash (uniform over the hash's order). Docs with < 3 words are dropped
+    (mirrors the oracle's len(w) >= 3 guard)."""
     return (
-        sh.select("doc_id", "s", seeds)
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")).cast("binary"))
-            ).alias("mh")
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .withColumn("sh", shingles_expr("w", k=3))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {n_hashes - 1}), j -> "
+                f"array_min(transform(sh, s -> md5(cast(concat(j, ':', s) as binary)))))"
+            ).alias("sig"),
         )
     )
 
 
 def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band, key): band key = md5 of the band's minhashes in j-order."""
+    """(doc_id, band, key): band key = md5 of the band's minhashes in j-order.
+    The posexplode here is |docs| * n_bands rows — the only fan-out in the
+    pipeline, and it feeds directly into the bucket self-join shuffle."""
     rows_per_band = N_HASHES // n_bands
-    return (
-        sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
-                    ),
-                ).cast("binary")
-            ).alias("key")
-        )
+    bands_arr = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> md5(cast(concat_ws('|', "
+        f"slice(sig, b * {rows_per_band} + 1, {rows_per_band})) as binary)))"
     )
+    return sigs.select("doc_id", F.posexplode(bands_arr).alias("band", "key"))
 
 
 _MINHASH_ORACLE = f"""
@@ -151,18 +140,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("j").alias("xj"), F.col("mh").alias("xmh"))
-    y = sigs.select(F.col("doc_id").alias("yd"), F.col("j").alias("yj"), F.col("mh").alias("ymh"))
+    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # est. Jaccard = fraction of matching signature positions, folded in-row
+    match_frac = (
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double")
+        / N_HASHES
+    )
     return (
-        cand.join(x, "doc_a")
-        .join(y, (F.col("doc_b") == F.col("yd")) & (F.col("xj") == F.col("yj")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("xmh") == F.col("ymh"), 1).otherwise(0)).cast("double")
-                / N_HASHES
-            ).alias("est_jaccard")
-        )
+        cand.join(x, "doc_a").join(y, "doc_b").select("doc_a", "doc_b", match_frac.alias("est_jaccard"))
     )
 
 

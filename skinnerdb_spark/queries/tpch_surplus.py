@@ -1,0 +1,239 @@
+"""The six TPC-H shapes the reference CANNOT run — surplus capability.
+
+The reference's TPC-H subset omits q04/q13/q15/q16/q21/q22 precisely because
+they need EXISTS/NOT EXISTS, outer joins, CTEs or set ops — its rejected
+surface (SURVEY §5: "the missing TPC-H queries ... exactly the reference's
+unsupported surface"). Spark runs them natively; implementing them completes
+22/22 TPC-H shape coverage and demonstrates strict capability superset.
+
+Shapes are adapted to the driver warehouse columns like queries/tpch.py
+(no partsupp/commitdate/receiptdate/phone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.functions.exact import DAVG, DS, davg, dsum
+from skinnerdb_spark.queries.util import read_table, ts
+from skinnerdb_spark.registry import register
+
+B = F.broadcast
+
+
+# --------------------------------------------------------------------------
+# q04 — order priority checking: EXISTS correlated subquery -> LEFT SEMI
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q04",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "surplus", "exists"),
+)
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-07-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(l.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — customer order-count distribution: LEFT OUTER join + double groupBy
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    tags=("tpch", "surplus", "outerjoin"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") != "5-LOW") & (F.col("o_orderdate") >= ts("1997-01-01"))
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q15 — top supplier: CTE revenue view + scalar MAX subquery
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {DS('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "surplus", "cte"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(B(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(B(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — parts/supplier relationship: NOT IN subquery + COUNT DISTINCT
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#2'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "surplus", "subquery"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(bad_supp, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(B(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS self-joins
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_quantity > 40
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_quantity > l1.l_quantity)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch", "surplus", "exists"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_quantity") > 40).select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1"),
+        F.col("l_quantity").alias("q1"),
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
+        F.col("l_quantity").alias("q3"),
+    )
+    waited = (
+        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")), "left_semi")
+        .join(
+            l3,
+            (F.col("k1") == F.col("k3"))
+            & (F.col("s1") != F.col("s3"))
+            & (F.col("q3") > F.col("q1")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(o, F.col("k1") == o.o_orderkey)
+        .join(B(s), F.col("s1") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — global sales opportunity: substring + scalar AVG + NOT EXISTS
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q22",
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust, {DS('c_acctbal')} AS totacctbal
+    FROM (
+        SELECT SUBSTR(c_name, 10, 2) AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT {DAVG('c_acctbal')} FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'))
+    GROUP BY cntrycode
+    """,
+    tags=("tpch", "surplus", "exists"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= ts("1998-01-01"))
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+    return (
+        c.join(B(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+    )

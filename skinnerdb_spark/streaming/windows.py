@@ -121,12 +121,22 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") -> DataFrame:
     """readStream over the events parquet directory with an event-time
     watermark — the late-data bound a production pipeline would set."""
+    import os
+
     schema = spark.read.parquet(src_dir).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withWatermark("ts", watermark)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(src_dir):
+        # the streaming file source requires a directory; point at the parent
+        # and glob-filter to the single file
+        reader = reader.option("pathGlobFilter", os.path.basename(src_dir))
+        src_dir = os.path.dirname(src_dir)
+    stream = reader.parquet(src_dir)
+    # nanosAsLong surfaces TIMESTAMP(NANOS) as bigint; truncate to micros.
+    # Watermarks require TIMESTAMP (tz-aware), not NTZ — under the UTC session
+    # the wall-clock values match the batch path's TIMESTAMP_NTZ.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream.withWatermark("ts", watermark)
 
 
 def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:

@@ -1,0 +1,177 @@
+"""Component tests for the non-oracle-checked machinery: adaptive join
+ordering, CSV source semantics, Structured Streaming, multimodal stubs, and
+the engine facade."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.catalog import read_table
+from skinnerdb_spark.engine import Engine
+from skinnerdb_spark.operators import multimodal
+from skinnerdb_spark.plans.joinorder import (
+    UCB1,
+    JoinEdge,
+    adaptive_join,
+    build_join_chain,
+    connected_orders,
+)
+from skinnerdb_spark.sources.csv import load_csv
+from skinnerdb_spark.streaming.windows import (
+    run_stream_once,
+    stream_events,
+    stream_tumbling_counts,
+)
+
+
+# --------------------------------------------------------------------------
+# plans/joinorder
+# --------------------------------------------------------------------------
+EDGES = [
+    JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+    JoinEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def test_connected_orders_avoid_cartesian():
+    tables = ["lineitem", "orders", "customer", "supplier"]
+    orders = connected_orders(tables, EDGES)
+    assert orders, "must find at least one connected order"
+    for o in orders:
+        # every prefix extension must share an edge with the prefix
+        for i in range(1, len(o)):
+            assert any(
+                e.touches(o[i]) and e.other(o[i]) in o[:i] for e in EDGES
+            ), f"cartesian step in {o}"
+    # customer-first can never be followed by supplier/lineitem only
+    assert ("customer", "supplier") not in {o[:2] for o in orders}
+
+
+def test_ucb1_prefers_better_arm():
+    b = UCB1(2)
+    for _ in range(50):
+        arm = b.select()
+        b.update(arm, 1.0 if arm == 1 else 0.0)
+    assert b.best() == 1
+
+
+def test_adaptive_join_matches_catalyst(spark, sf_dir):
+    dfs = {
+        "lineitem": read_table(spark, sf_dir, "lineitem"),
+        "orders": read_table(spark, sf_dir, "orders"),
+        "customer": read_table(spark, sf_dir, "customer"),
+        "supplier": read_table(spark, sf_dir, "supplier"),
+    }
+    res = adaptive_join(dfs, EDGES, fact="lineitem", episodes=4, sample_fraction=0.2)
+    got = res.df.count()
+    expect = (
+        dfs["lineitem"]
+        .join(dfs["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dfs["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(dfs["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .count()
+    )
+    assert got == expect, "adaptive order must not change inner-join semantics"
+    assert res.best_order[0] == "lineitem" or len(res.episodes) > 0
+
+
+def test_build_join_chain_rejects_cartesian(spark, sf_dir):
+    dfs = {
+        "customer": read_table(spark, sf_dir, "customer"),
+        "supplier": read_table(spark, sf_dir, "supplier"),
+    }
+    with pytest.raises(ValueError, match="cartesian"):
+        build_join_chain(dfs, ("customer", "supplier"), EDGES)
+
+
+# --------------------------------------------------------------------------
+# sources/csv — LoadCSV parity (explicit schema, nullValue, date parsing)
+# --------------------------------------------------------------------------
+def test_load_csv_null_rep_and_types(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.csv")
+        with open(path, "w") as f:
+            f.write("1|alice|2024-03-01|9.5\n")
+            f.write("2|NULL|2024-03-02|NULL\n")
+            f.write("3|bob|NULL|1.25\n")
+        df = load_csv(
+            spark,
+            path,
+            schema="id INT, name STRING, d DATE, score DOUBLE",
+            sep="|",
+            null_rep="NULL",
+        )
+        rows = {r.id: r for r in df.collect()}
+        assert rows[2].name is None and rows[2].score is None
+        assert rows[3].d is None
+        assert str(rows[1].d) == "2024-03-01"
+        assert rows[3].score == 1.25
+
+
+# --------------------------------------------------------------------------
+# streaming — real readStream path, availableNow drain
+# --------------------------------------------------------------------------
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stream = stream_events(spark, src)
+    except Exception as e:  # nanos timestamp unsupported in streaming source
+        pytest.skip(f"stream source unavailable: {e}")
+    rows = run_stream_once(stream_tumbling_counts(stream), "t_stream_tumbling")
+    got = {(r.window_start, r.event_type): r.n_events for r in rows}
+    e = read_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expect = {(r.ws, r.event_type): r.n for r in batch}
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# multimodal — stub gating + Arrow batch plumbing
+# --------------------------------------------------------------------------
+def test_multimodal_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(b"", every_n=10)
+
+
+def test_multimodal_fake_decode_deterministic():
+    a = multimodal.fake_decode_meta(b"hello")
+    assert a == multimodal.fake_decode_meta(b"hello")
+    w, h, c = a
+    assert 64 <= w <= 319 and 64 <= h <= 319 and c == 3
+
+
+def test_extract_features_roundtrip(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2], "content": [b"abc", b"defg"], "media_type": ["image", "image"]}
+    )
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert out[1].byte_len == 3 and out[2].byte_len == 4
+    import hashlib
+
+    assert out[1].content_md5 == hashlib.md5(b"abc").hexdigest()
+
+
+# --------------------------------------------------------------------------
+# engine facade
+# --------------------------------------------------------------------------
+def test_engine_sql_surface(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    df = eng.sql("SELECT COUNT(*) AS n FROM lineitem")
+    assert df.collect()[0].n > 0
+    plan = eng.explain("SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY l_returnflag")
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    eng.drop("region")

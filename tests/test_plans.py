@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB hygiene gate.
+
+Correctness says the query is right; these say the *plan* is the one that
+survives a 1000-executor, 100 TB scale-up: filters pushed into the parquet
+scan, projections pruned, small dimensions broadcast (no shuffle), whole-stage
+codegen covering the hot path, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from skinnerdb_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = SPECS[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q06_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q06", sf_dir)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400], (
+        "range predicates must reach the parquet scan"
+    )
+    # projection pruning: the scan must not read group-by-irrelevant columns
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema, (
+        f"scan should read only needed columns, got {read_schema}"
+    )
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q03", sf_dir)
+    assert "BroadcastHashJoin" in plan, "filtered customer dim must broadcast"
+
+
+def test_q05_star_broadcasts_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q05", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q01_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q01", sf_dir)
+    assert plan.count("HashAggregate") >= 2, "expect partial + final aggregation"
+    assert plan.count("Exchange") == 1, "one shuffle: the group-by, nothing else"
+    # AQE defers codegen until stages materialize: execute, then inspect the
+    # final adaptive plan for codegen spans
+    df = SPECS["tpch_q01"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(1)" in executed and "*(2)" in executed, (
+        "scan->partial-agg and final-agg must both be codegen stages"
+    )
+
+
+def test_no_plan_uses_cartesian_product(spark, sf_dir):
+    """No registered relational query may degrade to a cartesian product
+    (broadcast nested loop is fine only for the intentional 1-row scalar
+    thresholds and bounded similarity probes)."""
+    for name in sorted(SPECS):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name} plan contains CartesianProduct"
+
+
+@pytest.mark.parametrize("name", ["tpch_q09", "job_snowflake_or"])
+def test_star_joins_broadcast_all_dims(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    # each of these joins >=3 dimension tables; none should shuffle the fact
+    # for a dim join
+    assert plan.count("BroadcastHashJoin") >= 3, f"{name}: dims must broadcast"
