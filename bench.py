@@ -37,11 +37,25 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
+    csv_lines = ["Query,Millis,Rows,ShuffleCnt,AQEPlan"]
     for name, spec in sorted(specs.items()):
+        df = spec.spark(spark, sf_dir)
         t0 = time.monotonic()
-        n = spec.spark(spark, sf_dir).count()
-        per_query[name] = round(time.monotonic() - t0, 4)
+        n = df.count()
+        dt = time.monotonic() - t0
+        per_query[name] = round(dt, 4)
         rows[name] = n
+        # reference-style per-query stats row (BenchUtil.java:66-79 schema,
+        # UCT counters replaced by Spark plan metrics)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        csv_lines.append(
+            f"{name},{int(dt * 1000)},{n},{plan.count('Exchange')},"
+            f"{'adaptive' if 'AdaptiveSparkPlan' in plan else 'static'}"
+        )
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CSV"):
+        with open(os.environ["SPARK_GRAFT_BENCH_CSV"], "w") as f:
+            f.write("\n".join(csv_lines) + "\n")
 
     sf = None
     try:

@@ -59,5 +59,14 @@ class Engine:
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
+    def select_into(self, target: str, sql: str) -> DataFrame:
+        """SELECT ... INTO <target>: store a query result as a named relation
+        (reference: Master.executeSelect target-table plumbing,
+        src/execution/Master.java:46-60). Registered as a temp view; callers
+        wanting durable storage use ``sources.csv.store_table``."""
+        df = self.spark.sql(sql)
+        df.createOrReplaceTempView(target)
+        return df
+
     def drop(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)

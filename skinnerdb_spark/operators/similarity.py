@@ -212,17 +212,48 @@ _NEARDUP_ORACLE = f"""
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (bounded probe set vec_id < 100;
     demo threshold 0.30 — the synthetic corpus has no true near-dups, max
-    cosine ~0.44). Production blocking = sim_lsh_buckets."""
+    cosine ~0.44). Production blocking = sim_lsh_buckets.
+
+    Two-phase, the shape that survives 100 TB:
+    1. candidate generation: probe matrix broadcast to executors, one BLAS
+       matmul per Arrow batch inside mapInPandas, kept above threshold-minus-
+       margin (numpy float64 vs exact decimal differ < 1e-10; margin 5e-3);
+    2. exact verdict: decimal-exact cosine recomputed ONLY for candidates, so
+       the emitted values and the threshold comparison still hash-match the
+       oracle bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
     e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 100).select("vec_id", "embedding").toPandas()
+    qids = probes["vec_id"].to_numpy()
+    Q = np.array(probes["embedding"].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    def gen(batches):
+        pq, pqn = bq.value
+        for pdf in batches:
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            bi, qi = np.nonzero(Mn @ pqn.T > 0.295)
+            out = pd.DataFrame(
+                {"vec_a": pq[qi], "vec_b": pdf["vec_id"].to_numpy()[bi]}
+            )
+            yield out[out.vec_a < out.vec_b]
+
+    cand = e.select("vec_id", "embedding").mapInPandas(gen, "vec_a long, vec_b long")
     normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
-    a = normed.filter(F.col("vec_id") < 100).select(
+    a = normed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
     )
     b = normed.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
     )
     return (
-        b.join(F.broadcast(a), F.col("vec_a") < F.col("vec_b"))
+        cand.join(F.broadcast(a), "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -153,14 +153,43 @@ def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataF
     )
 
 
-def run_stream_once(stream_df: DataFrame, query_name: str = "skinner_stream") -> list:
+def stream_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-user event counts via
+    applyInPandasWithState (Arrow-batched, partition-distributed state).
+
+    The template for any custom stateful op the built-in aggregations can't
+    express — state is a per-key tuple persisted in the state store, updated
+    per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_once(
+    stream_df: DataFrame, query_name: str = "skinner_stream", output_mode: str = "complete"
+) -> list:
     """Drain all currently-available input through the streaming query
     (trigger availableNow) into an in-memory sink; returns collected rows.
     Used by tests to verify the streaming path end-to-end."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -25,6 +25,7 @@ from skinnerdb_spark.streaming.windows import (
     run_stream_once,
     stream_events,
     stream_tumbling_counts,
+    stream_user_counts,
 )
 
 
@@ -134,6 +135,24 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_stateful_user_counts(spark, sf_dir):
+    """Custom stateful op (applyInPandasWithState): final per-user counts
+    must equal the batch groupBy."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = stream_events(spark, src)
+    rows = run_stream_once(
+        stream_user_counts(stream), "t_stream_stateful", output_mode="update"
+    )
+    # update-mode sink emits one row per key per micro-batch; the max is the
+    # final running count
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r.user_id] = max(got.get(r.user_id, 0), r.n_events)
+    e = read_table(spark, sf_dir, "events")
+    expect = {r.user_id: r.n for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect
+
+
 # --------------------------------------------------------------------------
 # multimodal — stub gating + Arrow batch plumbing
 # --------------------------------------------------------------------------
@@ -175,3 +194,16 @@ def test_engine_sql_surface(spark, sf_dir):
     plan = eng.explain("SELECT l_returnflag, SUM(l_quantity) FROM lineitem GROUP BY l_returnflag")
     assert "HashAggregate" in plan or "Aggregate" in plan
     eng.drop("region")
+
+
+def test_engine_select_into_and_ddl(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    eng.select_into("big_orders", "SELECT * FROM orders WHERE o_totalprice > 30000")
+    n = eng.sql("SELECT COUNT(*) AS n FROM big_orders").collect()[0].n
+    direct = eng.sql("SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 30000").collect()[0].n
+    assert n == direct
+    eng.drop("big_orders")
+    # DDL round-trip on a temp view via SQL surface
+    eng.sql("CREATE OR REPLACE TEMP VIEW two_rows AS SELECT 1 AS a UNION ALL SELECT 2")
+    assert eng.sql("SELECT SUM(a) AS s FROM two_rows").collect()[0].s == 3
+    eng.sql("DROP VIEW two_rows")
