@@ -145,15 +145,8 @@ _LSH_BUCKET_ORACLE = f"""
 """
 
 
-@register("sim_lsh_buckets", _LSH_BUCKET_ORACLE, tags=("similarity", "pipeline", "lsh"))
-def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane sign-LSH bucket assignment (the ANN scale path).
-
-    Bucket = 8 sign bits of projections onto deterministic +-1 hyperplanes.
-    Approximate neighbors are then searched within a bucket only; this query
-    verifies the bucketing itself (size histogram) cross-engine.
-    """
-    e = read_table(spark, sf_dir, "embeddings")
+def _signatures(e: DataFrame) -> DataFrame:
+    """(vec_id, bucket): 8-bit sign-LSH bucket string per vector."""
     # (vec_id, j, p): projection of each vector onto plane j
     planes = e.select(
         "vec_id",
@@ -174,24 +167,99 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     )
-    sig = (
-        proj.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"))
-                        )
-                    ),
-                    lambda x: x["bit"],
+    return proj.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"))
+                    )
                 ),
-            ).alias("bucket")
-        )
+                lambda x: x["bit"],
+            ),
+        ).alias("bucket")
     )
+
+
+@register("sim_lsh_buckets", _LSH_BUCKET_ORACLE, tags=("similarity", "pipeline", "lsh"))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign-LSH bucket assignment (the ANN scale path).
+
+    Bucket = 8 sign bits of projections onto deterministic +-1 hyperplanes.
+    Approximate neighbors are then searched within a bucket only; this query
+    verifies the bucketing itself (size histogram) cross-engine.
+    """
+    sig = _signatures(read_table(spark, sf_dir, "embeddings"))
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+_LSH_ANN_ORACLE = f"""
+    WITH proj AS (
+        SELECT e.vec_id, g.j,
+               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS p
+        FROM embeddings e,
+             generate_series(0, {N_PLANES - 1}) AS g(j),
+             generate_series(1, {DIM}) AS d(i)
+        GROUP BY e.vec_id, g.j),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+        FROM proj GROUP BY vec_id),
+    normed AS (
+        SELECT e.vec_id, e.embedding, s.bucket,
+               SQRT({_oracle_dot('e.embedding', 'e.embedding')}) AS nrm
+        FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+        FROM normed q JOIN normed c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_lsh_ann", _LSH_ANN_ORACLE, tags=("similarity", "pipeline", "lsh"))
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket, then exact cosine + rank within the bucket — the IVF/LSH-style
+    scale path (probe cost ~ bucket size, not corpus size). Recall vs
+    sim_bruteforce_topk is the approximation tradeoff; determinism and
+    cross-engine equality are preserved exactly."""
+    buckets = _signatures(read_table(spark, sf_dir, "embeddings"))
+    e = read_table(spark, sf_dir, "embeddings")
+    normed = e.join(buckets, "vec_id").select(
+        "vec_id", "embedding", "bucket", norm_exact("embedding").alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = normed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_exact("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
 

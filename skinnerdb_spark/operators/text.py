@@ -119,6 +119,32 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_regex_tokens",
+    """
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT) AS long_tokens
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (simple POSIX classes behave identically
+    in Java regex and RE2, so this one regex family is oracle-safe; richer
+    patterns would not be)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{4,}"), F.lit(0)))
+        .cast("bigint")
+        .alias("long_tokens"),
+    )
+
+
+@register(
     "text_fingerprint",
     f"""
     WITH {oracle_shingles_cte(k=3)},

@@ -153,6 +153,68 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {DS('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("rollup", "surplus"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10)
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_extendedprice")).alias("sum_price")
+    )
+
+
+@register(
+    "window_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           LAG(o_totalprice, 1) OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "surplus"),
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    None,  # HLL implementations differ across engines — rows-only check
+    tags=("sketch", "surplus"),
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group — the sketch path for
+    cardinality at 100 TB, where exact COUNT(DISTINCT) would shuffle every
+    key. No oracle: HLL estimates are engine-specific by construction; the
+    exact twin is distinct_agg."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
+@register(
     "cte_query",
     f"""
     WITH seg_stats AS (

@@ -53,7 +53,15 @@ def register(
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules and return the full registry."""
     # imports are deferred so `import skinnerdb_spark` stays light
-    from skinnerdb_spark.queries import tpch, tpch_surplus, job, scalar, subquery, extensions  # noqa: F401
+    from skinnerdb_spark.queries import (  # noqa: F401
+        adaptive,
+        extensions,
+        job,
+        scalar,
+        subquery,
+        tpch,
+        tpch_surplus,
+    )
     from skinnerdb_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401
 
