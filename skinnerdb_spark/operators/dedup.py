@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skinnerdb_spark.operators.textprims import (
+    fan_out,
     hex_high_sql,
     oracle_shingles_cte,
     shingles_expr,
@@ -70,9 +71,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     minhash (uniform over the hash's order). Docs with < 3 words are dropped
     (mirrors the oracle's len(w) >= 3 guard)."""
     return (
-        docs.withColumn("w", F.split(F.col("text"), " "))
+        fan_out(docs).withColumn("w", F.split(F.col("text"), " "))
+        .filter(F.size("w") >= 3)  # cheap guard; see text_fingerprint note
         .withColumn("sh", shingles_expr("w", k=3))
-        .filter(F.size("sh") > 0)
         .select(
             "doc_id",
             F.expr(
@@ -179,7 +180,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in few bits; bucket16 gives the LSH-style blocking key. Word frequency
     weights naturally (no distinct), matching classic SimHash.
     """
-    d = read_table(spark, sf_dir, "documents")
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     wt = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     hexhigh = F.substring(F.md5(F.col("w").cast("binary")), F.col("i"), 1).isin(*"89abcdef")
     bits = (
@@ -226,7 +227,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-key, no O(n^2)."""
     docs = read_table(spark, sf_dir, "documents")
     shd = (
-        docs.withColumn("w", F.split("text", " "))
+        fan_out(docs).withColumn("w", F.split("text", " "))
         .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
         .distinct()
         .cache()

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skinnerdb_spark.operators.textprims import hex_high_sql
+from skinnerdb_spark.operators.textprims import fan_out, hex_high_sql
 from skinnerdb_spark.queries.util import read_table
 from skinnerdb_spark.registry import register
 
@@ -148,7 +148,7 @@ _LSH_BUCKET_ORACLE = f"""
 def _signatures(e: DataFrame) -> DataFrame:
     """(vec_id, bucket): 8-bit sign-LSH bucket string per vector."""
     # (vec_id, j, p): projection of each vector onto plane j
-    planes = e.select(
+    planes = fan_out(e).select(
         "vec_id",
         "embedding",
         F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skinnerdb_spark.operators.textprims import oracle_shingles_cte, shingles_expr
+from skinnerdb_spark.operators.textprims import fan_out, oracle_shingles_cte, shingles_expr
 from skinnerdb_spark.queries.util import read_table
 from skinnerdb_spark.registry import register
 
@@ -165,11 +165,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row shingle array (vs explode + groupBy + join — 3x faster and scales
     embarrassingly parallel; docs with < 3 words drop out like the oracle's
     len(w) >= 3 guard)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = fan_out(read_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("w", F.split(F.col("text"), " "))
+        # cheap guard (equivalent to size(sh) > 0): filtering on the heavy
+        # shingle expression itself would push the whole transform below the
+        # repartition and serialize it onto one core
+        .filter(F.size("w") >= 3)
         .withColumn("sh", shingles_expr("w", k=3))
-        .filter(F.size("sh") > 0)
         .select(
             "doc_id",
             F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp"),

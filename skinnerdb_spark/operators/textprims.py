@@ -28,6 +28,19 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def fan_out(df):
+    """Repartition to cluster parallelism when the scan under-partitions.
+
+    A small parquet file scans as 1-2 partitions, which would serialize the
+    CPU-heavy per-row hash folds onto one core. At real scale the scan is
+    already wide and this is a no-op (we only repartition upward).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles_expr(words_col: str, k: int = 3) -> Column:
     """Contiguous k-word shingles as array<string> (empty if < k words).
 

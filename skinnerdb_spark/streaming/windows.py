@@ -42,6 +42,37 @@ def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_sliding_2h",
+    f"""
+    WITH expanded AS (
+        SELECT date_trunc('hour', ts) - INTERVAL (h.h) HOUR AS window_start,
+               event_type, value
+        FROM events, generate_series(0, 1) AS h(h))
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events, {DS('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window", "streaming"),
+)
+def ev_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 2-hour windows advancing every hour — each event lands
+    in exactly two windows. Spark's window() handles the expansion natively;
+    the oracle expands via an offset unnest."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "ev_sessionization",
     f"""
     WITH gaps AS (

@@ -185,6 +185,39 @@ def test_extract_features_roundtrip(spark):
 
 
 # --------------------------------------------------------------------------
+# sources/ddl — reference schema translation
+# --------------------------------------------------------------------------
+def test_translate_reference_ddl(spark):
+    from pyspark.sql import types as T
+
+    from skinnerdb_spark.sources.ddl import translate_ddl
+
+    ddl = """
+    create table customer (c_custkey int primary key, c_name char(25) not null,
+        c_acctbal numeric(12,2), c_comment varchar(117));
+    create table orders (o_orderkey int primary key, o_orderdate date,
+        o_custkey int references customer);
+    """
+    tables = translate_ddl(ddl)
+    assert [t.name for t in tables] == ["customer", "orders"]
+    cust = tables[0]
+    assert dict((f.name, type(f.dataType)) for f in cust.schema) == {
+        "c_custkey": T.IntegerType,
+        "c_name": T.StringType,
+        "c_acctbal": T.DoubleType,  # reference NUMERIC -> double
+        "c_comment": T.StringType,
+    }
+    assert cust.flags["primary key"] == ["c_custkey"]
+    assert cust.flags["not null"] == ["c_name"]
+    assert not [f for f in cust.schema if f.name == "c_name"][0].nullable
+    assert tables[1].flags["references"] == ["o_custkey"]
+    # the translated DDL is valid Spark SQL
+    assert "CREATE TABLE customer" in cust.spark_ddl()
+    empty = spark.createDataFrame([], cust.schema)
+    assert empty.schema == cust.schema
+
+
+# --------------------------------------------------------------------------
 # engine facade
 # --------------------------------------------------------------------------
 def test_engine_sql_surface(spark, sf_dir):
