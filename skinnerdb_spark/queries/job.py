@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from skinnerdb_spark.functions.exact import DS, dsum
 from skinnerdb_spark.queries.util import read_table, ts
 from skinnerdb_spark.registry import register
 
@@ -85,6 +86,117 @@ def job_snowflake_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n_name").alias("min_nation"),
             F.min("p_name").alias("min_pname"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "job_double_like",
+    """
+    SELECT MIN(p_name) AS min_pname, MIN(p_type) AS min_ptype,
+           MIN(o_orderpriority) AS min_prio, COUNT(*) AS n_rows
+    FROM lineitem, part, orders
+    WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+      AND p_name LIKE '%re%' AND p_name NOT LIKE '%blue%'
+      AND o_orderpriority LIKE '_-%'
+      AND p_retailprice BETWEEN 100 AND 1800
+    """,
+    tags=("job", "join", "like"),
+)
+def job_double_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB shape: stacked LIKE / NOT LIKE / wildcard-underscore predicates
+    across two dimensions (the reference compiles LIKE to a DFA —
+    ExpressionCompiler.java:420-422; Spark compiles to regex)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%re%")
+        & ~F.col("p_name").like("%blue%")
+        & F.col("p_retailprice").between(100, 1800)
+    )
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority").like("_-%"))
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .agg(
+            F.min("p_name").alias("min_pname"),
+            F.min("p_type").alias("min_ptype"),
+            F.min("o_orderpriority").alias("min_prio"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "job_theta_join",
+    f"""
+    SELECT s_name, COUNT(*) AS n_rows, {DS('l_extendedprice')} AS price_sum
+    FROM lineitem, supplier, orders
+    WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      AND l_extendedprice > o_totalprice * 0.5
+    GROUP BY s_name
+    """,
+    tags=("job", "join", "theta"),
+)
+def job_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta predicate across tables (reference: non-equi join predicates
+    evaluated as post-bind filters, LeftDeepPlan.java:111-122; Spark attaches
+    them to the hash join as residual conditions)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_extendedprice > o.o_totalprice * 0.5),
+        )
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("price_sum"),
+        )
+    )
+
+
+@register(
+    "job_wide_star",
+    """
+    SELECT MIN(p_name) AS min_pname, MIN(s_name) AS min_sname,
+           MIN(n_name) AS min_nname, MIN(r_name) AS min_rname,
+           MIN(o_orderdate) AS min_odate, COUNT(*) AS n_rows
+    FROM lineitem, part, supplier, nation, region, orders
+    WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND l_orderkey = o_orderkey
+      AND p_size BETWEEN 10 AND 40 AND s_acctbal > -500
+      AND o_orderstatus <> 'P' AND l_discount < 0.09
+    """,
+    tags=("job", "join"),
+)
+def job_wide_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way snowflake — the widest JOB template family (joins every table
+    reachable from lineitem; the plan must broadcast all four dims and
+    shuffle only for orders)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") < 0.09)
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 40))
+    s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > -500)
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        l.join(B(p), l.l_partkey == p.p_partkey)
+        .join(B(s), l.l_suppkey == s.s_suppkey)
+        .join(B(n), s.s_nationkey == n.n_nationkey)
+        .join(B(r), n.n_regionkey == r.r_regionkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .agg(
+            F.min("p_name").alias("min_pname"),
+            F.min("s_name").alias("min_sname"),
+            F.min("n_name").alias("min_nname"),
+            F.min("r_name").alias("min_rname"),
+            F.min("o_orderdate").alias("min_odate"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
