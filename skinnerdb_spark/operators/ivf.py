@@ -1,0 +1,126 @@
+"""IVF (inverted-file) ANN index — the k-means-partitioned scale path.
+
+sim_lsh_* partitions the corpus by random hyperplanes; IVF partitions by
+learned k-means centroids, which adapts to the data distribution and is what
+production vector stores (FAISS IVF, Milvus) do. Train/assign/search:
+
+- train: Lloyd iterations on a bounded deterministic sample (driver-side
+  numpy — at 100 TB you train on a sample regardless of engine);
+- assign: one broadcast of the centroid matrix + argmax-dot per row inside
+  mapInPandas (Arrow/BLAS, no shuffle);
+- search: probe the nprobe nearest centroid cells only — candidate cost is
+  |corpus| * nprobe / k instead of |corpus|.
+
+This is an ITERATIVE algorithm — k-means has no SQL expression — so its
+registry entry is rows-only by the driver contract (the exact-scoring tail
+reuses the decimal-exact machinery, and determinism is pinned by fixed seed,
+fixed init, and fixed iteration count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.operators.similarity import TOP_K, N_QUERIES, dot_exact, norm_exact
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+K_CELLS = 16
+N_ITERS = 5
+N_PROBE = 2
+TRAIN_SAMPLE = 2048  # lowest vec_ids — deterministic sample
+
+
+def train_centroids(train: np.ndarray, k: int = K_CELLS, iters: int = N_ITERS) -> np.ndarray:
+    """Plain Lloyd k-means on unit-normalized vectors (spherical k-means).
+    Deterministic: init = first k training rows, fixed iteration count."""
+    x = train / np.linalg.norm(train, axis=1, keepdims=True)
+    c = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return c
+
+
+def assign_cells(e: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, Arrow-batched BLAS."""
+    bc = e.sparkSession.sparkContext.broadcast(centroids)
+
+    def gen(batches):
+        c = bc.value
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": np.argmax(m @ c.T, axis=1).astype("int64")}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(gen, "vec_id long, cell long")
+
+
+@register("sim_ivf_ann", None, bench=True, tags=("similarity", "pipeline", "ivf"))
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: probe the 2 nearest cells per query, exact decimal cosine +
+    rank within candidates. Rows-only check (iterative training step)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    train_pdf = (
+        e.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "embedding").toPandas()
+    )
+    train = np.array(
+        train_pdf.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64
+    )
+    centroids = train_centroids(train)
+
+    cells = assign_cells(e, centroids)
+    # query -> its nprobe nearest cells
+    q_pdf = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
+    qm = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe_rows = [
+        {"query_id": int(v), "cell": int(c)}
+        for v, sims in zip(q_pdf["vec_id"], qm @ centroids.T)
+        for c in np.argsort(-sims)[:N_PROBE]
+    ]
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows))
+
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
+    qn = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cn = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -1,0 +1,187 @@
+"""Scalar surplus: math / string / datetime / grouping-sets / null-join
+coverage the reference lacks entirely (SURVEY §2.8 "Not supported" list).
+
+Oracle-portability rules applied:
+- math: only exactly-defined ops (abs/ceil/floor/sign/sqrt/mod, x*x for
+  power) — exp/log/pow can differ in the last ulp between JVM Math and libm.
+- strings: ASCII-safe ops with identical semantics in both engines.
+- datetime: day-granularity functions; dayofweek conventions differ across
+  engines so weekday is derived portably from epoch days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.functions.exact import DS, dsum
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25.0) AS abs_dev,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS qty_weeks,
+           SIGN(l_discount - 0.05) AS disc_sign,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    """,
+    tags=("scalar", "surplus"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_weeks"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_string",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM('  ' || c_name || ' ') AS name_trim,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           REVERSE(c_mktsegment) AS seg_rev,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+    tags=("scalar", "surplus"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 45 DAY AS due_ts,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_start,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS day_of_year
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    tags=("scalar", "surplus"),
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surplus surface. Outputs stay TIMESTAMP (not DATE): Spark
+    DATE arrives in pandas as python date objects while DuckDB yields
+    datetime64, which can break strict value comparison downstream."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_ts"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp_ntz").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n_rows, {DS('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "surplus"),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers (via the engine's SQL
+    surface — the DataFrame API covers only rollup/cube)."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows, {DS('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "null_join_semantics",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
+    FROM (
+        SELECT o.o_orderpriority, c.c_name
+        FROM (SELECT o_orderkey, o_orderpriority,
+                     NULLIF(o_custkey % 50, 0) AS join_key FROM orders) o
+        LEFT JOIN (SELECT NULLIF(c_custkey % 50, 0) AS join_key,
+                          c_name FROM customer WHERE c_custkey < 50) c
+          ON o.join_key = c.join_key)
+    GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "null", "surplus"),
+)
+def null_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL keys never match in equi-joins (in either engine); rows with NULL
+    join keys survive only via the LEFT join's unmatched path. Pins the
+    three-valued-logic behavior that silently corrupts pipelines when
+    assumed away."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("join_key"),
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("join_key"), "c_name")
+    )
+    return (
+        o.join(c, "join_key", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("unmatched"),
+        )
+    )

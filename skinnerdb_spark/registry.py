@@ -58,11 +58,12 @@ def all_specs() -> dict[str, QuerySpec]:
         extensions,
         job,
         scalar,
+        scalar_surplus,
         subquery,
         tpch,
         tpch_surplus,
     )
-    from skinnerdb_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
+    from skinnerdb_spark.operators import dedup, ivf, similarity, text, multimodal  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401
 
     return dict(_REGISTRY)

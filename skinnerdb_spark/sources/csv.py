@@ -55,6 +55,20 @@ def store_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     w.parquet(path)
 
 
+def compact(spark: SparkSession, path: str, out_path: str, target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ~target_mb
+    files. Training pipelines accrete thousands of tiny files per ingest
+    batch; compaction restores scan efficiency (fewer tasks, bigger row
+    groups, better dictionary pages). Returns the output file count."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    ) or sum(f.stat().st_size for f in __import__("pathlib").Path(path).glob("*") if f.is_file())
+    n_files = max(1, int(total_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def csv_to_parquet(
     spark: SparkSession,
     csv_path: str,

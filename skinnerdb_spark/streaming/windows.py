@@ -211,6 +211,14 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_enriched(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: the static dimension broadcasts into
+    every micro-batch (no state, no watermark needed on the static side) —
+    the standard pattern for joining a 100 TB event stream against reference
+    data."""
+    return events.join(F.broadcast(dim), on)
+
+
 def run_stream_once(
     stream_df: DataFrame, query_name: str = "skinner_stream", output_mode: str = "complete"
 ) -> list:

@@ -135,6 +135,43 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Streaming events enriched against the static customer dim."""
+    from skinnerdb_spark.streaming.windows import stream_enriched
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = stream_events(spark, src)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_enriched(stream, dim, "user_id").groupBy("c_mktsegment").count()
+    rows = run_stream_once(enriched, "t_stream_enrich")
+    got = {r.c_mktsegment: r["count"] for r in rows}
+    e = read_table(spark, sf_dir, "events")
+    expect = {
+        r.c_mktsegment: r.n
+        for r in e.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect and got, "stream-static join must equal batch join"
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from skinnerdb_spark.sources.csv import compact
+
+    frag = str(tmp_path / "fragmented")
+    read_table(spark, sf_dir, "orders").repartition(40).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) >= 40
+    out = str(tmp_path / "compacted")
+    n = compact(spark, frag, out, target_mb=128)
+    assert len(glob.glob(out + "/*.parquet")) == n <= 2
+    assert spark.read.parquet(out).count() == read_table(spark, sf_dir, "orders").count()
+
+
 def test_stream_stateful_user_counts(spark, sf_dir):
     """Custom stateful op (applyInPandasWithState): final per-user counts
     must equal the batch groupBy."""

@@ -22,7 +22,14 @@ ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        # unify date-like columns: Spark DATE -> python date objects,
+        # DuckDB DATE -> datetime64
+        if df[col].dtype == object and len(df) and df[col].map(
+            lambda v: hasattr(v, "toordinal") and not hasattr(v, "hour"), na_action="ignore"
+        ).all():
+            df[col] = pd.to_datetime(df[col])
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
