@@ -1,0 +1,172 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+The reference has neither (its only join is N-way inner equi-join, SURVEY
+§2.3); these are the custom-operator tier the prompt's data-pipeline target
+needs (point-in-time feature lookup, interval matching). Both are built as
+compositions of existing DataFrame ops — no UDFs:
+
+- as-of: union both sides, one window pass per key ordered by time, carry
+  the latest right-side row forward (last_value ignoreNulls). One shuffle on
+  (key), linear in |left|+|right| — the scalable alternative to the naive
+  per-left-row subquery.
+- range: equi-join on coarse time buckets + residual refinement, so interval
+  matching shuffles on bounded bucket keys instead of exploding to a
+  cross product. Intervals spanning buckets are handled by replicating the
+  right side once per covered bucket.
+
+DuckDB 1.0 implements ASOF JOIN natively and arbitrary inequality joins —
+both operators are therefore fully oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.functions.exact import DS, dsum
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """For each left row: attach the right row with the greatest right_ts <=
+    left_ts within the same key (inner semantics — left rows with no prior
+    right row are dropped). Columns of both inputs are preserved (right_ts
+    column included, renamed to its original name)."""
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != key]
+    l_part = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+    )
+    r_part = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    lp = l_part.withColumn("__r", F.lit(None).cast(r_part.schema["__r"].dataType))
+    rp = r_part.withColumn("__l", F.lit(None).cast(l_part.schema["__l"].dataType)).select(
+        "__k", "__t", "__is_left", "__l", "__r"
+    )
+    u = lp.select("__k", "__t", "__is_left", "__l", "__r").unionByName(rp)
+    # right rows sort before left rows at equal timestamps so a right row at
+    # exactly left_ts is visible to that left row (ties: <=)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter((F.col("__is_left") == 1) & F.col("__last_r").isNotNull())
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__last_r")[c].alias(c) for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket: str = "1 week",
+) -> DataFrame:
+    """Interval join: left rows whose ts falls in [right.start, right.end)
+    for the same key. Right intervals are replicated per covered time bucket
+    and the join runs equi on (key, bucket) + residual range filter — the
+    bucketed-range-join strategy (bounded shuffle keys, no cross product)."""
+    seconds = {"1 day": 86400, "1 week": 604800}[bucket]
+    lb = left.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts).cast("timestamp")) / seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "__b0", (F.unix_timestamp(F.col(start).cast("timestamp")) / seconds).cast("long")
+    ).withColumn(
+        "__b1", (F.unix_timestamp(F.col(end).cast("timestamp")) / seconds).cast("long")
+    )
+    rb = rb.withColumn("__bucket", F.explode(F.sequence("__b0", "__b1"))).drop("__b0", "__b1")
+    return (
+        lb.join(rb, [key, "__bucket"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("__bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# registered, oracle-verified uses over the warehouse
+# --------------------------------------------------------------------------
+@register(
+    "asof_latest_order",
+    f"""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           {DS('o.o_totalprice')} AS matched_order_value
+    FROM (SELECT user_id, ts, event_type FROM events) e
+    ASOF JOIN
+         (SELECT o_custkey, o_orderdate, o_totalprice FROM orders) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    GROUP BY e.event_type
+    """,
+    tags=("temporal", "asof", "pipeline"),
+)
+def asof_latest_order(spark, sf_dir):
+    """Point-in-time lookup: each event matched to the user's latest order at
+    or before the event (events are 2024, orders 1995-2001, so every event
+    matches its user's final order — semantics still fully exercised:
+    per-key ordering, ties, carry-forward)."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    )
+    joined = asof_join(e, o, key="user_id", left_ts="ts", right_ts="o_orderdate")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("o_totalprice")).alias("matched_order_value"),
+    )
+
+
+@register(
+    "range_join_ship_window",
+    f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_matches, {DS('l.l_quantity')} AS qty_sum
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey % 100 = o.o_orderkey % 100
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey < 500
+    GROUP BY l.l_returnflag
+    """,
+    tags=("temporal", "range", "pipeline"),
+)
+def range_join_ship_window(spark, sf_dir):
+    """Interval matching: lineitems shipped within a week of (bounded set of)
+    orders, keyed by a coarse hash — exercises the bucketed range-join
+    strategy end-to-end."""
+    l = read_table(spark, sf_dir, "lineitem").withColumn("k", F.col("l_orderkey") % 100)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .withColumn("k", F.col("o_orderkey") % 100)
+        .withColumn("win_end", F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    joined = range_join(
+        l, o.select("k", "o_orderdate", "win_end"),
+        key="k", ts="l_shipdate", start="o_orderdate", end="win_end",
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        dsum(F.col("l_quantity")).alias("qty_sum"),
+    )

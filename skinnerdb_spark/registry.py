@@ -63,7 +63,14 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch,
         tpch_surplus,
     )
-    from skinnerdb_spark.operators import dedup, ivf, similarity, text, multimodal  # noqa: F401
+    from skinnerdb_spark.operators import (  # noqa: F401
+        dedup,
+        ivf,
+        multimodal,
+        similarity,
+        temporal,
+        text,
+    )
     from skinnerdb_spark.streaming import windows  # noqa: F401
 
     return dict(_REGISTRY)

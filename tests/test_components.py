@@ -135,6 +135,17 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_dedup_drop_duplicates(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the id within the watermark —
+    the streaming twin of dedup_exact."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = stream_events(spark, src)
+    deduped = stream.dropDuplicates(["event_id"]).groupBy().count()
+    rows = run_stream_once(deduped, "t_stream_dedup")
+    batch_n = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert rows[-1]["count"] == batch_n
+
+
 def test_stream_static_enrichment_join(spark, sf_dir):
     """Streaming events enriched against the static customer dim."""
     from skinnerdb_spark.streaming.windows import stream_enriched
