@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from skinnerdb_spark.catalog import TABLES, read_table, register_views
+from skinnerdb_spark.catalog import register_views
 from skinnerdb_spark.session import get_spark
 from skinnerdb_spark.sources.csv import load_csv
 

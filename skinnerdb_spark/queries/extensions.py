@@ -153,6 +153,47 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "edge_empty_and_null_aggs",
+    f"""
+    SELECT 'empty' AS probe,
+           COUNT(*) AS cnt,
+           {DS('l_quantity')} AS sum_qty,
+           MIN(l_returnflag) AS mn
+    FROM lineitem WHERE l_quantity > 1e9
+    UNION ALL
+    SELECT 'nulls' AS probe,
+           COUNT(NULLIF(l_quantity, l_quantity)) AS cnt,
+           {DS('NULLIF(l_quantity, l_quantity)')} AS sum_qty,
+           MIN(NULLIF(l_returnflag, l_returnflag)) AS mn
+    FROM lineitem
+    """,
+    tags=("edge", "null", "surplus"),
+)
+def edge_empty_and_null_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins aggregate semantics at the boundaries both engines must agree on:
+    aggregates over ZERO rows (COUNT->0, SUM/MIN->NULL) and over all-NULL
+    inputs (COUNT(x)->0, SUM/MIN->NULL) — the reference's empty-group rule
+    (SumAggregate.java empty group -> NULL; COUNT rewrite zero case,
+    SimplificationVisitor.java:129-162)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    empty = l.filter(F.col("l_quantity") > 1e9).agg(
+        F.lit("empty").alias("probe"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.min("l_returnflag").alias("mn"),
+    ).select("probe", "cnt", "sum_qty", "mn")
+    null_qty = F.nullif(F.col("l_quantity"), F.col("l_quantity"))
+    null_flag = F.nullif(F.col("l_returnflag"), F.col("l_returnflag"))
+    nulls = l.agg(
+        F.lit("nulls").alias("probe"),
+        F.count(null_qty).alias("cnt"),
+        dsum(null_qty).alias("sum_qty"),
+        F.min(null_flag).alias("mn"),
+    ).select("probe", "cnt", "sum_qty", "mn")
+    return empty.unionAll(nulls)
+
+
+@register(
     "cube_agg",
     f"""
     SELECT l_returnflag, l_linestatus,

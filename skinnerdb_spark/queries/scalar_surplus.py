@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skinnerdb_spark.functions.exact import DS, dsum
+from skinnerdb_spark.functions.exact import DS
 from skinnerdb_spark.queries.util import read_table
 from skinnerdb_spark.registry import register
 

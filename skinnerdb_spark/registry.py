@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         adaptive,
         extensions,
         job,
+        job_family,
         scalar,
         scalar_surplus,
         subquery,
