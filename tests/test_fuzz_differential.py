@@ -128,6 +128,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("seed", range(40))
 def test_random_query_matches_oracle(spark, oracle_con, sf_dir, seed):
     spark_pdf, oracle_pdf, sql = run_both(spark, oracle_con, sf_dir, seed)
+    _assert_equal(spark_pdf, oracle_pdf, sql)
+
+
+def _assert_equal(spark_pdf, oracle_pdf, sql):
     assert len(spark_pdf) == len(oracle_pdf), f"row count differs for: {sql}"
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     assert list(s.columns) == list(o.columns), sql
@@ -141,3 +145,77 @@ def test_random_query_matches_oracle(spark, oracle_con, sf_dir, seed):
                 ), f"{col}[{i}]: {a!r} != {b!r} for: {sql}"
             else:
                 assert a == b, f"{col}[{i}]: {a!r} != {b!r} for: {sql}"
+
+
+# --------------------------------------------------------------------------
+# randomized multi-table joins: lineitem [⋈ orders [⋈ customer]] [⋈ part]
+# with random per-side predicates, random join subset, random group/aggs
+# --------------------------------------------------------------------------
+ORDER_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def run_join_both(spark, oracle_con, sf_dir, seed: int):
+    from skinnerdb_spark.catalog import read_table as rt
+
+    rng = random.Random(10_000 + seed)
+    with_customer = rng.random() < 0.5
+    with_part = rng.random() < 0.5
+
+    l = rt(spark, sf_dir, "lineitem")
+    tables_sql = ["lineitem", "orders"]
+    join_sql = ["l_orderkey = o_orderkey"]
+    where = []
+
+    lp, lsql = gen_predicate(rng)
+    l = l.filter(lp)
+    where.append(lsql)
+
+    o = rt(spark, sf_dir, "orders")
+    if rng.random() < 0.7:
+        prio = rng.choice(ORDER_PRIOS)
+        o = o.filter(F.col("o_orderpriority") == prio)
+        where.append(f"o_orderpriority = '{prio}'")
+    df = l.join(o, l.l_orderkey == o.o_orderkey)
+
+    if with_customer:
+        c = rt(spark, sf_dir, "customer")
+        seg = rng.choice(SEGMENTS)
+        c = c.filter(F.col("c_mktsegment") == seg)
+        where.append(f"c_mktsegment = '{seg}'")
+        df = df.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        tables_sql.append("customer")
+        join_sql.append("o_custkey = c_custkey")
+    if with_part:
+        p = rt(spark, sf_dir, "part")
+        size_lo = rng.randint(1, 40)
+        p = p.filter(F.col("p_size") >= size_lo)
+        where.append(f"p_size >= {size_lo}")
+        df = df.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        tables_sql.append("part")
+        join_sql.append("l_partkey = p_partkey")
+
+    group_col = rng.choice(["l_returnflag", "o_orderstatus", None])
+    aggs_df = [
+        dsum(F.col("l_extendedprice")).alias("s_price"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("o_totalprice").alias("mx_total"),
+    ]
+    aggs_sql = [f"{DS('l_extendedprice')} AS s_price", "COUNT(*) AS cnt",
+                "MAX(o_totalprice) AS mx_total"]
+    if group_col:
+        sdf = df.groupBy(group_col).agg(*aggs_df)
+    else:
+        sdf = df.agg(*aggs_df)
+    sql = "SELECT " + (f"{group_col}, " if group_col else "") + ", ".join(aggs_sql)
+    sql += " FROM " + ", ".join(tables_sql)
+    sql += " WHERE " + " AND ".join(join_sql + where)
+    if group_col:
+        sql += f" GROUP BY {group_col}"
+    return sdf.toPandas(), oracle_con.execute(sql).df(), sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_join_matches_oracle(spark, oracle_con, sf_dir, seed):
+    spark_pdf, oracle_pdf, sql = run_join_both(spark, oracle_con, sf_dir, seed)
+    _assert_equal(spark_pdf, oracle_pdf, sql)
