@@ -154,6 +154,94 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# end-to-end dedup pipeline: LSH candidates -> exact Jaccard verify -> keep/drop
+# --------------------------------------------------------------------------
+_PIPELINE_ORACLE = f"""
+    WITH {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) AS jaccard
+        FROM cand c
+        JOIN (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b) i
+          ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b)
+    SELECT doc_b AS drop_id, MIN(doc_a) AS kept_id, MAX(jaccard) AS jaccard
+    FROM verified WHERE jaccard >= 0.5
+    GROUP BY doc_b
+"""
+
+
+@register("dedup_pipeline_decisions", _PIPELINE_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline in one pass:
+    MinHash bands propose candidates -> exact 3-gram Jaccard verifies ->
+    keep-lowest-id policy emits (drop_id, kept_id) decisions.
+
+    At scale this is the canonical shape: the O(n^2) exact measure runs only
+    on LSH candidates, and the decision policy is a single groupBy (lowest
+    surviving id wins; a one-pass approximation of connected components —
+    iterative CC is the refinement when duplicate chains matter)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    bands = lsh_bands(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shd = (
+        fan_out(docs)
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
+        .distinct()
+        .cache()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        sa.join(sb, (F.col("s_a") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    verified = (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.groupBy(F.col("doc_b").alias("drop_id")).agg(
+        F.min("doc_a").alias("kept_id"), F.max("jaccard").alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 _SIMHASH_ORACLE = f"""

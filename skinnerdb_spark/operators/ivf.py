@@ -68,6 +68,30 @@ def assign_cells(e: DataFrame, centroids: np.ndarray) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(gen, "vec_id long, cell long")
 
 
+def build_ivf_index(spark: SparkSession, e: DataFrame, path: str) -> None:
+    """Persist an IVF index: centroid matrix + per-vector cell assignments,
+    both as parquet. The durable analogue of the reference's `index all`
+    (src/indexing/Indexer.java — which rebuilds RAM indexes every session);
+    here the index survives restarts and is shared cluster-wide."""
+    train_pdf = (
+        e.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "embedding").toPandas()
+    )
+    train = np.array(train_pdf.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    centroids = train_centroids(train)
+    cent_pdf = pd.DataFrame(
+        {"cell": range(len(centroids)), "centroid": [c.tolist() for c in centroids]}
+    )
+    spark.createDataFrame(cent_pdf).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign_cells(e, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroid matrix, assignments DataFrame) from a persisted index."""
+    cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas().sort_values("cell")
+    centroids = np.array(cent_pdf["centroid"].tolist(), dtype=np.float64)
+    return centroids, spark.read.parquet(f"{path}/assignments")
+
+
 @register("sim_ivf_ann", None, bench=True, tags=("similarity", "pipeline", "ivf"))
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: probe the 2 nearest cells per query, exact decimal cosine +

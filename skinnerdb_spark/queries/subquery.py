@@ -67,6 +67,34 @@ def subq_not_in_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subq_not_in_null_trap",
+    """
+    SELECT COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 10)
+    """,
+    tags=("subquery", "null", "surplus"),
+)
+def subq_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN NULL trap: the subquery contains a NULL, so three-valued
+    logic makes `x NOT IN (...)` never TRUE -> zero rows. A plain left-anti
+    join would WRONGLY return rows here; only a null-aware anti join (which
+    Catalyst plans for NOT IN) is correct — so this path goes through the
+    engine's SQL surface deliberately."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT NULLIF(o_custkey, 3) FROM orders WHERE o_custkey < 10)
+        """
+    )
+
+
+@register(
     "subq_scalar_compare",
     f"""
     SELECT c_nationkey, COUNT(*) AS rich_customers

@@ -312,6 +312,30 @@ def test_extract_features_roundtrip(spark):
 
 
 # --------------------------------------------------------------------------
+# operators/ivf — persisted index round-trip
+# --------------------------------------------------------------------------
+def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from skinnerdb_spark.operators.ivf import (
+        assign_cells,
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, e, path)
+    centroids, assignments = load_ivf_index(spark, path)
+    assert centroids.shape[1] == 64
+    fresh = {r.vec_id: r.cell for r in assign_cells(e, centroids).collect()}
+    persisted = {r.vec_id: r.cell for r in assignments.collect()}
+    assert fresh == persisted, "persisted assignments must equal recomputed ones"
+    sizes = np.bincount(list(persisted.values()))
+    assert sizes.sum() == e.count() and (sizes > 0).sum() >= 2
+
+
+# --------------------------------------------------------------------------
 # sources/ddl — reference schema translation
 # --------------------------------------------------------------------------
 def test_translate_reference_ddl(spark):
