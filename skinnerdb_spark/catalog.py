@@ -44,11 +44,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds,
     exactly like DuckDB's ns->us conversion, yielding TIMESTAMP_NTZ under the
     UTC session.
+
+    The config is set here at runtime (it is session-settable), not only in
+    session.py, because callers — including the verification driver — may
+    hand us a SparkSession built without our factory; a plain session throws
+    PARQUET_TYPE_ILLEGAL on the events table otherwise.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> NTZ without any timezone dependency: epoch-NTZ + exact
+        # decimal-second interval. (timestamp_micros + CAST AS TIMESTAMP_NTZ
+        # would shift wall-clock under a non-UTC caller session.)
         df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+            "ts",
+            F.expr(
+                "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ) + "
+                "make_dt_interval(0, 0, 0, CAST(ts DIV 1000 AS DECIMAL(20,0)) / 1000000)"
+            ),
         )
     return df
 

@@ -192,6 +192,8 @@ def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") 
     watermark — the late-data bound a production pipeline would set."""
     import os
 
+    # defensive: callers may pass a session built outside session.py
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
     reader = spark.readStream.schema(schema)
     if os.path.isfile(src_dir):

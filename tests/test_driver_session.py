@@ -1,0 +1,71 @@
+"""Driver-session contract: the verification driver builds its OWN
+SparkSession (plain builder, none of our session.py configs, possibly a
+non-UTC timezone). Every queries() entry must still work and produce
+oracle-identical values there. This runs in a subprocess so the plain
+session cannot inherit this test session's JVM configs."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+import duckdb
+
+# adversarial driver session: plain builder, non-UTC timezone
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .getOrCreate())
+
+import __spark_entry__ as E
+qs, osql = E.queries(), E.oracle_sql()
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+failures = []
+for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
+             "tpch_q01", "scalar_interval_arith"]:
+    s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
+    o = norm(con.execute(osql[name]).df())
+    ok = s.shape == o.shape and all(
+        s[c].astype(float).equals(o[c].astype(float))
+        if (s[c].dtype.kind == "f" or o[c].dtype.kind == "f")
+        else list(s[c]) == list(o[c])
+        for c in s.columns)
+    print(name, "OK" if ok else "MISMATCH", s.shape)
+    if not ok:
+        failures.append(name)
+
+assert E.entry(spark).count() > 0
+spark.stop()
+sys.exit(1 if failures else 0)
+"""
+
+
+@pytest.mark.slow
+def test_plain_driver_session_runs_contract():
+    res = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
+    assert "MISMATCH" not in res.stdout
