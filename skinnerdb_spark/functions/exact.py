@@ -24,13 +24,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Scale 8: TPC-H-style measure expressions (price * (1-disc) * (1+tax)) carry
-# at most 6 true decimal digits, so at scale 8 the decimal cast is EXACT —
-# no rounding, hence no half-way ties where Spark (HALF_UP via shortest-repr)
-# and DuckDB (multiply-and-round) disagree. At scale 4 those ties are ~1% of
-# rows and broke the q01 hash. Full-precision random doubles land on a tie
-# with probability ~0.
-_DEC = "decimal(26,8)"
+# Scale choice, two constraints:
+# 1. EXACT CAST IN: TPC-H-style measures (price * (1-disc) * (1+tax)) carry
+#    at most 6 true decimal digits, so scale >= 6 makes the decimal cast
+#    exact — no rounding, hence no half-way ties where Spark (HALF_UP via
+#    shortest-repr) and DuckDB (multiply-and-round) disagree. Scale 4 broke
+#    q01 (~1% tie rate). Full-precision random doubles tie with prob ~0.
+# 2. EXACT CAST OUT: the final decimal->double conversion is only
+#    bit-identical across engines while the SCALED integer fits in 2^53 —
+#    beyond that DuckDB double-rounds ((double)scaled_int / 10^scale) while
+#    Spark rounds once. At scale 6 sums stay exactly convertible up to
+#    ~9e9 in magnitude (covers sf1-3); scale 8 broke covariance sums at
+#    sf0.01. Higher-magnitude second moments use scale 2 locally.
+_DEC = "decimal(30,6)"
 
 
 def dsum(c: Column) -> Column:
@@ -49,9 +55,9 @@ def davg(c: Column) -> Column:
 
 def DS(expr: str) -> str:
     """Oracle-SQL (DuckDB) counterpart of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(26,8))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
 
 
 def DAVG(expr: str) -> str:
     """Oracle-SQL (DuckDB) counterpart of :func:`davg`."""
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(26,8))) AS DOUBLE) / COUNT({expr}))"
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT({expr}))"

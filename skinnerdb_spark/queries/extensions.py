@@ -129,6 +129,104 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# second moments (sum of squares / products) reach magnitudes where the
+# generic scale-6 decimal's scaled integer exceeds 2^53 and the
+# decimal->double cast stops being bit-identical across engines (DuckDB
+# double-rounds). These inputs carry <= 2 true decimals (quantity is
+# integral, prices have cents), so scale 2 is still an exact cast IN and
+# stays exactly convertible OUT up to ~9e13.
+_DS2 = "CAST(SUM(CAST({expr} AS DECIMAL(28,2))) AS DOUBLE)"
+
+
+def _ds2(expr: str) -> str:
+    return _DS2.format(expr=expr)
+
+
+def _dsum2(c):
+    return F.sum(c.cast("decimal(28,2)")).cast("double")
+
+
+@register(
+    "stats_agg",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ({_ds2('l_quantity * l_quantity')} - {_ds2('l_quantity')} * {_ds2('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           SQRT(({_ds2('l_quantity * l_quantity')} - {_ds2('l_quantity')} * {_ds2('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_qty,
+           ({_ds2('l_quantity * l_extendedprice')} - {_ds2('l_quantity')} * {_ds2('l_extendedprice')} / COUNT(*))
+             / (COUNT(*) - 1) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "surplus"),
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / covariance from decimal-exact component
+    sums (sum, sum of squares, sum of products). Native stddev/covar use
+    Welford-style streaming updates whose float results differ across
+    engines and partitionings; the component-sum formulation is exactly
+    reproducible everywhere — the same trick the reference's AVG->SUM/COUNT
+    rewrite uses (SimplificationVisitor.java:163-184), extended to second
+    moments."""
+    l = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq = _dsum2(q)
+    sqq = _dsum2(q * q)
+    sp = _dsum2(p)
+    sqp = _dsum2(q * p)
+    var = (sqq - sq * sq / n) / (n - 1)
+    cov = (sqp - sq * sp / n) / (n - 1)
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        cov.alias("cov_qty_price"),
+    )
+
+
+@register(
+    "median_manual",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*) AS median_qty
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "surplus"),
+)
+def median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median by rank selection (middle one or two elements averaged
+    with exact arithmetic). Native percentile_cont interpolation arithmetic
+    is not guaranteed bit-identical across engines; rank selection is."""
+    l = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("l_returnflag").agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("median_qty")
+    )
+
+
 @register(
     "distinct_agg",
     """

@@ -141,7 +141,7 @@ def ev_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.date_trunc("hour", "ts").alias("window_start")
     partial = lambda df: df.groupBy(hour, "event_type").agg(  # noqa: E731
         F.count(F.lit(1)).alias("pc"),
-        F.sum(F.col("value").cast("decimal(26,8)")).alias("ps"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("ps"),
     )
     rollup = partial(e.filter(F.col("ts") < boundary))  # the precomputed part
     tail = partial(e.filter(F.col("ts") >= boundary))  # the live tail
