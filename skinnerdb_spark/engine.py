@@ -70,3 +70,28 @@ class Engine:
 
     def drop(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
+
+    def bench_dir(self, sql_dir: str) -> list[dict]:
+        """Run every ``*.sql`` file in a directory and collect per-query
+        stats — the reference's `bench` command (SkinnerCmd.processBenchCmd,
+        src/console/SkinnerCmd.java:67-99 -> BenchUtil.readAllQueries,
+        src/benchmark/BenchUtil.java:40-60). A reference user's query
+        directory runs unchanged (modulo SQL the reference couldn't parse
+        anyway). Returns [{query, millis, rows}, ...] sorted by file name."""
+        import glob
+        import os
+        import time
+
+        results = []
+        for path in sorted(glob.glob(os.path.join(sql_dir, "*.sql"))):
+            text = open(path).read().strip().rstrip(";")
+            t0 = time.monotonic()
+            n = self.spark.sql(text).count()
+            results.append(
+                {
+                    "query": os.path.basename(path),
+                    "millis": int((time.monotonic() - t0) * 1000),
+                    "rows": n,
+                }
+            )
+        return results

@@ -380,6 +380,22 @@ def test_engine_sql_surface(spark, sf_dir):
     eng.drop("region")
 
 
+def test_engine_bench_dir_runs_sql_files(spark, sf_dir, tmp_path):
+    """The reference's `bench <dir>` flow: a directory of .sql files runs
+    end-to-end with per-query stats."""
+    (tmp_path / "q1.sql").write_text(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag;"
+    )
+    (tmp_path / "q2.sql").write_text(
+        "SELECT COUNT(*) AS n FROM orders o, lineitem l "
+        "WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 10000"
+    )
+    eng = Engine(spark, sf_dir)
+    stats = eng.bench_dir(str(tmp_path))
+    assert [s["query"] for s in stats] == ["q1.sql", "q2.sql"]
+    assert all(s["rows"] > 0 and s["millis"] >= 0 for s in stats)
+
+
 def test_engine_select_into_and_ddl(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     eng.select_into("big_orders", "SELECT * FROM orders WHERE o_totalprice > 30000")
