@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from skinnerdb_spark.operators.textprims import (
     fan_out,
@@ -40,6 +41,36 @@ SIMHASH_BITS = 32
 @register(
     "dedup_exact",
     """
+    SELECT doc_id,
+           md5(text) AS content_key,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 0 ELSE 1 END AS is_dup
+    FROM documents
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True exact (byte-identical) dedup keyed on md5(text): every document
+    gets its content hash, the canonical (lowest) doc_id holding that content,
+    and a keep/drop flag. One window shuffle on the content key; at scale this
+    is the cheapest dedup pass and runs first — downstream keeps is_dup = 0.
+    (sf0.1 has 8 byte-identical dup texts; sf0.01 has none, so the gate
+    verifies the hash/canonical assignment over all rows, not just dups.)"""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_key")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_key"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_dup", F.when(F.col("doc_id") == F.col("canonical_id"), 0).otherwise(1)
+        )
+    )
+
+
+@register(
+    "dedup_norm_prefix",
+    """
     SELECT SUBSTR(LOWER(text), 1, 30) AS norm_key,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS dup_count
@@ -49,10 +80,10 @@ SIMHASH_BITS = 32
     """,
     tags=("dedup", "pipeline"),
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized key (lowercased 30-char prefix — the corpus
-    has no byte-identical dups, but prefix collisions exist). One hash
-    shuffle; at scale this is the cheapest dedup pass and runs first."""
+def dedup_norm_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix dedup (lowercased 30-char prefix): the cheap fuzzy
+    first pass that catches retitled/recapitalized copies exact hashing
+    misses. One hash-groupBy shuffle."""
     d = read_table(spark, sf_dir, "documents")
     return (
         d.groupBy(F.substring(F.lower("text"), 1, 30).alias("norm_key"))
@@ -86,12 +117,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's minhashes in j-order.
+    Rows per band derive from the *actual* signature length (size(sig)), so a
+    longer signature from minhash_signatures(n_hashes=16) bands correctly.
     The posexplode here is |docs| * n_bands rows — the only fan-out in the
     pipeline, and it feeds directly into the bucket self-join shuffle."""
-    rows_per_band = N_HASHES // n_bands
     bands_arr = F.expr(
         f"transform(sequence(0, {n_bands - 1}), b -> md5(cast(concat_ws('|', "
-        f"slice(sig, b * {rows_per_band} + 1, {rows_per_band})) as binary)))"
+        f"slice(sig, b * (size(sig) div {n_bands}) + 1, size(sig) div {n_bands})) as binary)))"
     )
     return sigs.select("doc_id", F.posexplode(bands_arr).alias("band", "key"))
 

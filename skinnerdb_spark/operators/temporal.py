@@ -35,11 +35,17 @@ def asof_join(
     key: str,
     left_ts: str,
     right_ts: str,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: attach the right row with the greatest right_ts <=
     left_ts within the same key (inner semantics — left rows with no prior
     right row are dropped). Columns of both inputs are preserved (right_ts
-    column included, renamed to its original name)."""
+    column included, renamed to its original name).
+
+    ``tiebreak`` names a unique right-side column that breaks ties among
+    right rows sharing (key, right_ts): the row with the greatest tiebreak
+    value wins, deterministically. Without it, ties resolve arbitrarily
+    (Spark's window order among equal sort keys is not stable run-to-run)."""
     lcols = left.columns
     rcols = [c for c in right.columns if c != key]
     l_part = left.select(
@@ -60,10 +66,15 @@ def asof_join(
     )
     u = lp.select("__k", "__t", "__is_left", "__l", "__r").unionByName(rp)
     # right rows sort before left rows at equal timestamps so a right row at
-    # exactly left_ts is visible to that left row (ties: <=)
+    # exactly left_ts is visible to that left row (ties: <=); among right rows
+    # at the same timestamp, ascending tiebreak puts the winner (max) last,
+    # which is the row F.last carries forward
+    order = [F.col("__t"), F.col("__is_left")]
+    if tiebreak is not None:
+        order.append(F.when(F.col("__is_left") == 0, F.col("__r")[tiebreak]))
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__is_left"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
@@ -115,7 +126,9 @@ def range_join(
            {DS('o.o_totalprice')} AS matched_order_value
     FROM (SELECT user_id, ts, event_type FROM events) e
     ASOF JOIN
-         (SELECT o_custkey, o_orderdate, o_totalprice FROM orders) o
+         (SELECT o_custkey, o_orderdate,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY o_custkey, o_orderdate) o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     GROUP BY e.event_type
     """,
@@ -125,12 +138,16 @@ def asof_latest_order(spark, sf_dir):
     """Point-in-time lookup: each event matched to the user's latest order at
     or before the event (events are 2024, orders 1995-2001, so every event
     matches its user's final order — semantics still fully exercised:
-    per-key ordering, ties, carry-forward)."""
+    per-key ordering, ties, carry-forward). Ties among same-day orders break
+    deterministically on max o_orderkey (mirrored by the oracle's arg_max
+    dedupe — ASOF JOIN alone leaves same-timestamp winners arbitrary)."""
     e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice", "o_orderkey"
     )
-    joined = asof_join(e, o, key="user_id", left_ts="ts", right_ts="o_orderdate")
+    joined = asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate", tiebreak="o_orderkey"
+    )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("o_totalprice")).alias("matched_order_value"),

@@ -29,16 +29,16 @@ def words(text_col: str = "text") -> Column:
 
 
 def fan_out(df):
-    """Repartition to cluster parallelism when the scan under-partitions.
+    """Repartition to cluster parallelism before CPU-heavy per-row hash folds.
 
     A small parquet file scans as 1-2 partitions, which would serialize the
-    CPU-heavy per-row hash folds onto one core. At real scale the scan is
-    already wide and this is a no-op (we only repartition upward).
+    hash folds onto one core. Unconditional by design: probing the scan's
+    partition count would need an RDD conversion (breaks under Spark Connect,
+    forces extra analysis); the round-robin shuffle costs one pass over data
+    that is about to be hash-folded anyway, and at real scale callers feed
+    already-wide scans directly instead of this helper.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def shingles_expr(words_col: str, k: int = 3) -> Column:

@@ -30,6 +30,11 @@ def replicate_for_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
+#: join types where every output row is driven by the (salted-once) probe
+#: side; right/full outer would emit unmatched build rows n_salts times.
+_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -39,28 +44,53 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: probe side salted, build side replicated,
     join key extended with the salt so each hot key spreads over n_salts
-    shuffle partitions. Semantically identical to probe.join(build, on, how).
-    """
+    shuffle partitions. Semantically identical to probe.join(build, on, how)
+    for probe-driven join types only (inner/left/semi/anti) — right/full
+    outer are rejected because the replicated build side would emit each
+    unmatched build row n_salts times."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports probe-driven join types {sorted(_SALT_SAFE_HOW)}; "
+            f"got {how!r} (unmatched build rows would be duplicated per salt)"
+        )
     p = salted(probe, n_salts)
     b = replicate_for_salt(build, n_salts)
     cond = on & (p[SALT_COL] == b[SALT_COL])
     return p.join(b, cond, how).drop(SALT_COL)
 
 
+#: merge functions usable to combine per-salt partials into the final value
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def aggregate_two_phase(
-    df: DataFrame, keys: list[str], aggs: dict[str, Column], n_salts: int = 16
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+    merge: dict[str, str] | str = "sum",
 ) -> DataFrame:
     """Skew-resistant aggregation: pre-aggregate on (keys + salt), then
-    final-aggregate on keys. Only valid for decomposable aggregates the
-    caller expresses in two phases (caller passes the *partial* expressions;
-    re-aggregation uses the same names). Spark's own partial aggregation
-    covers the common case — use this when a single group dwarfs the rest and
-    you need the partials spread across partitions first."""
+    final-aggregate on keys. ``aggs`` holds the *partial* expressions;
+    ``merge`` names how each partial combines across salts — "sum" (SUM and
+    COUNT partials), "min", or "max" — either one name for all or a per-column
+    dict. Non-decomposable aggregates (AVG, STDDEV) must be expressed as
+    decomposable partials by the caller (e.g. AVG = sum / count computed after
+    the merge). Spark's own partial aggregation covers the common case — use
+    this when a single group dwarfs the rest and you need the partials spread
+    across partitions first."""
+    merges = {n: merge for n in aggs} if isinstance(merge, str) else dict(merge)
+    unknown = {n: m for n, m in merges.items() if m not in _MERGE_FNS} or {
+        n: "<missing>" for n in aggs if n not in merges
+    }
+    if unknown:
+        raise ValueError(
+            f"aggregate_two_phase merge must map every agg to one of "
+            f"{sorted(_MERGE_FNS)}; got {unknown}"
+        )
     partial = salted(df, n_salts).groupBy(*keys, SALT_COL).agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
-    from pyspark.sql import functions as F2
-
     return partial.groupBy(*keys).agg(
-        *[F2.sum(n).alias(n) for n in aggs]
+        *[_MERGE_FNS[merges[n]](n).alias(n) for n in aggs]
     )

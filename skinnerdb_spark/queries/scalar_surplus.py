@@ -26,7 +26,7 @@ from skinnerdb_spark.registry import register
            ABS(l_quantity - 25.0) AS abs_dev,
            CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
            CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS qty_weeks,
-           SIGN(l_discount - 0.05) AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
            SQRT(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod
@@ -43,7 +43,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
         F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
         F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_weeks"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
         (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),

@@ -88,7 +88,7 @@ def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT MAX(s2.s_acctbal)
             FROM supplier s2, lineitem l2
             WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey)
-    ORDER BY s.s_acctbal DESC, p.p_partkey
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
     LIMIT 25
     """,
     tags=("tpch", "subquery"),
@@ -112,7 +112,7 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pairs.p_partkey == best.bp_partkey) & (pairs.s_acctbal == best.best_acctbal),
         )
         .select("p_partkey", "p_name", "s_name", "s_acctbal")
-        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
         .limit(25)
     )
 
