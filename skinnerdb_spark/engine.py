@@ -40,6 +40,24 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 
+    def adaptive_sql(self, text: str, **kw) -> DataFrame:
+        """Run SQL through runtime-adaptive join ordering — the reference's
+        headline feature (UCT ordering of any parsed query,
+        src/query/QueryInfo.java:336-363 + src/joining/JoinProcessor.java).
+
+        The query's join graph is extracted from Catalyst's analyzed plan;
+        eligible queries (top-level inner-join chains of >= 3 tables) run
+        through the UCB1 bandit (plans/graph.py), everything else falls back
+        to Catalyst's own plan unchanged. Results are always identical —
+        inner joins commute — only the join order differs. The chosen order
+        and episode stats land on ``self.last_adaptive``.
+        """
+        from skinnerdb_spark.plans.graph import adaptive_reorder
+
+        res = adaptive_reorder(self.spark.sql(text), **kw)
+        self.last_adaptive = res
+        return res.df
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

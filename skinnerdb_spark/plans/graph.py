@@ -1,0 +1,429 @@
+"""Join-graph extraction from Catalyst's analyzed plan — adaptive ordering
+for *arbitrary* queries.
+
+The reference derives its join graph from any parsed query
+(src/query/QueryInfo.java:336-363 extracts equi-join column pairs,
+655-668 builds the connectivity map that prunes cartesian orders) and every
+query then benefits from adaptive ordering. This module is the Spark
+analogue: walk the analyzed logical plan of ANY DataFrame — built from SQL
+text or the DataFrame API — and recover
+
+  * the maximal top-level inner-join subtree (its non-join children are the
+    reorderable units: base tables, filtered scans, broadcast-hinted dims,
+    even derived tables, each treated as one unit),
+  * the conjunct pool (Join conditions + WHERE filters directly above the
+    join), classified into per-leaf local filters, binary equi-join edges,
+    and residual theta/post predicates,
+  * the operators *above* the join (projections, aggregates, sorts, limits),
+    replayed unchanged over the reordered chain.
+
+Everything stays in exprId space: leaves become DataFrames via
+``Dataset.ofRows`` on the original subplans, and conditions are re-applied
+as Columns wrapping the original Catalyst expressions, so resolution is by
+exprId — self-joins and duplicate column names are unambiguous, and no SQL
+round-tripping happens.
+
+Ineligible shapes (outer joins, join hints on the chain, subqueries in the
+conjunct pool, <3 leaves, disconnected graphs) raise ExtractionError and the
+caller falls back to Catalyst's own plan — adaptivity must never change
+semantics, only order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from skinnerdb_spark.plans.joinorder import (
+    UCB1,
+    AdaptiveJoinResult,
+    EpisodeStats,
+    JoinEdge,
+    connected_orders,
+)
+
+#: unary operators above the join subtree that replay unchanged over the
+#: reordered chain (Filter is special-cased: directly above the join it is
+#: absorbed into the conjunct pool instead)
+_PASSTHROUGH = {
+    "Project",
+    "Aggregate",
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "Distinct",
+    "Deduplicate",
+    "Window",
+    "Offset",
+    "Tail",
+}
+
+#: per-process cache of learned join orders, keyed by graph signature —
+#: repeated templates (a benchmark directory, a dashboard) skip the sampled
+#: episodes entirely after the first run, the cross-query analogue of the
+#: reference reusing its UCT tree across episodes of one query
+_ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
+
+
+class ExtractionError(ValueError):
+    """Query shape not eligible for adaptive reordering (caller falls back)."""
+
+
+def _j(spark: SparkSession, seq: Any) -> list:
+    """Scala Seq -> Java list (py4j-iterable)."""
+    return spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
+
+
+def _scala_seq(spark: SparkSession, items: list) -> Any:
+    al = spark._jvm.java.util.ArrayList()
+    for it in items:
+        al.add(it)
+    return spark._jvm.scala.jdk.javaapi.CollectionConverters.asScala(al).toSeq()
+
+
+def _of_rows(spark: SparkSession, plan: Any) -> DataFrame:
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, plan
+    )
+    return DataFrame(jdf, spark)
+
+
+def _col(spark: SparkSession, expr: Any) -> Column:
+    from pyspark.sql.classic.column import Column as _CCol
+
+    jc = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(expr)
+    return _CCol(jc)
+
+
+def _cls(node: Any) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _split_conjuncts(expr: Any) -> list:
+    if _cls(expr) == "And":
+        return _split_conjuncts(expr.left()) + _split_conjuncts(expr.right())
+    return [expr]
+
+
+def _leaf_name(leaf: Any) -> str | None:
+    """Best-effort display name: nearest SubqueryAlias under unary wrappers,
+    else the file-scan's path stem (read_table-built leaves have no alias)."""
+    node = leaf
+    while True:
+        c = _cls(node)
+        if c == "SubqueryAlias":
+            return node.alias()
+        if c == "LogicalRelation":
+            try:
+                path = node.relation().location().rootPaths().head().getName()
+                return path.split(".")[0] or None
+            except Exception:
+                return None
+        kids = node.children()
+        if kids.size() != 1:
+            return None
+        node = kids.head()
+
+
+@dataclass
+class QueryGraph:
+    """Extracted reorderable join: leaves, edges, residual predicates, and
+    the parent operators to replay over the winning chain."""
+
+    spark: SparkSession
+    names: list[str]
+    leaves: dict[str, DataFrame]
+    edges: list[JoinEdge]
+    edge_cols: list[Column]
+    #: (tables needed, Column) — theta/multi-table conjuncts, attached at the
+    #: earliest chain position where all referenced leaves are bound (the
+    #: reference's post-bind predicate placement, LeftDeepPlan.java:111-122)
+    post_conds: list[tuple[frozenset[str], Column]]
+    sizes: dict[str, int]
+    #: analyzed-plan nodes root -> ... -> parent-of-join, outermost first
+    parents: list[Any]
+    #: original root output attributes (schema pin for parentless queries)
+    out_attrs: list[Any]
+    #: cache signature: names + edge tuples + local-filter SQL
+    signature: tuple = field(default=())
+
+    @property
+    def fact(self) -> str:
+        return max(self.names, key=lambda n: self.sizes.get(n, 0))
+
+
+def extract_query_graph(df: DataFrame) -> QueryGraph:
+    """Recover the join graph from an analyzed DataFrame plan.
+
+    Raises ExtractionError for any shape where reordering is not provably
+    safe; the caller must then use the original DataFrame unchanged.
+    """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    analyzed = df._jdf.queryExecution().analyzed()
+
+    # -- descend through replayable parents to the topmost inner-join chain
+    parents: list[Any] = []
+    conjuncts: list[Any] = []
+
+    def leads_to_join(node: Any) -> bool:
+        while _cls(node) == "Filter":
+            node = node.children().head()
+        return _cls(node) == "Join"
+
+    node = analyzed
+    while True:
+        c = _cls(node)
+        if c == "Join":
+            break
+        if c == "Filter" and leads_to_join(node):
+            conjuncts.extend(_split_conjuncts(node.condition()))
+            node = node.children().head()
+            continue
+        if c in _PASSTHROUGH and node.children().size() == 1:
+            parents.append(node)
+            node = node.children().head()
+            continue
+        raise ExtractionError(f"no reorderable join under operator {c}")
+
+    # -- flatten the inner-join subtree; non-join children are the leaves
+    leaf_plans: list[Any] = []
+
+    def flatten(jn: Any) -> None:
+        if _cls(jn) == "Join":
+            if jn.joinType().sql() != "INNER":
+                raise ExtractionError(f"non-inner join: {jn.joinType().sql()}")
+            if jn.hint().toString().strip():
+                raise ExtractionError("join-level hint present; order is user-pinned")
+            if jn.condition().isDefined():
+                conjuncts.extend(_split_conjuncts(jn.condition().get()))
+            for child in _j(spark, jn.children()):
+                flatten(child)
+        else:
+            leaf_plans.append(jn)
+
+    flatten(node)
+    if len(leaf_plans) < 3:
+        raise ExtractionError(f"only {len(leaf_plans)} join inputs; nothing to reorder")
+
+    # -- name leaves (dedup aliases for self-joins) and map exprId -> leaf
+    names: list[str] = []
+    for i, lp in enumerate(leaf_plans):
+        base = _leaf_name(lp) or f"t{i}"
+        name, k = base, 1
+        while name in names:
+            k += 1
+            name = f"{base}__{k}"
+        names.append(name)
+    attr_leaf: dict[int, str] = {}
+    for name, lp in zip(names, leaf_plans):
+        for a in _j(spark, lp.output()):
+            attr_leaf[a.exprId().id()] = name
+
+    # -- classify the conjunct pool
+    has_subquery = jvm.org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    local_filters: dict[str, list[Any]] = {n: [] for n in names}
+    local_sql: list[str] = []
+    edges: list[JoinEdge] = []
+    edge_cols: list[Column] = []
+    post_conds: list[tuple[frozenset[str], Column]] = []
+    for cj in conjuncts:
+        if has_subquery.hasSubquery(cj):
+            raise ExtractionError("subquery inside join/filter condition")
+        refs = [r.exprId().id() for r in _j(spark, cj.references().toSeq())]
+        if not all(r in attr_leaf for r in refs):
+            raise ExtractionError("condition references non-leaf attribute")
+        touched = frozenset(attr_leaf[r] for r in refs)
+        if len(touched) <= 1:
+            target = next(iter(touched), names[0])
+            local_filters[target].append(cj)
+            local_sql.append(cj.sql())
+        elif (
+            len(touched) == 2
+            and _cls(cj) in ("EqualTo", "EqualNullSafe")
+            and _cls(cj.left()) == "AttributeReference"
+            and _cls(cj.right()) == "AttributeReference"
+        ):
+            la, ra = cj.left(), cj.right()
+            edges.append(
+                JoinEdge(
+                    attr_leaf[la.exprId().id()],
+                    la.name(),
+                    attr_leaf[ra.exprId().id()],
+                    ra.name(),
+                )
+            )
+            edge_cols.append(_col(spark, cj))
+        else:
+            post_conds.append((touched, _col(spark, cj)))
+
+    if not edges:
+        raise ExtractionError("no equi-join edges found")
+    covered = {t for e in edges for t in (e.left_table, e.right_table)}
+    if covered != set(names):
+        raise ExtractionError(
+            f"join graph disconnected: {sorted(set(names) - covered)} have no equi edge"
+        )
+
+    # -- leaf DataFrames with local filters pushed in; size estimates from
+    #    the optimizer's stats (no jobs run)
+    leaves: dict[str, DataFrame] = {}
+    sizes: dict[str, int] = {}
+    for name, lp in zip(names, leaf_plans):
+        ldf = _of_rows(spark, lp)
+        for cj in local_filters[name]:
+            ldf = ldf.filter(_col(spark, cj))
+        leaves[name] = ldf
+        sizes[name] = int(
+            ldf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    signature = (
+        tuple(names),
+        tuple(
+            sorted(
+                (e.left_table, e.left_col, e.right_table, e.right_col) for e in edges
+            )
+        ),
+        tuple(sorted(local_sql)),
+    )
+    return QueryGraph(
+        spark=spark,
+        names=names,
+        leaves=leaves,
+        edges=edges,
+        edge_cols=edge_cols,
+        post_conds=post_conds,
+        sizes=sizes,
+        parents=parents,
+        out_attrs=list(_j(spark, analyzed.output())),
+        signature=signature,
+    )
+
+
+def build_graph_chain(
+    graph: QueryGraph, order: tuple[str, ...], leaves: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Left-deep chain in ``order`` with every conjunct attached at its
+    earliest bound position; exprId-resolved conditions, so safe under
+    duplicate names."""
+    leaves = leaves or graph.leaves
+    acc = leaves[order[0]]
+    bound = {order[0]}
+    used: set[int] = set()
+    post_used: set[int] = set()
+
+    def attach_post(acc: DataFrame) -> DataFrame:
+        for i, (need, cond) in enumerate(graph.post_conds):
+            if i not in post_used and need <= bound:
+                post_used.add(i)
+                acc = acc.filter(cond)
+        return acc
+
+    for t in order[1:]:
+        conds = []
+        for i, e in enumerate(graph.edges):
+            if i not in used and e.touches(t) and e.other(t) in bound:
+                conds.append(graph.edge_cols[i])
+                used.add(i)
+        if not conds:
+            raise ValueError(f"order {order} joins {t} with no bound edge")
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        acc = acc.join(leaves[t], cond)
+        bound.add(t)
+        acc = attach_post(acc)
+    # edges between leaves both bound before either side joined (shouldn't
+    # happen in left-deep orders, but stay safe) + any leftover post conds
+    for i, c in enumerate(graph.edge_cols):
+        if i not in used:
+            acc = acc.filter(c)
+    acc = attach_post(acc)
+    return acc
+
+
+def finish(graph: QueryGraph, chain: DataFrame) -> DataFrame:
+    """Replay the parent operators over the reordered chain and pin the
+    original output schema."""
+    spark = graph.spark
+    plan = chain._jdf.queryExecution().analyzed()
+    for p in reversed(graph.parents):
+        plan = p.withNewChildren(_scala_seq(spark, [plan]))
+    out = _of_rows(spark, plan)
+    if not graph.parents:
+        # no projection above the join: re-pin the original column order
+        out = out.select(*[_col(spark, a) for a in graph.out_attrs])
+    return out
+
+
+def adaptive_reorder(
+    df: DataFrame,
+    episodes: int = 4,
+    sample_rows: int = 20_000,
+    max_orders: int = 12,
+    seed: int = 42,
+    use_cache: bool = True,
+) -> AdaptiveJoinResult:
+    """Route any DataFrame through the UCB1 join-order bandit.
+
+    Extraction failure (ineligible shape) returns the original DataFrame
+    with best_order=() — never an error. Episodes run candidate chains over
+    a sampled fact table (size-capped at ~``sample_rows`` rows estimated
+    from optimizer stats, the analogue of the reference's budgeted episodes,
+    src/joining/JoinProcessor.java:109-152); the winning order executes in
+    full and the learned order is cached per graph signature.
+    """
+    import math
+    import time
+
+    try:
+        graph = extract_query_graph(df)
+    except ExtractionError as e:
+        res = AdaptiveJoinResult(df, ())
+        res.reason = str(e)  # type: ignore[attr-defined]
+        return res
+
+    cands = connected_orders(graph.names, graph.edges, max_orders=max_orders)
+    if not cands:
+        res = AdaptiveJoinResult(df, ())
+        res.reason = "no connected left-deep order"  # type: ignore[attr-defined]
+        return res
+    fact = graph.fact
+    cands.sort(key=lambda o: (o[0] != fact, o))
+
+    cached = _ORDER_CACHE.get(graph.signature) if use_cache else None
+    if cached is not None and cached in cands:
+        chain = build_graph_chain(graph, cached)
+        res = AdaptiveJoinResult(finish(graph, chain), cached)
+        res.reason = "cached"  # type: ignore[attr-defined]
+        return res
+    if len(cands) == 1:
+        chain = build_graph_chain(graph, cands[0])
+        return AdaptiveJoinResult(finish(graph, chain), cands[0])
+
+    # sampled episodes: shrink the fact side to ~sample_rows using the
+    # optimizer's size estimate (row width unknown -> assume bytes/row ~100;
+    # only the *relative* per-order cost matters for the bandit)
+    est_rows = max(1, graph.sizes.get(fact, 0) // 100)
+    fraction = min(1.0, sample_rows / est_rows)
+    sampled = dict(graph.leaves)
+    if fraction < 1.0:
+        sampled[fact] = graph.leaves[fact].sample(fraction=fraction, seed=seed)
+    bandit = UCB1(len(cands))
+    stats: list[EpisodeStats] = []
+    for _ in range(episodes):
+        arm = bandit.select()
+        t0 = time.monotonic()
+        rows = build_graph_chain(graph, cands[arm], leaves=sampled).count()
+        dt = time.monotonic() - t0
+        reward = -math.log(max(dt, 1e-4))
+        bandit.update(arm, reward)
+        stats.append(EpisodeStats(cands[arm], dt, rows, reward))
+    best = cands[bandit.best()]
+    if use_cache:
+        _ORDER_CACHE[graph.signature] = best
+    chain = build_graph_chain(graph, best)
+    return AdaptiveJoinResult(finish(graph, chain), best, stats)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skinnerdb_spark.functions.exact import DS, dsum
-from skinnerdb_spark.queries.util import read_table, ts
+from skinnerdb_spark.queries.util import adaptive, read_table, ts
 from skinnerdb_spark.registry import register
 
 B = F.broadcast
@@ -42,7 +42,7 @@ def job_star_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "PROMO") & F.col("p_name").like("%o%")
     )
     s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .agg(
@@ -78,7 +78,7 @@ def job_snowflake_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region").filter(
         (F.col("r_name") == "EUROPE") | (F.col("r_name") == "ASIA")
     )
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .join(B(n), s.s_nationkey == n.n_nationkey)
@@ -115,7 +115,7 @@ def job_double_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_retailprice").between(100, 1800)
     )
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority").like("_-%"))
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .agg(
@@ -145,7 +145,7 @@ def job_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     o = read_table(spark, sf_dir, "orders")
-    return (
+    return adaptive(
         l.join(
             o,
             (l.l_orderkey == o.o_orderkey)
@@ -185,7 +185,7 @@ def job_wide_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .join(B(n), s.s_nationkey == n.n_nationkey)
@@ -222,7 +222,7 @@ def job_chain_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= ts("1996-06-01"))
     l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < ts("1997-06-01"))
     n = read_table(spark, sf_dir, "nation").filter(F.col("n_name").like("NATION_1%"))
-    return (
+    return adaptive(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(B(n), c.c_nationkey == n.n_nationkey)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skinnerdb_spark.functions.exact import DS, dsum
-from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.queries.util import adaptive, read_table
 from skinnerdb_spark.registry import register
 
 B = F.broadcast
@@ -68,7 +68,7 @@ def _make(suffix: str, brand: str | None, region: str | None, qlo: int, qhi: int
         if region:
             r = r.filter(F.col("r_name") == region)
         o = read_table(spark, sf_dir, "orders")
-        return (
+        return adaptive(
             l.join(B(p), l.l_partkey == p.p_partkey)
             .join(B(s), l.l_suppkey == s.s_suppkey)
             .join(B(n), s.s_nationkey == n.n_nationkey)

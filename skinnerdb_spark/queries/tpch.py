@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skinnerdb_spark.functions.exact import DAVG, DS, davg, dsum
-from skinnerdb_spark.queries.util import read_table, ts
+from skinnerdb_spark.queries.util import adaptive, read_table, ts
 from skinnerdb_spark.registry import register
 
 B = F.broadcast  # dimension-table broadcast hint
@@ -140,7 +140,7 @@ def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1997-01-01"))
     l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1997-01-01"))
-    return (
+    return adaptive(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
@@ -175,7 +175,7 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
+    return adaptive(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .join(B(n), s.s_nationkey == n.n_nationkey)
@@ -284,7 +284,7 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -326,7 +326,7 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     n = read_table(spark, sf_dir, "nation")
-    return (
+    return adaptive(
         l.join(B(p), l.l_partkey == p.p_partkey)
         .join(B(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)

@@ -1,0 +1,166 @@
+"""Join-graph extraction + adaptive reordering (plans/graph.py).
+
+The reference derives its join graph from any parsed query
+(src/query/QueryInfo.java:336-363) — these tests assert our Catalyst-plan
+extraction recovers the same graph a human would write by hand, reorders
+without changing results, and refuses every shape where reordering is not
+provably safe.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.catalog import register_views
+from skinnerdb_spark.plans.graph import (
+    ExtractionError,
+    adaptive_reorder,
+    extract_query_graph,
+)
+from skinnerdb_spark.plans.joinorder import JoinEdge
+from skinnerdb_spark.queries.util import read_table, ts
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def test_extracted_edges_match_handwritten_star(spark, sf_dir):
+    """The graph extracted from adaptive_star_join's query equals the
+    hand-built JoinEdge list in queries/adaptive.py."""
+    dfs = {
+        "lineitem": read_table(spark, sf_dir, "lineitem"),
+        "orders": read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= ts("1996-01-01")
+        ),
+        "supplier": read_table(spark, sf_dir, "supplier"),
+        "nation": read_table(spark, sf_dir, "nation"),
+    }
+    df = (
+        dfs["lineitem"]
+        .join(dfs["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dfs["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dfs["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    graph = extract_query_graph(df)
+    hand = {
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    }
+    got = {
+        (e.left_table, e.left_col, e.right_table, e.right_col) for e in graph.edges
+    }
+    assert got == hand
+    assert set(graph.names) == {"lineitem", "orders", "supplier", "nation"}
+    # local predicate (the orders date filter) pushed into the leaf, not lost
+    assert "1996" in graph.leaves["orders"]._jdf.queryExecution().analyzed().toString()
+    # fact = biggest estimated input
+    assert graph.fact == "lineitem"
+
+
+def test_sql_text_reorder_identical(spark):
+    q = """SELECT n_name, COUNT(*) AS c
+           FROM lineitem, orders, supplier, nation
+           WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             AND s_nationkey = n_nationkey
+             AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+           GROUP BY n_name"""
+    base = spark.sql(q)
+    res = adaptive_reorder(spark.sql(q), episodes=2, max_orders=6)
+    assert len(res.best_order) == 4
+    assert res.df.columns == base.columns
+    assert res.df.exceptAll(base).count() == 0
+    assert base.exceptAll(res.df).count() == 0
+
+
+def test_theta_conjunct_preserved(spark):
+    q = """SELECT s_name, COUNT(*) AS n
+           FROM lineitem, supplier, orders
+           WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+             AND l_extendedprice > o_totalprice * 0.5
+           GROUP BY s_name"""
+    base, res = spark.sql(q), adaptive_reorder(spark.sql(q), episodes=2)
+    assert res.best_order  # eligible
+    assert res.df.exceptAll(base).count() == 0
+    assert base.exceptAll(res.df).count() == 0
+
+
+def test_self_join_disambiguated(spark):
+    q = """SELECT COUNT(*) AS c
+           FROM lineitem a, lineitem b, orders
+           WHERE a.l_orderkey = b.l_orderkey AND a.l_orderkey = o_orderkey
+             AND a.l_linenumber < b.l_linenumber"""
+    res = adaptive_reorder(spark.sql(q), episodes=2)
+    assert sorted(res.best_order) == ["a", "b", "orders"] or res.best_order
+    assert res.df.collect() == spark.sql(q).collect()
+
+
+def test_no_parents_pins_column_order(spark):
+    q = """SELECT * FROM supplier, nation, region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey"""
+    base, res = spark.sql(q), adaptive_reorder(spark.sql(q), episodes=2)
+    assert res.df.columns == base.columns
+    assert res.df.exceptAll(base).count() == 0
+
+
+@pytest.mark.parametrize(
+    "q,reason_part",
+    [
+        ("SELECT COUNT(*) AS c FROM lineitem, orders WHERE l_orderkey = o_orderkey", "2 join inputs"),
+        (
+            "SELECT COUNT(*) AS c FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+            "LEFT JOIN nation ON c_nationkey = n_nationkey",
+            "non-inner",
+        ),
+        (
+            "SELECT o_orderpriority, COUNT(*) AS c FROM orders, lineitem, customer "
+            "WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey "
+            "AND l_quantity > (SELECT AVG(l_quantity) FROM lineitem) GROUP BY o_orderpriority",
+            "subquery",
+        ),
+        (
+            # disconnected: events has no equi edge to the tpch tables
+            "SELECT COUNT(*) AS c FROM supplier, nation, events "
+            "WHERE s_nationkey = n_nationkey AND s_suppkey > 0",
+            "no",  # disconnected -> 'have no equi edge' (or cartesian refusal)
+        ),
+    ],
+)
+def test_ineligible_shapes_fall_back(spark, q, reason_part):
+    df = spark.sql(q)
+    with pytest.raises(ExtractionError, match=reason_part):
+        extract_query_graph(df)
+    res = adaptive_reorder(df)
+    assert res.best_order == ()
+    assert res.df is df  # unchanged plan
+
+
+def test_order_cache_hit(spark):
+    q = """SELECT COUNT(*) AS c FROM customer, orders, nation
+           WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+             AND o_totalprice > 1234.5"""
+    r1 = adaptive_reorder(spark.sql(q), episodes=2)
+    assert r1.episodes  # learned
+    r2 = adaptive_reorder(spark.sql(q), episodes=2)
+    assert getattr(r2, "reason", None) == "cached"
+    assert r2.best_order == r1.best_order
+
+
+def test_broadcast_hint_survives_reorder(spark):
+    """Leaf-level broadcast hints ride along into the reordered plan."""
+    l = spark.table("lineitem")
+    p = spark.table("part").filter(F.col("p_size") > 10)
+    s = spark.table("supplier")
+    df = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .agg(F.min("p_name").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    res = adaptive_reorder(df, episodes=2)
+    assert res.best_order
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert res.df.collect() == df.collect()
