@@ -25,6 +25,8 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from skinnerdb_spark.engine import Engine
+    from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
     from skinnerdb_spark.registry import all_specs
     from skinnerdb_spark.session import get_spark
 
@@ -37,21 +39,43 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
-    csv_lines = ["Query,Millis,Rows,ShuffleCnt,AQEPlan"]
-    for name, spec in sorted(specs.items()):
-        df = spec.spark(spark, sf_dir)
-        t0 = time.monotonic()
-        n = df.count()
-        dt = time.monotonic() - t0
+    csv_lines = [
+        "Query,Millis,Rows,ShuffleCnt,ShuffleWriteBytes,ShuffleReadBytes,"
+        "SpillBytes,PeakMemBytes,AQEPlan"
+    ]
+
+    def record(name: str, dt: float, n: int, m: dict) -> None:
         per_query[name] = round(dt, 4)
         rows[name] = n
         # reference-style per-query stats row (BenchUtil.java:66-79 schema,
-        # UCT counters replaced by Spark plan metrics)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # UCT counters replaced by executed-plan SQLMetrics)
         csv_lines.append(
-            f"{name},{int(dt * 1000)},{n},{plan.count('Exchange')},"
-            f"{'adaptive' if 'AdaptiveSparkPlan' in plan else 'static'}"
+            f"{name},{int(dt * 1000)},{n},{m['shuffle_count']},"
+            f"{m['shuffle_write_bytes']},{m['shuffle_read_bytes']},"
+            f"{m['spill_bytes']},{m['peak_mem_bytes']},"
+            f"{'adaptive' if m['adaptive'] else 'static'}"
         )
+
+    for name, spec in sorted(specs.items()):
+        df = spec.spark(spark, sf_dir)
+        t0 = time.monotonic()
+        n = run_and_count(df)
+        dt = time.monotonic() - t0
+        record(name, dt, n, plan_metrics(df))
+
+    # the committed JOB-style SQL corpus (queries_sql/, 104 template
+    # instantiations mirroring the reference's imdb/queries directory), run
+    # through the adaptive-join-order path — the reference's primary
+    # benchmark workload shape
+    corpus = os.path.join(os.path.dirname(os.path.abspath(__file__)), "queries_sql")
+    if os.path.isdir(corpus):
+        from skinnerdb_spark.catalog import register_views
+
+        eng = Engine(spark)
+        register_views(spark, sf_dir)
+        for r in eng.bench_dir(corpus, adaptive=True, episodes=2, sample_rows=8000):
+            qname = "sql:" + r["query"].removesuffix(".sql")
+            record(qname, r["millis"] / 1000.0, r["rows"], r)
 
     if os.environ.get("SPARK_GRAFT_BENCH_CSV"):
         with open(os.environ["SPARK_GRAFT_BENCH_CSV"], "w") as f:

@@ -1,0 +1,6 @@
+SELECT MIN(p_name) AS min_pname, MIN(o_orderpriority) AS min_prio,
+       COUNT(*) AS n_rows
+FROM lineitem, part, orders
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND p_name LIKE '%le%' AND p_name NOT LIKE '%plum%'
+  AND o_orderpriority LIKE '4-%'

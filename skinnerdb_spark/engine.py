@@ -89,27 +89,39 @@ class Engine:
     def drop(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
 
-    def bench_dir(self, sql_dir: str) -> list[dict]:
+    def bench_dir(self, sql_dir: str, adaptive: bool = False, **adaptive_kw) -> list[dict]:
         """Run every ``*.sql`` file in a directory and collect per-query
         stats — the reference's `bench` command (SkinnerCmd.processBenchCmd,
         src/console/SkinnerCmd.java:67-99 -> BenchUtil.readAllQueries,
         src/benchmark/BenchUtil.java:40-60). A reference user's query
         directory runs unchanged (modulo SQL the reference couldn't parse
-        anyway). Returns [{query, millis, rows}, ...] sorted by file name."""
+        anyway). The committed queries_sql/ corpus (104 JOB-style template
+        instantiations, tools/gen_job_corpus.py) is the primary workload.
+
+        ``adaptive=True`` routes each file through :meth:`adaptive_sql`.
+        Per-query stats include shuffle count/bytes, spill, and peak operator
+        memory (the Spark equivalents of BenchUtil's 16-column counter row,
+        src/benchmark/BenchUtil.java:66-79), plus the learned join order."""
         import glob
         import os
         import time
+
+        from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
 
         results = []
         for path in sorted(glob.glob(os.path.join(sql_dir, "*.sql"))):
             text = open(path).read().strip().rstrip(";")
             t0 = time.monotonic()
-            n = self.spark.sql(text).count()
-            results.append(
-                {
-                    "query": os.path.basename(path),
-                    "millis": int((time.monotonic() - t0) * 1000),
-                    "rows": n,
-                }
-            )
+            df = self.adaptive_sql(text, **adaptive_kw) if adaptive else self.spark.sql(text)
+            n = run_and_count(df)
+            dt = time.monotonic() - t0
+            row = {
+                "query": os.path.basename(path),
+                "millis": int(dt * 1000),
+                "rows": n,
+                **plan_metrics(df),
+            }
+            if adaptive:
+                row["join_order"] = list(getattr(self.last_adaptive, "best_order", ()))
+            results.append(row)
         return results

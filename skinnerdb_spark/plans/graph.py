@@ -146,8 +146,11 @@ class QueryGraph:
     parents: list[Any]
     #: original root output attributes (schema pin for parentless queries)
     out_attrs: list[Any]
-    #: cache signature: names + edge tuples + local-filter SQL
+    #: exact cache signature: names + edge tuples + local-filter SQL
     signature: tuple = field(default=())
+    #: shape signature (no filter constants): same join graph -> same
+    #: template family, eligible for cross-query order reuse
+    shape_sig: tuple = field(default=())
 
     @property
     def fact(self) -> str:
@@ -280,15 +283,15 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
             ldf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
 
-    signature = (
+    shape_sig = (
         tuple(names),
         tuple(
             sorted(
                 (e.left_table, e.left_col, e.right_table, e.right_col) for e in edges
             )
         ),
-        tuple(sorted(local_sql)),
     )
+    signature = shape_sig + (tuple(sorted(local_sql)),)
     return QueryGraph(
         spark=spark,
         names=names,
@@ -300,6 +303,7 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
         parents=parents,
         out_attrs=list(_j(spark, analyzed.output())),
         signature=signature,
+        shape_sig=shape_sig,
     )
 
 
@@ -366,6 +370,7 @@ def adaptive_reorder(
     max_orders: int = 12,
     seed: int = 42,
     use_cache: bool = True,
+    reuse_shape: bool = True,
 ) -> AdaptiveJoinResult:
     """Route any DataFrame through the UCB1 join-order bandit.
 
@@ -394,7 +399,16 @@ def adaptive_reorder(
     fact = graph.fact
     cands.sort(key=lambda o: (o[0] != fact, o))
 
-    cached = _ORDER_CACHE.get(graph.signature) if use_cache else None
+    cached = None
+    if use_cache:
+        cached = _ORDER_CACHE.get(graph.signature)
+        if cached is None and reuse_shape:
+            # template-family reuse: a query with the same join graph but
+            # different filter constants inherits the learned order (the
+            # reference learns per query; cross-template reuse is the
+            # Spark-first trade — per-order *physical* strategy still adapts
+            # at runtime via AQE, so a selectivity flip costs little)
+            cached = _ORDER_CACHE.get(graph.shape_sig)
     if cached is not None and cached in cands:
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)
@@ -425,5 +439,6 @@ def adaptive_reorder(
     best = cands[bandit.best()]
     if use_cache:
         _ORDER_CACHE[graph.signature] = best
+        _ORDER_CACHE.setdefault(graph.shape_sig, best)
     chain = build_graph_chain(graph, best)
     return AdaptiveJoinResult(finish(graph, chain), best, stats)

@@ -164,3 +164,29 @@ def test_broadcast_hint_survives_reorder(spark):
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert res.df.collect() == df.collect()
+
+
+def test_bench_dir_runs_corpus_sample(spark, sf_dir, tmp_path):
+    """Engine.bench_dir executes committed corpus files with full per-query
+    stats (BenchUtil.java:66-79 parity columns) through the adaptive path."""
+    import glob
+    import os
+    import shutil
+
+    from skinnerdb_spark.engine import Engine
+
+    corpus = os.path.join(os.path.dirname(__file__), "..", "queries_sql")
+    picks = sorted(glob.glob(os.path.join(corpus, "*.sql")))[::40][:3]
+    assert picks, "committed corpus missing"
+    for p in picks:
+        shutil.copy(p, tmp_path)
+    eng = Engine(spark, sf_dir=sf_dir)
+    res = eng.bench_dir(str(tmp_path), adaptive=True, episodes=2)
+    assert len(res) == len(picks)
+    for r in res:
+        assert r["rows"] >= 0 and r["millis"] >= 0
+        for key in ("shuffle_count", "shuffle_write_bytes", "spill_bytes",
+                    "peak_mem_bytes", "join_order"):
+            assert key in r
+    # at least one corpus query is eligible and got a learned order
+    assert any(r["join_order"] for r in res)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Generate the committed JOB-style SQL corpus (queries_sql/*.sql).
+
+The reference's primary benchmark is a directory of 113 template
+instantiations (imdb/queries/01a.sql ... 33c.sql) run via the `bench`
+console command (src/console/SkinnerCmd.java:67-99 ->
+src/benchmark/BenchUtil.readAllQueries, src/benchmark/BenchUtil.java:40-60).
+This script mirrors that corpus structure on the driver warehouse: five
+join-graph templates x a deterministic parameter grid = 100+ .sql files,
+each runnable by Engine.bench_dir (plain or adaptive) and by DuckDB
+(portable ANSI SQL, TIMESTAMP literals only — the session pins UTC).
+
+Deterministic by construction — re-running regenerates byte-identical files.
+"""
+
+from __future__ import annotations
+
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "queries_sql")
+
+queries: dict[str, str] = {}
+
+
+def add(name: str, sql: str) -> None:
+    assert name not in queries
+    queries[name] = sql.strip() + "\n"
+
+
+# ---------------------------------------------------------------- T1: star5
+# lineitem x part x supplier x nation x region — brand x region x qty grid
+# (the 01a/06a JOB families: MIN aggregates over a filtered star)
+_T1 = [
+    ("Brand#2", "ASIA", 1, 20),
+    ("Brand#4", "EUROPE", 10, 35),
+    ("Brand#7", "AMERICA", 20, 45),
+    ("Brand#11", "AFRICA", 5, 30),
+    ("Brand#13", "MIDDLE EAST", 15, 40),
+    ("Brand#17", "ASIA", 25, 50),
+    ("Brand#19", "EUROPE", 1, 15),
+    ("Brand#23", "AMERICA", 30, 50),
+    ("Brand#29", "AFRICA", 10, 25),
+    ("Brand#31", "MIDDLE EAST", 5, 45),
+    ("Brand#37", "ASIA", 12, 33),
+    ("Brand#41", "EUROPE", 8, 28),
+]
+for i, (brand, region, qlo, qhi) in enumerate(_T1, 1):
+    add(
+        f"t1_star_{i:02d}",
+        f"""
+SELECT MIN(p_name) AS min_pname, MIN(s_name) AS min_sname, COUNT(*) AS n_rows
+FROM lineitem, part, supplier, nation, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND p_brand = '{brand}' AND r_name = '{region}'
+  AND l_quantity BETWEEN {qlo} AND {qhi}
+""",
+    )
+
+# ------------------------------------------------------------- T2: chain4
+# customer -> orders -> lineitem + nation — mktsegment x date band x priority
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_BANDS = [("1995-01-01", "1997-01-01"), ("1996-06-01", "1998-06-01"),
+          ("1997-01-01", "1999-01-01"), ("1998-01-01", "2000-01-01")]
+for i, seg in enumerate(_SEGS):
+    for k, (lo, hi) in enumerate(_BANDS):
+        add(
+            f"t2_chain_{i * len(_BANDS) + k + 1:02d}",
+            f"""
+SELECT MIN(c_name) AS min_cname, MAX(o_orderdate) AS max_odate,
+       COUNT(*) AS n_rows
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND c_nationkey = n_nationkey
+  AND c_mktsegment = '{seg}'
+  AND o_orderdate >= TIMESTAMP '{lo} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{hi} 00:00:00'
+""",
+        )
+
+# ------------------------------------------------------------- T3: theta3
+# lineitem x orders x supplier with a cross-table inequality — ratio x qty cap
+_T3 = [(r, q) for r in ("0.3", "0.4", "0.5", "0.6") for q in (20, 35, 50)]
+for i, (ratio, qcap) in enumerate(_T3, 1):
+    add(
+        f"t3_theta_{i:02d}",
+        f"""
+SELECT MIN(s_name) AS min_sname, COUNT(*) AS n_rows
+FROM lineitem, orders, supplier
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND l_extendedprice > o_totalprice * {ratio}
+  AND l_quantity <= {qcap}
+""",
+    )
+
+# -------------------------------------------------------------- T4: wide6
+# 6-way snowflake — p_size band x orderstatus x discount cap
+_T4 = [
+    (1, 15, "F", "0.05"), (10, 25, "O", "0.07"), (20, 35, "F", "0.09"),
+    (30, 45, "O", "0.04"), (5, 40, "F", "0.08"), (15, 50, "O", "0.06"),
+    (1, 30, "O", "0.10"), (25, 50, "F", "0.03"), (8, 22, "O", "0.09"),
+    (12, 38, "F", "0.06"), (18, 44, "O", "0.05"), (3, 27, "F", "0.10"),
+    (22, 48, "O", "0.08"), (6, 19, "F", "0.04"), (28, 50, "O", "0.07"),
+    (2, 36, "F", "0.05"),
+]
+for i, (slo, shi, status, dcap) in enumerate(_T4, 1):
+    add(
+        f"t4_wide_{i:02d}",
+        f"""
+SELECT MIN(p_name) AS min_pname, MIN(n_name) AS min_nname,
+       MIN(r_name) AS min_rname, COUNT(*) AS n_rows
+FROM lineitem, part, supplier, nation, region, orders
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND l_orderkey = o_orderkey
+  AND p_size BETWEEN {slo} AND {shi}
+  AND o_orderstatus = '{status}'
+  AND l_discount < {dcap}
+""",
+    )
+
+# -------------------------------------------------------------- T5: like3
+# lineitem x part x orders — stacked LIKE / NOT LIKE patterns (JOB's string
+# predicate family; the reference compiles LIKE to a DFA)
+_T5 = [
+    ("%re%", "%blue%", "1-%"), ("%an%", "%red%", "2-%"), ("%ol%", "%green%", "3-%"),
+    ("%ch%", "%white%", "4-%"), ("%ro%", "%black%", "5-%"), ("%la%", "%pink%", "1-%"),
+    ("%en%", "%ivory%", "2-%"), ("%ra%", "%azure%", "3-%"), ("%le%", "%plum%", "4-%"),
+    ("%ar%", "%coral%", "5-%"), ("%in%", "%linen%", "1-%"), ("%or%", "%khaki%", "2-%"),
+]
+for i, (like1, notlike, prio) in enumerate(_T5, 1):
+    add(
+        f"t5_like_{i:02d}",
+        f"""
+SELECT MIN(p_name) AS min_pname, MIN(o_orderpriority) AS min_prio,
+       COUNT(*) AS n_rows
+FROM lineitem, part, orders
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND p_name LIKE '{like1}' AND p_name NOT LIKE '{notlike}'
+  AND o_orderpriority LIKE '{prio}'
+""",
+    )
+
+# ------------------------------------------------------------ T6: revenue5
+# orders-rooted star with a grouped decimal-exact revenue — priority x year
+for i, (prio, year) in enumerate(
+    [(p, y) for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+     for y in (1995, 1996, 1997, 1998)],
+    1,
+):
+    add(
+        f"t6_rev_{i:02d}",
+        f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem, orders, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND o_orderpriority = '{prio}'
+  AND o_orderdate >= TIMESTAMP '{year}-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{year + 1}-01-01 00:00:00'
+GROUP BY n_name
+""",
+    )
+
+
+# ------------------------------------------------------------ T7: group3
+# grouped star with HAVING — type x region x min-count threshold
+_T7 = [
+    ("PROMO", "ASIA", 5), ("ECONOMY", "EUROPE", 10), ("STANDARD", "AMERICA", 3),
+    ("SMALL", "AFRICA", 8), ("LARGE", "MIDDLE EAST", 2), ("MEDIUM", "ASIA", 12),
+    ("PROMO", "EUROPE", 7), ("ECONOMY", "AMERICA", 4), ("STANDARD", "AFRICA", 9),
+    ("SMALL", "MIDDLE EAST", 6), ("LARGE", "ASIA", 11), ("MEDIUM", "EUROPE", 1),
+]
+for i, (ptype, region, thresh) in enumerate(_T7, 1):
+    add(
+        f"t7_group_{i:02d}",
+        f"""
+SELECT p_brand, COUNT(*) AS n_rows, MIN(s_name) AS min_sname
+FROM lineitem, part, supplier, nation, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND p_type = '{ptype}' AND r_name = '{region}'
+GROUP BY p_brand
+HAVING COUNT(*) >= {thresh}
+""",
+    )
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for name, sql in sorted(queries.items()):
+        with open(os.path.join(OUT, f"{name}.sql"), "w") as f:
+            f.write(sql)
+    print(f"wrote {len(queries)} queries to {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
