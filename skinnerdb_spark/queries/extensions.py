@@ -338,18 +338,48 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_sketch",
-    None,  # HLL implementations differ across engines — rows-only check
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           (ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+              <= 0.06 * COUNT(DISTINCT l_partkey)) AS parts_within_bound,
+           (ABS(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+              <= 0.06 * COUNT(DISTINCT l_suppkey)) AS supps_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("sketch", "surplus"),
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group — the sketch path for
     cardinality at 100 TB, where exact COUNT(DISTINCT) would shuffle every
-    key. No oracle: HLL estimates are engine-specific by construction; the
-    exact twin is distinct_agg."""
+    key.
+
+    Raw HLL estimates are engine-specific by construction, so the verifiable
+    contract is emitted instead: each engine computes its own sketch AND the
+    exact count, and asserts |approx - exact| <= 3*rsd*exact (rsd = 0.02).
+    The booleans and exact counts hash-match cross-engine; the estimates
+    themselves stay engine-internal."""
     l = read_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    bound = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - F.col(exact)) <= 0.06 * F.col(exact)
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count_distinct("l_suppkey").alias("exact_supps"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_as"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            bound(F.col("_ap"), "exact_parts").alias("parts_within_bound"),
+            bound(F.col("_as"), "exact_supps").alias("supps_within_bound"),
+        )
     )
 
 

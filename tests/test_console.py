@@ -1,0 +1,66 @@
+"""Interactive console (skinnerdb_spark/console.py) — the SkinnerCmd REPL
+analogue (src/console/SkinnerCmd.java:298-344). Tests drive Console.handle
+directly, the same seam the reference's processInput exposes."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from skinnerdb_spark.console import Console
+from skinnerdb_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def console(spark, sf_dir):
+    return Console(Engine(spark, sf_dir=sf_dir))
+
+
+def test_sql_roundtrip(console):
+    out = console.handle("SELECT COUNT(*) AS n FROM region")
+    assert "5" in out
+
+
+def test_help_list_quit(console):
+    assert "bench" in console.handle("help")
+    assert "lineitem" in console.handle("list")
+    assert console.handle("quit") is None
+    assert console.handle("compress")  # no-op but responds
+
+
+def test_explain(console):
+    out = console.handle("explain SELECT r_name FROM region WHERE r_regionkey = 1")
+    assert "Physical Plan" in out or "Scan" in out
+
+
+def test_adaptive_toggle(console):
+    assert "on" in console.handle("adaptive on")
+    out = console.handle(
+        "SELECT COUNT(*) AS n FROM supplier, nation, region "
+        "WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+    )
+    assert "[adaptive order:" in out
+    assert "off" in console.handle("adaptive off")
+
+
+def test_index_and_errors_survive(console):
+    assert "region" in console.handle("index region")
+    # REPL loop catches bad SQL rather than dying
+    buf_in, buf_out = io.StringIO("SELECT broken syntax;;\nquit\n"), io.StringIO()
+    console.run(stdin=buf_in, stdout=buf_out)
+    assert "error:" in buf_out.getvalue()
+
+
+def test_exec_file(console, tmp_path):
+    f = tmp_path / "script.sql"
+    f.write_text("SELECT 1 AS one; SELECT COUNT(*) AS n FROM nation;")
+    out = console.handle(f"exec {f}")
+    assert "one" in out and "25" in out
+
+
+def test_load_csv(console, tmp_path):
+    f = tmp_path / "t.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    assert "2 columns" in console.handle(f"load mycsv {f}")
+    assert "2" in console.handle("SELECT COUNT(*) AS n FROM mycsv")
