@@ -362,23 +362,35 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The booleans and exact counts hash-match cross-engine; the estimates
     themselves stay engine-internal."""
     l = read_table(spark, sf_dir, "lineitem")
-    bound = lambda approx, exact: (  # noqa: E731
-        F.abs(approx - F.col(exact)) <= 0.06 * F.col(exact)
+    # two COUNT(DISTINCT x) in one aggregate would plan an Expand (3x the
+    # input through the shuffle); instead each exact count is its own
+    # two-level aggregation (distinct pairs -> count, partial-aggregated
+    # map-side) joined back on the 3-row group key — the 100 TB shape
+    approx = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_as"),
+    )
+
+    def exact(col: str, out: str) -> DataFrame:
+        return (
+            l.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bound = lambda approx_c, exact_c: (  # noqa: E731
+        F.abs(F.col(approx_c) - F.col(exact_c)) <= 0.06 * F.col(exact_c)
     )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            F.count_distinct("l_suppkey").alias("exact_supps"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
-            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_as"),
-        )
+        approx.join(exact("l_partkey", "exact_parts"), "l_returnflag")
+        .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
             "exact_supps",
-            bound(F.col("_ap"), "exact_parts").alias("parts_within_bound"),
-            bound(F.col("_as"), "exact_supps").alias("supps_within_bound"),
+            bound("_ap", "exact_parts").alias("parts_within_bound"),
+            bound("_as", "exact_supps").alias("supps_within_bound"),
         )
     )
 

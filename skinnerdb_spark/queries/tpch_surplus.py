@@ -175,27 +175,29 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "surplus", "exists"),
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass formulation: the EXISTS/NOT-EXISTS self-joins (which would
+    scan lineitem three times, once per alias) collapse into ONE
+    orderkey-partitioned window pass — per row, the other-supplier test and
+    the no-bigger-line test are array folds over the order's collected
+    lines. Orders are bounded (<= 7 lines), so the per-partition arrays are
+    O(1) and the plan shuffles lineitem exactly once at any scale."""
+    from pyspark.sql.window import Window
+
     s = read_table(spark, sf_dir, "supplier")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = read_table(spark, sf_dir, "lineitem")
-    l1 = li.filter(F.col("l_quantity") > 40).select(
+    li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1"),
         F.col("l_quantity").alias("q1"),
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
-        F.col("l_quantity").alias("q3"),
+    w = Window.partitionBy("k1")
+    annotated = li.withColumn(
+        "lines", F.collect_list(F.struct(F.col("s1").alias("s"), F.col("q1").alias("q"))).over(w)
     )
-    waited = (
-        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")), "left_semi")
-        .join(
-            l3,
-            (F.col("k1") == F.col("k3"))
-            & (F.col("s1") != F.col("s3"))
-            & (F.col("q3") > F.col("q1")),
-            "left_anti",
-        )
+    other = lambda p: p["s"] != F.col("s1")  # noqa: E731
+    waited = annotated.filter(
+        (F.col("q1") > 40)
+        & F.exists("lines", other)  # EXISTS l2: another supplier in the order
+        & ~F.exists("lines", lambda p: other(p) & (p["q"] > F.col("q1")))  # NOT EXISTS l3
     )
     return (
         waited.join(o, F.col("k1") == o.o_orderkey)
