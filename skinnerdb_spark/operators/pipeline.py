@@ -1,0 +1,220 @@
+"""Training-data pipeline operators beyond dedup/similarity: chunking,
+deterministic stratified sampling, eval-set contamination detection, and
+embedding quantization (beyond-reference tier — the reference has no
+documents/embeddings model at all).
+
+Scale notes: chunking is a pure map-side explode (rows multiply, no
+shuffle); sampling is a stateless hash filter (perfectly reproducible across
+reruns and engines — no RNG); contamination joins on shingle keys only (the
+same bounded-key shape as the dedup family); quantization is one in-row
+array transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.textprims import fan_out
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+CHUNK_WORDS = 40  # chunk size (words)
+CHUNK_STRIDE = 30  # overlap = CHUNK_WORDS - CHUNK_STRIDE
+
+
+# --------------------------------------------------------------------------
+# chunking: fixed word windows with overlap — the pre-tokenization split
+# every LLM data pipeline runs before packing sequences
+# --------------------------------------------------------------------------
+@register(
+    "text_chunking",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(g.s AS INTEGER) // {CHUNK_STRIDE} AS chunk_idx,
+               array_to_string(ws[g.s + 1 : g.s + {CHUNK_WORDS}], ' ') AS chunk_text,
+               LEAST({CHUNK_WORDS}, len(ws) - g.s) AS chunk_words
+        FROM w, UNNEST(generate_series(0, GREATEST(len(ws) - 1, 0), {CHUNK_STRIDE})) AS g(s))
+    SELECT doc_id, chunk_idx, chunk_text, chunk_words
+    FROM chunks WHERE chunk_words > 0
+    """,
+    tags=("pipeline", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunks (40 words, stride 30 — constants
+    CHUNK_WORDS/CHUNK_STRIDE): one explode per document, no shuffle — rows multiply
+    map-side exactly like a production pre-packing split. Emits per-chunk
+    position and true length (final chunk may be short)."""
+    d = fan_out(read_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    starts = F.expr(f"sequence(0, greatest(size(ws) - 1, 0), {CHUNK_STRIDE})")
+    return (
+        w.select("doc_id", "ws", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.expr(f"slice(ws, s + 1, {CHUNK_WORDS})")).alias("chunk_text"),
+            F.least(F.lit(CHUNK_WORDS), F.size("ws") - F.col("s")).alias("chunk_words"),
+        )
+        .filter(F.col("chunk_words") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified sampling: deterministic hash-uniform per stratum — reproducible
+# across engines, reruns, and cluster sizes (no RNG, no seed plumbing)
+# --------------------------------------------------------------------------
+_STRATA_RATES = {"short": 1.0, "medium": 0.5, "long": 0.25}
+
+
+def _stratum_sql(len_expr: str) -> str:
+    return (
+        f"CASE WHEN {len_expr} < 120 THEN 'short' "
+        f"WHEN {len_expr} < 400 THEN 'medium' ELSE 'long' END"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_stratum_sql('LENGTH(text)')} AS stratum,
+               CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    AS DOUBLE) / 4294967296.0 AS u
+        FROM documents)
+    SELECT stratum, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s
+    WHERE u < CASE stratum WHEN 'short' THEN {_STRATA_RATES['short']}
+                           WHEN 'medium' THEN {_STRATA_RATES['medium']}
+                           ELSE {_STRATA_RATES['long']} END
+    GROUP BY stratum
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (doc length band) downsampling with a deterministic
+    md5-derived uniform: u = first 8 hex digits of md5(doc_id) / 2^32. The
+    same doc is kept or dropped identically on any engine, any partition
+    layout, any rerun — the property RNG-based df.sample cannot give a data
+    pipeline. One map-side filter + one groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = F.when(F.col("stratum") == "short", _STRATA_RATES["short"]).when(
+        F.col("stratum") == "medium", _STRATA_RATES["medium"]
+    ).otherwise(_STRATA_RATES["long"])
+    return (
+        d.select("doc_id", F.expr(_stratum_sql("LENGTH(text)")).alias("stratum"), u.alias("u"))
+        .filter(F.col("u") < rate)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contamination check: which corpus docs share enough shingles with the
+# held-out eval set (doc_id < EVAL_DOCS) to be decontaminated before training
+# --------------------------------------------------------------------------
+EVAL_DOCS = 20
+CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  array_to_string(ws[g.i + 1 : g.i + 3], ' ') AS s
+           FROM w, UNNEST(generate_series(0, len(ws) - 3, 1)) AS g(i)
+           WHERE len(ws) >= 3),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    ev AS (SELECT DISTINCT s FROM shd WHERE doc_id < {EVAL_DOCS}),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS shared_shingles
+        FROM shd c JOIN ev ON c.s = ev.s
+        WHERE c.doc_id >= {EVAL_DOCS}
+        GROUP BY c.doc_id)
+    SELECT doc_id, shared_shingles
+    FROM hits WHERE shared_shingles >= {CONTAM_MIN_SHARED}
+    """,
+    tags=("pipeline", "contamination"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing >= CONTAM_MIN_SHARED
+    distinct 3-gram shingles with the eval set (doc_id < EVAL_DOCS). The
+    eval shingle set is small by construction — it broadcasts, so the check
+    is one map-side semi-join + groupBy over the corpus shingles, the shape
+    that works when the corpus is 100 TB and the eval set is megabytes."""
+    from skinnerdb_spark.operators.dedup import shared_shingles
+
+    shd = shared_shingles(spark, sf_dir)
+    ev = shd.filter(F.col("doc_id") < EVAL_DOCS).select("s").distinct()
+    return (
+        shd.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding quantization: per-vector symmetric int8 — the storage/serving
+# format for large ANN corpora (4x smaller than float32, 8x than float64)
+# --------------------------------------------------------------------------
+@register(
+    "embed_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               (SELECT MAX(ABS(CAST(x AS DOUBLE))) FROM UNNEST(embedding) AS t(x)) AS absmax
+        FROM embeddings),
+    q AS (
+        SELECT e.vec_id, s.absmax,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s.absmax + 0.5) AS INTEGER)
+                FOR x IN e.embedding] AS q8
+        FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+        WHERE s.absmax > 0)
+    SELECT vec_id, absmax, q8[1] AS q8_first,
+           (SELECT MIN(v) FROM UNNEST(q8) AS t(v)) AS q8_min,
+           (SELECT MAX(v) FROM UNNEST(q8) AS t(v)) AS q8_max
+    FROM q
+    """,
+    tags=("pipeline", "embedding"),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: q = floor(x * 127 / absmax
+    + 0.5) (explicit floor(+0.5) so Spark and DuckDB round half-cases
+    identically — bankers'-rounding differences would break the gate). One
+    in-row transform, no shuffle; emits the scale plus min/max/first summary
+    columns (the full q8 array round-trips but would bloat the hash check)."""
+    e = fan_out(read_table(spark, sf_dir, "embeddings"))
+    q = e.select(
+        "vec_id",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").alias("absmax"),
+        F.col("embedding"),
+    ).filter(F.col("absmax") > 0)
+    q8 = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5) AS INT))"
+    )
+    return q.select(
+        "vec_id",
+        "absmax",
+        q8.alias("q8"),
+    ).select(
+        "vec_id",
+        "absmax",
+        F.element_at("q8", 1).alias("q8_first"),
+        F.array_min("q8").alias("q8_min"),
+        F.array_max("q8").alias("q8_max"),
+    )

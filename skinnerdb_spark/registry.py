@@ -68,6 +68,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         ivf,
         multimodal,
+        pipeline,
         similarity,
         temporal,
         text,
