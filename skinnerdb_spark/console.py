@@ -12,6 +12,7 @@ Command surface, mapped 1:1 onto the Engine facade:
     bench <dir>               run a .sql directory with per-query stats
     exec <file>               run each ';'-terminated statement in a file
     explain <sql>             formatted physical plan
+    explain adaptive <sql>    bandit episode log + chosen join order
     adaptive on|off           route SQL through the join-order bandit
     <anything else>           SQL -> execute + print rows
 
@@ -38,6 +39,7 @@ index all | index <tbl>   cache table(s) in memory
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 explain <sql>             show the physical plan
+explain adaptive <sql>    show bandit episodes + chosen join order
 adaptive on|off           toggle adaptive join ordering for SQL input
 <sql>                     execute SQL and print the result"""
 
@@ -73,6 +75,9 @@ class Console:
         if cmd == "exec":
             return self._exec(rest.strip())
         if cmd == "explain":
+            sub, _, sql = rest.partition(" ")
+            if sub.lower() == "adaptive":
+                return self.engine.explain_adaptive(sql)
             return self.engine.explain(rest)
         if cmd == "adaptive":
             self.adaptive = rest.strip().lower() != "off"

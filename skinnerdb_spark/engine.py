@@ -72,6 +72,31 @@ class Engine:
         repeated queries hit deserialized columnar batches."""
         self.spark.table(name).cache()
 
+    def explain_adaptive(self, text: str, **kw) -> str:
+        """Text rendering of the adaptive join-ordering decision — the
+        capability analogue of the reference's `explain` UCT-tree
+        visualization (SkinnerCmd.processExplain, src/console/
+        SkinnerCmd.java:246-289 + TreePlotter): which orders were sampled,
+        what each episode cost, and which order won (or why the query fell
+        back to Catalyst)."""
+        from skinnerdb_spark.plans.graph import adaptive_reorder
+
+        res = adaptive_reorder(self.spark.sql(text), use_cache=False, **kw)
+        self.last_adaptive = res
+        if not res.best_order:
+            return f"not adaptive: {getattr(res, 'reason', 'ineligible')}"
+        lines = [f"chosen order: {' > '.join(res.best_order)}"]
+        if res.episodes:
+            lines.append("episodes (sampled fact side):")
+            for ep in res.episodes:
+                lines.append(
+                    f"  {' > '.join(ep.order):<60} {ep.seconds*1000:7.1f} ms  "
+                    f"{ep.rows:>8} rows  reward {ep.reward:+.3f}"
+                )
+        else:
+            lines.append("(single connected order — no episodes needed)")
+        return "\n".join(lines)
+
     def explain(self, text: str) -> str:
         return self.spark.sql(text)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -152,8 +152,19 @@ class QueryGraph:
     #: template family, eligible for cross-query order reuse
     shape_sig: tuple = field(default=())
 
+    def ensure_sizes(self) -> None:
+        """Optimizer-stat size estimates per leaf (no jobs run). Deferred:
+        a cached-order hit never pays the per-leaf optimizer passes."""
+        if self.sizes:
+            return
+        for name, ldf in self.leaves.items():
+            self.sizes[name] = int(
+                ldf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+
     @property
     def fact(self) -> str:
+        self.ensure_sizes()
         return max(self.names, key=lambda n: self.sizes.get(n, 0))
 
 
@@ -270,18 +281,15 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
             f"join graph disconnected: {sorted(set(names) - covered)} have no equi edge"
         )
 
-    # -- leaf DataFrames with local filters pushed in; size estimates from
-    #    the optimizer's stats (no jobs run)
+    # -- leaf DataFrames with local filters pushed in (size estimates are
+    #    computed lazily — only a cache MISS needs them, see ensure_sizes)
     leaves: dict[str, DataFrame] = {}
-    sizes: dict[str, int] = {}
     for name, lp in zip(names, leaf_plans):
         ldf = _of_rows(spark, lp)
         for cj in local_filters[name]:
             ldf = ldf.filter(_col(spark, cj))
         leaves[name] = ldf
-        sizes[name] = int(
-            ldf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+    sizes: dict[str, int] = {}
 
     shape_sig = (
         tuple(names),
@@ -396,9 +404,10 @@ def adaptive_reorder(
         res = AdaptiveJoinResult(df, ())
         res.reason = "no connected left-deep order"  # type: ignore[attr-defined]
         return res
-    fact = graph.fact
-    cands.sort(key=lambda o: (o[0] != fact, o))
 
+    # cache lookup happens BEFORE any size estimation: a hit (the common
+    # case for benchmark directories and dashboards) pays no optimizer
+    # passes, just the chain rebuild
     cached = None
     if use_cache:
         cached = _ORDER_CACHE.get(graph.signature)
@@ -417,6 +426,9 @@ def adaptive_reorder(
     if len(cands) == 1:
         chain = build_graph_chain(graph, cands[0])
         return AdaptiveJoinResult(finish(graph, chain), cands[0])
+
+    fact = graph.fact
+    cands.sort(key=lambda o: (o[0] != fact, o))
 
     # sampled episodes: shrink the fact side to ~sample_rows using the
     # optimizer's size estimate (row width unknown -> assume bytes/row ~100;

@@ -64,3 +64,13 @@ def test_load_csv(console, tmp_path):
     f.write_text("a,b\n1,x\n2,y\n")
     assert "2 columns" in console.handle(f"load mycsv {f}")
     assert "2" in console.handle("SELECT COUNT(*) AS n FROM mycsv")
+
+
+def test_explain_adaptive(console):
+    out = console.handle(
+        "explain adaptive SELECT COUNT(*) AS n FROM lineitem, orders, supplier "
+        "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey"
+    )
+    assert "chosen order:" in out and ("episodes" in out or "single connected" in out)
+    out2 = console.handle("explain adaptive SELECT COUNT(*) AS n FROM region")
+    assert "not adaptive" in out2

@@ -40,7 +40,10 @@ def norm(df):
 
 failures = []
 for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
-             "tpch_q01", "scalar_interval_arith"]:
+             "tpch_q01", "scalar_interval_arith",
+             # adaptive-join-order path (plans/graph.py py4j surface) under a
+             # plain session, incl. a date-filtered leaf under non-UTC
+             "job_wide_star", "tpch_q05"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(

@@ -48,3 +48,43 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, warehouse):
         assert joined.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aggregate_two_phase_merge_fns(spark, sf_dir):
+    """Salted two-phase aggregation with per-aggregate merge functions
+    (sum/min/max) matches the direct aggregation; non-mergeable requests
+    are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.plans.skew import aggregate_two_phase
+
+    l = read_table(spark, sf_dir, "lineitem")
+    got = (
+        aggregate_two_phase(
+            l,
+            ["l_returnflag"],
+            {
+                "qty_sum": F.sum("l_quantity"),
+                "qty_min": F.min("l_quantity"),
+                "qty_max": F.max("l_quantity"),
+            },
+            n_salts=8,
+            merge={"qty_sum": "sum", "qty_min": "min", "qty_max": "max"},
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    want = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("qty_sum"),
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    with pytest.raises(ValueError, match="merge"):
+        aggregate_two_phase(l, ["l_returnflag"], {"a": F.avg("l_quantity")}, merge="avg")
