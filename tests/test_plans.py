@@ -76,3 +76,36 @@ def test_star_joins_broadcast_all_dims(spark, sf_dir, name):
     # each of these joins >=3 dimension tables; none should shuffle the fact
     # for a dim join
     assert plan.count("BroadcastHashJoin") >= 3, f"{name}: dims must broadcast"
+
+
+def test_pipeline_ops_plan_shapes(spark, sf_dir):
+    """Round-2 pipeline operators keep their claimed scale shapes."""
+    # chunking: pure map-side explode — no Exchange besides the fan_out
+    # round-robin (no hash/range shuffle, no join)
+    plan = plan_of(spark, "text_chunking", sf_dir)
+    assert "hashpartitioning" not in plan and "Join" not in plan
+    # contamination: eval shingle set broadcasts; corpus side never
+    # all-pairs-joins
+    plan = plan_of(spark, "contamination_check", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # quantization: one in-row transform, no shuffle at all beyond fan_out
+    plan = plan_of(spark, "embed_quantize", sf_dir)
+    assert "hashpartitioning" not in plan and "Join" not in plan
+
+
+def test_adaptive_path_keeps_broadcasts(spark, sf_dir):
+    """A query routed through the join-order bandit still broadcasts its
+    small dimensions — reordering must not forfeit physical adaptivity."""
+    plan = plan_of(spark, "tpch_q05", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """Round-2 q21 rewrite: the EXISTS/NOT-EXISTS triple scan is gone — the
+    plan reads lineitem exactly once."""
+    plan = plan_of(spark, "tpch_q21", sf_dir)
+    assert plan.count("lineitem.parquet") == 1, (
+        f"expected one lineitem scan, got {plan.count('lineitem.parquet')}"
+    )
