@@ -190,3 +190,68 @@ def test_bench_dir_runs_corpus_sample(spark, sf_dir, tmp_path):
             assert key in r
     # at least one corpus query is eligible and got a learned order
     assert any(r["join_order"] for r in res)
+
+
+# --------------------------------------------------------------------------
+# fuzz: adaptive reordering must be result-identical to Catalyst for random
+# connected join queries over the warehouse graph
+# --------------------------------------------------------------------------
+_WAREHOUSE_EDGES = {
+    ("lineitem", "orders"): "l_orderkey = o_orderkey",
+    ("lineitem", "part"): "l_partkey = p_partkey",
+    ("lineitem", "supplier"): "l_suppkey = s_suppkey",
+    ("orders", "customer"): "o_custkey = c_custkey",
+    ("customer", "nation"): "c_nationkey = n_nationkey",
+    ("nation", "region"): "n_regionkey = r_regionkey",
+}
+
+_LOCAL_PREDS = [
+    "l_quantity BETWEEN 5 AND 45",
+    "l_discount < 0.08",
+    "o_totalprice > 1000",
+    "o_orderstatus <> 'P'",
+    "p_size BETWEEN 5 AND 45",
+    "p_name LIKE '%a%'",
+    "s_acctbal > -500",
+    "c_acctbal > 0",
+    "n_nationkey < 20",
+    "r_regionkey >= 0",
+]
+
+_TABLE_PREFIX = {
+    "lineitem": "l_", "orders": "o_", "part": "p_", "supplier": "s_",
+    "customer": "c_", "nation": "n_", "region": "r_",
+}
+
+
+def _gen_join_query(seed: int) -> str:
+    import random
+
+    rng = random.Random(seed)
+    tables = ["lineitem"]
+    conds = []
+    while len(tables) < rng.randint(3, 5):
+        cands = [
+            (pair, cond)
+            for pair, cond in _WAREHOUSE_EDGES.items()
+            if (pair[0] in tables) != (pair[1] in tables)
+        ]
+        pair, cond = rng.choice(cands)
+        tables.append(pair[0] if pair[1] in tables else pair[1])
+        conds.append(cond)
+    prefixes = {_TABLE_PREFIX[t] for t in tables}
+    preds = [p for p in _LOCAL_PREDS if p[:2] in prefixes and rng.random() < 0.5]
+    where = " AND ".join(conds + preds)
+    return (
+        f"SELECT COUNT(*) AS n, MIN(l_extendedprice) AS m "
+        f"FROM {', '.join(tables)} WHERE {where}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_adaptive_identical_to_catalyst(spark, seed):
+    q = _gen_join_query(seed)
+    base = spark.sql(q).collect()
+    res = adaptive_reorder(spark.sql(q), episodes=2, use_cache=False)
+    assert len(res.best_order) >= 3, f"{q} should be eligible"
+    assert res.df.collect() == base, q
