@@ -259,6 +259,31 @@ def stream_enriched(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on)
 
 
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, key: str = "user_id", within: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join with an event-time range bound —
+    the stateful two-stream operator (both sides buffer in the state store;
+    the time-range condition + watermarks bound how long). Inner-join
+    matches emit as soon as both sides arrive; state for rows older than
+    watermark + range is evicted. At 100 TB/day stream rates this bound is
+    what keeps the join's state finite."""
+    l = left.select(
+        F.col(key), F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type")
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(key, "l_ts", "l_type", "r_ts", "r_type")
+
+
 def run_stream_once(
     stream_df: DataFrame, query_name: str = "skinner_stream", output_mode: str = "complete"
 ) -> list:

@@ -24,6 +24,7 @@ from skinnerdb_spark.sources.csv import load_csv
 from skinnerdb_spark.streaming.windows import (
     run_stream_once,
     stream_events,
+    stream_stream_join,
     stream_tumbling_counts,
     stream_user_counts,
 )
@@ -133,6 +134,32 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     )
     expect = {(r.ws, r.event_type): r.n for r in batch}
     assert got == expect
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval self-join drains to exactly the
+    batch join's result (inner matches emit eagerly; availableNow drains
+    all input)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        joined = stream_stream_join(stream_events(spark, src), stream_events(spark, src))
+    except Exception as e:
+        pytest.skip(f"stream source unavailable: {e}")
+    rows = run_stream_once(joined, "t_stream_ss_join", output_mode="append")
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    l = e.select("user_id", F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type"))
+    r = e.select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    batch = l.join(
+        r,
+        (F.col("user_id") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+    ).count()
+    assert len(rows) == batch > 0
 
 
 def test_stream_watermark_drops_late_data(spark, tmp_path):
