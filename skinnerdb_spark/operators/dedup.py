@@ -35,14 +35,27 @@ N_BANDS = 4  # LSH bands (rows per band = 2)
 SIMHASH_BITS = 32
 
 #: session-lifetime memo for the shared LSH intermediates (signatures,
-#: distinct shingles, candidate pairs) — the three LSH-family entries reuse
-#: one cached computation instead of re-shingling per query
+#: shingle sets, candidate pairs) — the LSH-family entries reuse one cached
+#: computation instead of re-shingling per query. Keyed on applicationId (a
+#: stable session identity: id(spark) can be reused by a new session after
+#: GC, handing out DataFrames bound to a dead JVM handle); LRU-capped so a
+#: long-lived service sweeping many warehouses cannot grow it unboundedly.
 _SHARED: dict[tuple, DataFrame] = {}
+_SHARED_CAP = 64
+
+#: conf key: LSH buckets larger than this are dropped from candidate
+#: generation (a degenerate band key — e.g. near-constant documents — would
+#: otherwise make one bucket quadratic). Dropped buckets are observable via
+#: :func:`hot_bucket_report`; the default never fires on healthy corpora.
+LSH_MAX_BUCKET = "skinnerdb.lsh.maxBucket"
+_LSH_MAX_BUCKET_DEFAULT = 100_000
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
-    k = (id(spark), sf_dir, key)
+    k = (spark.sparkContext.applicationId, sf_dir, key)
     if k not in _SHARED:
+        if len(_SHARED) >= _SHARED_CAP:
+            _SHARED.pop(next(iter(_SHARED)))
         _SHARED[k] = builder().cache()
     return _SHARED[k]
 
@@ -55,24 +68,61 @@ def shared_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached distinct (doc_id, s) 3-gram shingles."""
+def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, sh_set, n): the DISTINCT 3-gram shingle set per doc as
+    an in-row array plus its size. No explode, no shuffle — the per-doc set
+    is bounded by document length, so the exact-verify stage can join
+    candidates to these arrays and intersect in-row instead of self-joining
+    an exploded shingle table (the O(n^2) shape LSH exists to avoid)."""
     def build():
         docs = read_table(spark, sf_dir, "documents")
         return (
             fan_out(docs).withColumn("w", F.split("text", " "))
             .filter(F.size("w") >= 3)
-            .select("doc_id", F.explode(shingles_expr("w", k=3)).alias("s"))
-            .distinct()
+            .select("doc_id", F.array_distinct(shingles_expr("w", k=3)).alias("sh_set"))
+            .withColumn("n", F.size("sh_set"))
         )
-    return _memo(spark, sf_dir, "shd", build)
+    return _memo(spark, sf_dir, "shsets", build)
+
+
+def cap_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Drop rows belonging to buckets with more than ``cap`` members.
+
+    The hot-bucket guard for every LSH family: one groupBy on the bucket key
+    (co-partitioned with the self-join that follows, so the marginal shuffle
+    is the aggregated bucket-size table only) + a semi-join-shaped inner join
+    back. Production dedup always caps bucket size — a single degenerate
+    bucket of b members contributes b^2 candidate pairs."""
+    sizes = (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+    return bands.join(sizes, key_cols)
+
+
+def hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, key, bucket_n) for buckets the cap excluded — 'no silent caps':
+    callers can count/inspect exactly what candidate generation dropped."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    bands = lsh_bands(shared_sigs(spark, sf_dir))
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+    )
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (doc_a, doc_b) LSH candidate pairs: the bucket self-join on
-    (band, key) — the only pair-generating shuffle in the dedup family."""
+    (band, key) — the only pair-generating shuffle in the dedup family.
+    Buckets over ``skinnerdb.lsh.maxBucket`` are excluded first (see
+    :func:`cap_buckets`; :func:`hot_bucket_report` shows what was dropped)."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+
     def build():
-        bands = lsh_bands(shared_sigs(spark, sf_dir))
+        bands = cap_buckets(lsh_bands(shared_sigs(spark, sf_dir)), ["band", "key"], cap)
         a = bands.alias("a")
         b = bands.alias("b")
         return (
@@ -85,7 +135,7 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-    return _memo(spark, sf_dir, "cand", build)
+    return _memo(spark, sf_dir, f"cand@{cap}", build)
 
 
 # --------------------------------------------------------------------------
@@ -267,26 +317,7 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on LSH candidates, and the decision policy is a single groupBy (lowest
     surviving id wins; a one-pass approximation of connected components —
     iterative CC is the refinement when duplicate chains matter)."""
-    cand = lsh_candidates(spark, sf_dir)
-    shd = shared_shingles(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = (
-        sa.join(sb, (F.col("s_a") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both_n"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
-    verified = (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     return verified.groupBy(F.col("doc_b").alias("drop_id")).agg(
         F.min("doc_a").alias("kept_id"), F.max("jaccard").alias("jaccard")
     )
@@ -318,23 +349,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     word's md5 (hex-nibble high-bit trick -> portable). Near-dup docs differ
     in few bits; bucket16 gives the LSH-style blocking key. Word frequency
     weights naturally (no distinct), matching classic SimHash.
+
+    Entirely in-row: md5 once per word into an array, then each of the 32
+    bits is an integer fold over that array — zero explodes, zero shuffles
+    (the round-2 version exploded words x 32 bits, multiplying the token
+    stream 32x through its first shuffle; this plan has no Exchange at all
+    beyond the optional fan_out round-robin).
     """
     d = fan_out(read_table(spark, sf_dir, "documents"))
-    wt = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hexhigh = F.substring(F.md5(F.col("w").cast("binary")), F.col("i"), 1).isin(*"89abcdef")
-    bits = (
-        wt.select("doc_id", "w", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"))
-        .select("doc_id", "i", F.when(hexhigh, 1).otherwise(-1).alias("contrib"))
-        .groupBy("doc_id", "i")
-        .agg(F.when(F.sum("contrib") > 0, "1").otherwise("0").alias("bit"))
+    hexhigh = "('8','9','a','b','c','d','e','f')"
+    sig = F.expr(
+        "concat_ws('', transform(sequence(1, " + str(SIMHASH_BITS) + "), i -> "
+        "CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+        f"(CASE WHEN substring(h, i, 1) IN {hexhigh} THEN 1 ELSE -1 END)) > 0 "
+        "THEN '1' ELSE '0' END))"
     )
-    sig = bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(F.array_sort(F.collect_list(F.struct("i", "bit"))), lambda x: x["bit"]),
-        ).alias("simhash")
+    return (
+        d.withColumn("hs", F.expr("transform(split(text, ' '), w -> md5(cast(w as binary)))"))
+        .select("doc_id", sig.alias("simhash"))
+        .withColumn("bucket16", F.substring("simhash", 1, 16))
     )
-    return sig.select("doc_id", "simhash", F.substring("simhash", 1, 16).alias("bucket16"))
 
 
 # --------------------------------------------------------------------------
@@ -371,26 +405,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for the minhash-band candidate pairs — the
     measure stage of production dedup, unthresholded (the pipeline entry
     adds the >= 0.5 cut and keep/drop decisions). Candidates come from
-    :func:`lsh_candidates`, so the O(n^2) overlap join never materializes:
-    the shingle self-join is restricted to same-bucket pairs, and the shared
-    cached signatures/shingles are computed once per session across the
-    three LSH-family entries."""
+    :func:`lsh_candidates`, and the exact intersection is computed strictly
+    candidate-bounded: see :func:`_exact_jaccard_on_candidates`."""
+    return _exact_jaccard_on_candidates(spark, sf_dir)
+
+
+def _exact_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact 3-gram Jaccard for exactly the LSH
+    candidate pairs, and nothing else.
+
+    Scale shape: join the (small) candidate-pair table to the per-doc shingle
+    ARRAYS (one row per doc, no explode) and compute
+    ``size(array_intersect(sh_a, sh_b))`` in-row. Cost is O(|candidates| *
+    doc_length) — a shingle appearing in k docs contributes k rows, never k^2:
+    the all-pairs exploded-shingle self-join (which Catalyst could not push
+    the candidate restriction below, because the restriction sat above its
+    groupBy) is gone. Pairs with an empty intersection are dropped, mirroring
+    the oracle's inner join against its intersection CTE."""
     cand = lsh_candidates(spark, sf_dir)
-    shd = shared_shingles(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shd.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    b = shd.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = (
-        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both_n"))
+    sets = shared_shingle_sets(spark, sf_dir)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"), F.col("n").alias("na")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb") - F.col("both_n"))
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n").alias("nb")
+    )
+    both_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = both_n.cast("double") / (F.col("na") + F.col("nb") - both_n)
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", both_n.alias("both_n"), jac.alias("jaccard"))
+        .filter(F.col("both_n") > 0)
+        .drop("both_n")
     )

@@ -28,17 +28,35 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+#: conf key: estimated bytes of input per core above which fan_out is a no-op
+FAN_OUT_BYTES_PER_CORE = "skinnerdb.fanout.bytesPerCore"
+_FAN_OUT_DEFAULT = 32 * 1024 * 1024
+
+
 def fan_out(df):
-    """Repartition to cluster parallelism before CPU-heavy per-row hash folds.
+    """Repartition to cluster parallelism before CPU-heavy per-row hash folds
+    — but ONLY when the input is too small to already occupy the cluster.
 
     A small parquet file scans as 1-2 partitions, which would serialize the
-    hash folds onto one core. Unconditional by design: probing the scan's
-    partition count would need an RDD conversion (breaks under Spark Connect,
-    forces extra analysis); the round-robin shuffle costs one pass over data
-    that is about to be hash-folded anyway, and at real scale callers feed
-    already-wide scans directly instead of this helper.
+    hash folds onto one core; the round-robin shuffle is then one cheap pass
+    over data that is about to be hash-folded anyway. At real scale the scan
+    is already wide and the same call must NOT inject a gratuitous full
+    shuffle of the corpus, so the helper is size-conditional: when the
+    optimizer's size estimate says the input already carries >=
+    ``skinnerdb.fanout.bytesPerCore`` (default 32 MiB) per core — i.e. the
+    natural scan partitioning feeds every core — the input is returned
+    unchanged. Stats come from the optimized logical plan (no job runs).
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        per_core = int(spark.conf.get(FAN_OUT_BYTES_PER_CORE, str(_FAN_OUT_DEFAULT)))
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size, per_core = 0, _FAN_OUT_DEFAULT  # stats unavailable -> fan out
+    if size >= cores * per_core:
+        return df
+    return df.repartition(cores)
 
 
 def shingles_expr(words_col: str, k: int = 3) -> Column:
