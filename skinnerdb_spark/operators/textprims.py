@@ -31,6 +31,14 @@ def words(text_col: str = "text") -> Column:
 #: conf key: estimated bytes of input per core above which fan_out is a no-op
 FAN_OUT_BYTES_PER_CORE = "skinnerdb.fanout.bytesPerCore"
 _FAN_OUT_DEFAULT = 32 * 1024 * 1024
+#: conf key: 'auto' (stats-conditional, default) | 'always' | 'never'.
+#: The explicit override for environments where the stats probe is wrong or
+#: unavailable: under Spark Connect ``df._jdf`` does not exist, so 'auto'
+#: degrades to ALWAYS repartitioning (safe on small inputs, a gratuitous
+#: full-corpus shuffle at real scale — set 'never' there); conversely a plan
+#: with no reliable stats can report a huge sizeInBytes and wrongly skip the
+#: fan-out for a small input — set 'always' to force it.
+FAN_OUT_MODE = "skinnerdb.fanout.mode"
 
 
 def fan_out(df):
@@ -46,16 +54,30 @@ def fan_out(df):
     ``skinnerdb.fanout.bytesPerCore`` (default 32 MiB) per core — i.e. the
     natural scan partitioning feeds every core — the input is returned
     unchanged. Stats come from the optimized logical plan (no job runs).
+
+    The stats probe uses the classic-mode ``df._jdf`` handle. Where that is
+    unavailable (Spark Connect) or untrustworthy, ``skinnerdb.fanout.mode``
+    overrides the decision outright: 'never' => identity, 'always' =>
+    unconditional repartition, 'auto' (default) => stats-conditional with
+    fan-out as the failure fallback.
     """
     spark = df.sparkSession
-    cores = spark.sparkContext.defaultParallelism
+    mode = "auto"
     try:
-        per_core = int(spark.conf.get(FAN_OUT_BYTES_PER_CORE, str(_FAN_OUT_DEFAULT)))
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        mode = str(spark.conf.get(FAN_OUT_MODE, "auto")).lower()
     except Exception:
-        size, per_core = 0, _FAN_OUT_DEFAULT  # stats unavailable -> fan out
-    if size >= cores * per_core:
+        pass
+    if mode == "never":
         return df
+    cores = spark.sparkContext.defaultParallelism
+    if mode != "always":
+        try:
+            per_core = int(spark.conf.get(FAN_OUT_BYTES_PER_CORE, str(_FAN_OUT_DEFAULT)))
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            if size >= cores * per_core:
+                return df
+        except Exception:
+            pass  # stats unavailable (e.g. Spark Connect) -> fan out
     return df.repartition(cores)
 
 

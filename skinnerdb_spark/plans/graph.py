@@ -63,8 +63,19 @@ _PASSTHROUGH = {
 #: per-process cache of learned join orders, keyed by graph signature —
 #: repeated templates (a benchmark directory, a dashboard) skip the sampled
 #: episodes entirely after the first run, the cross-query analogue of the
-#: reference reusing its UCT tree across episodes of one query
+#: reference reusing its UCT tree across episodes of one query. Signatures
+#: include the leaves' scan locations (two warehouses with identical table
+#: names — sf0.001 vs sf0.1 — must not share learned orders: their data
+#: sizes, and thus best orders, differ). FIFO-capped: entries are a few
+#: strings each, the cap only guards a pathological template generator.
 _ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
+_ORDER_CACHE_CAP = 4096
+
+
+def _cache_put(key: tuple, order: tuple[str, ...]) -> None:
+    if key not in _ORDER_CACHE and len(_ORDER_CACHE) >= _ORDER_CACHE_CAP:
+        _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
+    _ORDER_CACHE[key] = order
 
 
 class ExtractionError(ValueError):
@@ -107,23 +118,26 @@ def _split_conjuncts(expr: Any) -> list:
     return [expr]
 
 
-def _leaf_name(leaf: Any) -> str | None:
-    """Best-effort display name: nearest SubqueryAlias under unary wrappers,
-    else the file-scan's path stem (read_table-built leaves have no alias)."""
-    node = leaf
+def _leaf_info(leaf: Any) -> tuple[str | None, str | None]:
+    """(display_name, scan_scope): nearest SubqueryAlias under unary wrappers
+    or the file-scan's path stem for the name (read_table-built leaves have
+    no alias); the scan's FULL root path as the scope — cache signatures
+    embed it so identical table names in different warehouses never share
+    learned orders."""
+    node, name = leaf, None
     while True:
         c = _cls(node)
-        if c == "SubqueryAlias":
-            return node.alias()
+        if c == "SubqueryAlias" and name is None:
+            name = node.alias()
         if c == "LogicalRelation":
             try:
-                path = node.relation().location().rootPaths().head().getName()
-                return path.split(".")[0] or None
+                head = node.relation().location().rootPaths().head()
+                return name or head.getName().split(".")[0] or None, head.toString()
             except Exception:
-                return None
+                return name, None
         kids = node.children()
         if kids.size() != 1:
-            return None
+            return name, None
         node = kids.head()
 
 
@@ -224,8 +238,11 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
 
     # -- name leaves (dedup aliases for self-joins) and map exprId -> leaf
     names: list[str] = []
+    scopes: list[str] = []
     for i, lp in enumerate(leaf_plans):
-        base = _leaf_name(lp) or f"t{i}"
+        base, scope = _leaf_info(lp)
+        base = base or f"t{i}"
+        scopes.append(scope or "")
         name, k = base, 1
         while name in names:
             k += 1
@@ -246,6 +263,12 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
     for cj in conjuncts:
         if has_subquery.hasSubquery(cj):
             raise ExtractionError("subquery inside join/filter condition")
+        if not cj.deterministic():
+            # a rand() < 0.1 conjunct evaluates per-row at a PLACE in the
+            # plan; repositioning it changes which rows it sees. Catalyst's
+            # own PushDownPredicates refuses to move these — so do we
+            # (semantics-preservation contract, LeftDeepPlan.java:54-124)
+            raise ExtractionError("non-deterministic conjunct; placement is semantics")
         refs = [r.exprId().id() for r in _j(spark, cj.references().toSeq())]
         if not all(r in attr_leaf for r in refs):
             raise ExtractionError("condition references non-leaf attribute")
@@ -293,6 +316,7 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
 
     shape_sig = (
         tuple(names),
+        tuple(sorted(scopes)),
         tuple(
             sorted(
                 (e.left_table, e.left_col, e.right_table, e.right_col) for e in edges
@@ -450,7 +474,8 @@ def adaptive_reorder(
         stats.append(EpisodeStats(cands[arm], dt, rows, reward))
     best = cands[bandit.best()]
     if use_cache:
-        _ORDER_CACHE[graph.signature] = best
-        _ORDER_CACHE.setdefault(graph.shape_sig, best)
+        _cache_put(graph.signature, best)
+        if graph.shape_sig not in _ORDER_CACHE:
+            _cache_put(graph.shape_sig, best)
     chain = build_graph_chain(graph, best)
     return AdaptiveJoinResult(finish(graph, chain), best, stats)

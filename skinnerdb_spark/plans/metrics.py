@@ -29,12 +29,14 @@ def run_and_count(df: DataFrame) -> int:
 
     ``df.count()`` would plan a *separate* count-aggregate query — columns
     prune away, the real projections never execute, and the plan whose
-    metrics we want stays cold. Executing via ``executeCollect`` on the
-    dataframe's queryExecution runs the genuine plan JVM-side (no Python
-    transfer) and populates its SQLMetrics for :func:`plan_metrics`.
+    metrics we want stays cold. Executing the plan's row RDD and counting it
+    runs the genuine plan distributed (per-partition counts summed on the
+    executors — nothing materializes on the driver, unlike the previous
+    ``executeCollect``, which would OOM the driver on a large result) and
+    populates its SQLMetrics for :func:`plan_metrics`.
     """
     try:
-        return len(df._jdf.queryExecution().executedPlan().executeCollect())
+        return int(df._jdf.queryExecution().executedPlan().execute().count())
     except Exception:
         return df.count()
 

@@ -127,6 +127,14 @@ def test_no_parents_pins_column_order(spark):
             "WHERE s_nationkey = n_nationkey AND s_suppkey > 0",
             "no",  # disconnected -> 'have no equi edge' (or cartesian refusal)
         ),
+        (
+            # rand() placement is semantics: repositioning changes which rows
+            # it filters (Catalyst's PushDownPredicates refuses these too)
+            "SELECT COUNT(*) AS c FROM supplier, nation, region "
+            "WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND rand() < 1.1",
+            "non-deterministic",
+        ),
     ],
 )
 def test_ineligible_shapes_fall_back(spark, q, reason_part):
@@ -136,6 +144,34 @@ def test_ineligible_shapes_fall_back(spark, q, reason_part):
     res = adaptive_reorder(df)
     assert res.best_order == ()
     assert res.df is df  # unchanged plan
+
+
+def test_nondeterministic_fallback_matches_catalyst(spark):
+    """A query with a rand() conjunct declines adaptivity and runs through
+    Catalyst unchanged — with a tautological bound the result is stable, so
+    fallback-equals-Catalyst is directly assertable."""
+    q = ("SELECT COUNT(*) AS c FROM supplier, nation, region "
+         "WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+         "AND rand() < 1.1")
+    res = adaptive_reorder(spark.sql(q), episodes=2)
+    assert res.best_order == ()
+    assert "non-deterministic" in getattr(res, "reason", "")
+    assert res.df.collect() == spark.sql(q).collect()
+
+
+def test_order_cache_not_shared_across_warehouses(spark, sf_dir):
+    """Same table names, different warehouse directories -> different cache
+    signatures (learned orders must not leak across data scales)."""
+    q = ("SELECT COUNT(*) AS c FROM customer, orders, nation "
+         "WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey")
+    g1 = extract_query_graph(spark.sql(q))
+    register_views(spark, "/root/testdata/sf0.01")
+    try:
+        g2 = extract_query_graph(spark.sql(q))
+    finally:
+        register_views(spark, sf_dir)  # restore module-fixture views
+    assert g1.shape_sig != g2.shape_sig
+    assert g1.signature != g2.signature
 
 
 def test_order_cache_hit(spark):

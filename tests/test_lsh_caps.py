@@ -1,0 +1,113 @@
+"""Hot-bucket cap guards (dedup + similarity LSH), multiprobe probe-set
+properties, and simhash NULL-text semantics.
+
+The cap is the 100 TB degenerate-input guard: one pathological bucket of b
+members contributes b^2 candidate pairs, so production dedup/ANN always
+bounds bucket size. These tests set a tiny cap via conf and assert the
+candidate generation is actually bounded and the dropped buckets are
+observable (no silent caps).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.dedup import (
+    LSH_MAX_BUCKET,
+    cap_buckets,
+    hot_bucket_report,
+    lsh_candidates,
+)
+from skinnerdb_spark.operators.similarity import (
+    MP_BITS,
+    MP_TABLES,
+    _multi_ann,
+    sim_hot_bucket_report,
+)
+
+
+def test_cap_buckets_drops_only_over_cap(spark):
+    rows = [("b1", i) for i in range(5)] + [("b2", i) for i in range(2)] + [("b3", 0)]
+    df = spark.createDataFrame(rows, "key string, doc_id int")
+    kept = cap_buckets(df, ["key"], cap=2).groupBy("key").count().collect()
+    sizes = {r["key"]: r["count"] for r in kept}
+    assert sizes == {"b2": 2, "b3": 1}, "the 5-member bucket must be dropped whole"
+
+
+def test_dedup_lsh_cap_bounds_candidates_and_reports(spark, sf_dir):
+    uncapped = lsh_candidates(spark, sf_dir).count()
+    prev = spark.conf.get(LSH_MAX_BUCKET, None)
+    spark.conf.set(LSH_MAX_BUCKET, "1")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            capped = lsh_candidates(spark, sf_dir).count()
+        assert any(LSH_MAX_BUCKET in str(x.message) for x in w), (
+            "non-default cap must warn about oracle divergence"
+        )
+        # a pair needs a shared bucket of size >= 2; cap=1 excludes them all
+        assert capped == 0 <= uncapped
+        dropped = hot_bucket_report(spark, sf_dir)
+        if uncapped > 0:
+            assert dropped.count() > 0, "dropped buckets must be observable"
+        assert dropped.filter(F.col("bucket_n") <= 1).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(LSH_MAX_BUCKET)
+        else:
+            spark.conf.set(LSH_MAX_BUCKET, prev)
+
+
+def test_similarity_ann_cap_bounds_candidates_and_reports(spark, sf_dir):
+    uncapped = _multi_ann(spark, sf_dir, 2, 2).count()
+    assert uncapped > 0
+    prev = spark.conf.get(LSH_MAX_BUCKET, None)
+    spark.conf.set(LSH_MAX_BUCKET, "1")
+    try:
+        # every (query, neighbor) pair shares a corpus bucket of size >= 2
+        # (the query itself is a corpus member here), so cap=1 empties it
+        assert _multi_ann(spark, sf_dir, 2, 2).count() == 0
+        dropped = sim_hot_bucket_report(spark, sf_dir, 2, 2)
+        assert dropped.count() > 0, "dropped buckets must be observable"
+        assert dropped.filter(F.col("bucket_n") <= 1).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(LSH_MAX_BUCKET)
+        else:
+            spark.conf.set(LSH_MAX_BUCKET, prev)
+
+
+def test_multiprobe_top1_never_worse_than_exact_bucket(spark, sf_dir):
+    """Hamming-1 probing strictly widens each table's probe set (the exact
+    key is always probed too), so per query the multiprobe candidate set is a
+    superset and its best retrieved cosine can never be lower."""
+    def top1(df):
+        return {
+            r["query_id"]: r["cosine"] for r in df.filter(F.col("rnk") == 1).collect()
+        }
+
+    exact = top1(_multi_ann(spark, sf_dir, MP_TABLES, MP_BITS))
+    probed = top1(_multi_ann(spark, sf_dir, MP_TABLES, MP_BITS, probe_hamming=1))
+    assert set(probed) >= set(exact), "probing must not lose any query"
+    for q, cos in exact.items():
+        assert probed[q] >= cos - 1e-12, f"query {q}: probed top-1 worse than exact"
+
+
+def test_simhash_drops_null_text(spark, tmp_path):
+    """NULL texts drop (the oracle's UNNEST over a NULL list emits no rows);
+    they must not collapse into a shared all-'0' signature bucket."""
+    from skinnerdb_spark.operators.dedup import dedup_simhash
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, None), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_simhash(spark, str(tmp_path)).collect()
+    got = {r["doc_id"] for r in out}
+    assert got == {0, 2}, f"NULL-text doc must be dropped, got {got}"
+    sigs = {r["doc_id"]: r["simhash"] for r in out}
+    assert sigs[0] == sigs[2]

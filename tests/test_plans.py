@@ -84,11 +84,13 @@ def test_pipeline_ops_plan_shapes(spark, sf_dir):
     # round-robin (no hash/range shuffle, no join)
     plan = plan_of(spark, "text_chunking", sf_dir)
     assert "hashpartitioning" not in plan and "Join" not in plan
-    # contamination: eval shingle set broadcasts; corpus side never
-    # all-pairs-joins
+    # contamination: eval shingle set folds to ONE broadcast array row and the
+    # corpus intersects in-row — a 1-row broadcast nested loop, never a
+    # shuffle join or cartesian over the corpus
     plan = plan_of(spark, "contamination_check", sf_dir)
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
     # quantization: one in-row transform, no shuffle at all beyond fan_out
     plan = plan_of(spark, "embed_quantize", sf_dir)
     assert "hashpartitioning" not in plan and "Join" not in plan
