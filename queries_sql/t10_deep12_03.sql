@@ -1,0 +1,13 @@
+SELECT MIN(p1.p_name) AS min_p1, MIN(p2.p_name) AS min_p2,
+       MIN(n2.n_name) AS min_n2, MIN(n3.n_name) AS min_n3, COUNT(*) AS n_rows
+FROM lineitem l1, lineitem l2, orders o, customer c, nation n1, region r1,
+     part p1, supplier s1, nation n2, part p2, supplier s2, nation n3
+WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r1.r_regionkey
+  AND l1.l_partkey = p1.p_partkey AND l1.l_suppkey = s1.s_suppkey
+  AND s1.s_nationkey = n2.n_nationkey
+  AND l2.l_partkey = p2.p_partkey AND l2.l_suppkey = s2.s_suppkey
+  AND s2.s_nationkey = n3.n_nationkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND p1.p_brand = 'Brand#35' AND p2.p_brand = 'Brand#22' AND r1.r_name = 'AMERICA'

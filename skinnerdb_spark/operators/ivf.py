@@ -47,6 +47,29 @@ def default_index_path(sf_dir: str) -> str:
     return os.path.join("spark-warehouse", f"ivf_index_{sf_name}")
 
 
+def source_fingerprint(sf_dir: str) -> str:
+    """Identity of the embeddings source the index was built from: every
+    file's (relpath, size, mtime_ns) under embeddings.parquet, hashed. An
+    index whose recorded fingerprint no longer matches is STALE (the corpus
+    was rewritten) and must be rebuilt — path-basename keying alone would
+    happily serve assignments for vectors that no longer exist."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def train_centroids(train: np.ndarray, k: int = K_CELLS, iters: int = N_ITERS) -> np.ndarray:
     """Plain Lloyd k-means on unit-normalized vectors (spherical k-means).
     Deterministic: init = first k training rows, fixed iteration count."""
@@ -97,6 +120,26 @@ def build_ivf_index(spark: SparkSession, e: DataFrame, path: str) -> None:
     assign_cells(e, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
 
 
+def _meta_file(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_source_fingerprint")
+
+
+def index_is_fresh(path: str, sf_dir: str) -> bool:
+    """True iff a persisted index exists AND was built from the embeddings
+    files currently on disk (see :func:`source_fingerprint`)."""
+    import os
+
+    if not os.path.isdir(os.path.join(path, "centroids")):
+        return False
+    try:
+        with open(_meta_file(path)) as f:
+            return f.read().strip() == source_fingerprint(sf_dir)
+    except OSError:
+        return False
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroid matrix, assignments DataFrame) from a persisted index."""
     cent_pdf = spark.read.parquet(f"{path}/centroids").toPandas().sort_values("cell")
@@ -109,17 +152,22 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: probe the 2 nearest cells per query, exact decimal cosine +
     rank within candidates. Rows-only check (iterative training step).
 
-    Loads the persisted index (centroids + assignments) when present and
-    builds+persists it on first use — repeated invocations never retrain,
-    matching how a production vector store amortizes index builds. Training
-    is deterministic (fixed sample/init/iterations), so cold and warm paths
+    Loads the persisted index (centroids + assignments) when present AND
+    still matching the source files' fingerprint; builds+persists otherwise
+    — repeated invocations never retrain, matching how a production vector
+    store amortizes index builds, while a rewritten corpus invalidates the
+    index instead of silently serving stale assignments. Training is
+    deterministic (fixed sample/init/iterations), so cold and warm paths
     return identical results."""
     import os
 
     e = read_table(spark, sf_dir, "embeddings")
     path = default_index_path(sf_dir)
-    if not os.path.isdir(os.path.join(path, "centroids")):
+    if not index_is_fresh(path, sf_dir):
         build_ivf_index(spark, e, path)
+        os.makedirs(path, exist_ok=True)
+        with open(_meta_file(path), "w") as f:
+            f.write(source_fingerprint(sf_dir))
     centroids, cells = load_ivf_index(spark, path)
 
     # query -> its nprobe nearest cells

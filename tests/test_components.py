@@ -362,6 +362,38 @@ def test_ivf_index_persist_roundtrip(spark, sf_dir, tmp_path):
     assert sizes.sum() == e.count() and (sizes > 0).sum() >= 2
 
 
+def test_ivf_index_staleness_detection(spark, sf_dir, tmp_path):
+    """A rewritten embeddings source invalidates the persisted index: the
+    fingerprint covers file size + mtime, so an index built against old data
+    is rebuilt rather than silently served."""
+    import os
+    import shutil
+
+    from skinnerdb_spark.operators.ivf import (
+        _meta_file,
+        index_is_fresh,
+        source_fingerprint,
+    )
+
+    wh = tmp_path / "warehouse"
+    wh.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), wh / "embeddings.parquet"
+    )
+    idx = tmp_path / "idx"
+    (idx / "centroids").mkdir(parents=True)  # stand-in for a built index
+    with open(_meta_file(str(idx)), "w") as f:
+        f.write(source_fingerprint(str(wh)))
+    assert index_is_fresh(str(idx), str(wh))
+    # "rewrite" the corpus: content change -> different size/mtime
+    with open(wh / "embeddings.parquet", "ab") as f:
+        f.write(b"x")
+    assert not index_is_fresh(str(idx), str(wh))
+    # missing fingerprint (pre-upgrade index) -> stale
+    os.remove(_meta_file(str(idx)))
+    assert not index_is_fresh(str(idx), str(wh))
+
+
 # --------------------------------------------------------------------------
 # sources/ddl — reference schema translation
 # --------------------------------------------------------------------------

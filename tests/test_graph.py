@@ -291,3 +291,37 @@ def test_fuzz_adaptive_identical_to_catalyst(spark, seed):
     res = adaptive_reorder(spark.sql(q), episodes=2, use_cache=False)
     assert len(res.best_order) >= 3, f"{q} should be eligible"
     assert res.df.collect() == base, q
+
+
+def _deep_corpus() -> list[str]:
+    import glob
+    import os
+
+    corpus = os.path.join(os.path.dirname(__file__), "..", "queries_sql")
+    return sorted(
+        os.path.basename(p)
+        for pat in ("t8_deep8_*.sql", "t9_deep10_*.sql", "t10_deep12_*.sql")
+        for p in glob.glob(os.path.join(corpus, pat))
+    )
+
+
+@pytest.mark.parametrize("fname", _deep_corpus())
+def test_deep_corpus_adaptive_identical_to_catalyst(spark, fname):
+    """JOB-depth coverage (reference: up-to-17-way joins,
+    imdb/queries/29a.sql): every committed 8/10/12-leaf corpus query is
+    bandit-eligible — self-joined dims disambiguated, the linenumber theta
+    preserved as a post-bind conjunct — and collect()-identical to Catalyst."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "queries_sql", fname)
+    with open(path) as f:
+        q = f.read()
+    base = spark.sql(q).collect()
+    res = adaptive_reorder(spark.sql(q), episodes=2, max_orders=8, use_cache=False)
+    n_leaves = int(fname.split("deep")[1].split("_")[0])
+    assert len(res.best_order) == n_leaves, f"{fname} should be eligible"
+    assert res.df.collect() == base, fname
+
+
+def test_deep_corpus_has_twenty_plus_queries():
+    assert len(_deep_corpus()) >= 20

@@ -188,6 +188,91 @@ HAVING COUNT(*) >= {thresh}
     )
 
 
+# ------------------------------------------------------------- T8: deep8
+# 8-leaf snowflake with nation in TWO roles (customer's and supplier's) —
+# the JOB pattern of one dim table joined through different FK paths
+# (imdb/queries/29a.sql family joins name/title/company through role tables).
+_T8 = [
+    ("ASIA", 1, 15, "F"), ("EUROPE", 10, 25, "O"), ("AMERICA", 20, 35, "F"),
+    ("AFRICA", 30, 45, "O"), ("MIDDLE EAST", 5, 20, "F"), ("ASIA", 15, 30, "O"),
+    ("EUROPE", 25, 40, "F"), ("AMERICA", 35, 50, "O"), ("AFRICA", 1, 25, "F"),
+    ("MIDDLE EAST", 12, 38, "O"), ("ASIA", 22, 48, "F"), ("EUROPE", 3, 18, "O"),
+]
+for i, (region, slo, shi, status) in enumerate(_T8, 1):
+    add(
+        f"t8_deep8_{i:02d}",
+        f"""
+SELECT MIN(p.p_name) AS min_pname, MIN(c.c_name) AS min_cname,
+       MIN(n2.n_name) AS min_suppnation, COUNT(*) AS n_rows
+FROM lineitem l, orders o, customer c, nation n1, region r1,
+     supplier s, nation n2, part p
+WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
+  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n2.n_nationkey
+  AND l.l_partkey = p.p_partkey
+  AND r1.r_name = '{region}' AND p.p_size BETWEEN {slo} AND {shi}
+  AND o.o_orderstatus = '{status}'
+""",
+    )
+
+# ------------------------------------------------------------- T9: deep10
+# 10-leaf: lineitem SELF-JOIN (pairs of items in one order, linenumber theta)
+# + each item's part, one item's supplier chain — up-to-17-way JOB territory.
+_T9 = [
+    ("Brand#12", "PROMO", "1-URGENT"), ("Brand#23", "ECONOMY", "2-HIGH"),
+    ("Brand#34", "STANDARD", "3-MEDIUM"), ("Brand#45", "SMALL", "4-NOT SPECIFIED"),
+    ("Brand#15", "LARGE", "5-LOW"), ("Brand#21", "MEDIUM", "1-URGENT"),
+    ("Brand#32", "PROMO", "2-HIGH"), ("Brand#43", "ECONOMY", "3-MEDIUM"),
+]
+for i, (brand, ptype, prio) in enumerate(_T9, 1):
+    add(
+        f"t9_deep10_{i:02d}",
+        f"""
+SELECT MIN(p1.p_name) AS min_p1, MIN(p2.p_name) AS min_p2,
+       MIN(n2.n_name) AS min_suppnation, COUNT(*) AS n_rows
+FROM lineitem l1, lineitem l2, orders o, customer c, nation n1, region r1,
+     supplier s1, nation n2, part p1, part p2
+WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r1.r_regionkey
+  AND l1.l_suppkey = s1.s_suppkey AND s1.s_nationkey = n2.n_nationkey
+  AND l1.l_partkey = p1.p_partkey AND l2.l_partkey = p2.p_partkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND p1.p_brand = '{brand}' AND p2.p_type = '{ptype}'
+  AND o.o_orderpriority = '{prio}'
+""",
+    )
+
+# ------------------------------------------------------------ T10: deep12
+# 12-leaf: the full two-item snowflake — both items carry their own
+# part -> supplier -> nation chain, customer side carries nation -> region.
+_T10 = [
+    ("Brand#13", "Brand#42", "ASIA"), ("Brand#24", "Brand#31", "EUROPE"),
+    ("Brand#35", "Brand#22", "AMERICA"), ("Brand#41", "Brand#14", "AFRICA"),
+    ("Brand#12", "Brand#33", "MIDDLE EAST"), ("Brand#25", "Brand#44", "ASIA"),
+    ("Brand#33", "Brand#11", "EUROPE"), ("Brand#44", "Brand#25", "AMERICA"),
+]
+for i, (b1, b2, region) in enumerate(_T10, 1):
+    add(
+        f"t10_deep12_{i:02d}",
+        f"""
+SELECT MIN(p1.p_name) AS min_p1, MIN(p2.p_name) AS min_p2,
+       MIN(n2.n_name) AS min_n2, MIN(n3.n_name) AS min_n3, COUNT(*) AS n_rows
+FROM lineitem l1, lineitem l2, orders o, customer c, nation n1, region r1,
+     part p1, supplier s1, nation n2, part p2, supplier s2, nation n3
+WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r1.r_regionkey
+  AND l1.l_partkey = p1.p_partkey AND l1.l_suppkey = s1.s_suppkey
+  AND s1.s_nationkey = n2.n_nationkey
+  AND l2.l_partkey = p2.p_partkey AND l2.l_suppkey = s2.s_suppkey
+  AND s2.s_nationkey = n3.n_nationkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND p1.p_brand = '{b1}' AND p2.p_brand = '{b2}' AND r1.r_name = '{region}'
+""",
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, sql in sorted(queries.items()):
