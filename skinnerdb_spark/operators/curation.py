@@ -1,0 +1,186 @@
+"""Data-curation operators for training-set assembly (beyond-reference tier).
+
+Four operators a production data pipeline runs between raw corpus and
+training mix, exercising the warehouse columns the rest of the tier doesn't:
+
+- events_json_extract : semi-structured (JSON string) property extraction —
+  the ubiquitous "props column" pattern; stays entirely in JVM expressions
+  (get_json_object), no UDF
+- sample_class_balanced : deterministic k-per-class sample over
+  embeddings.label — class rebalancing with md5-rank (no RNG, identical on
+  any engine/partitioning, like sample_stratified)
+- docs_source_mix : per-source token counts -> mixture weights — the
+  "data mixture" table every LLM training run is configured from
+- knn_label_vote : 5-NN majority-vote label prediction scored against the
+  vector's own label — the standard embedding-quality eval, built on the
+  exact brute-force top-k
+
+Scale shapes: json extraction is map-side column algebra; balanced sampling
+is one window shuffle on label; source mix is one groupBy plus a window over
+the (tiny) aggregated table; knn reuses the broadcast top-k and adds a
+bounded groupBy over |queries| * k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.operators.similarity import _BRUTE_ORACLE, sim_bruteforce_topk
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+PER_CLASS = 20  # class-balanced sample size per label
+KNN_K = 5  # neighbors per query in the label vote (= similarity.TOP_K)
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events) t
+    GROUP BY event_type
+    """,
+    tags=("pipeline", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: events.props is a JSON string
+    ({"k": N}); pull k out with get_json_object — JVM-side JSON path, no
+    Python — and aggregate per event type. The scan prunes to two columns and
+    the single groupBy is the only shuffle; at 100 TB this is the exact shape
+    of a clickstream-props rollup."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "sample_class_balanced",
+    f"""
+    WITH r AS (
+        SELECT vec_id, label,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY label
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rnk
+        FROM embeddings)
+    SELECT vec_id, label, rnk FROM r WHERE rnk <= {PER_CLASS}
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-class sample: rank rows inside each label by
+    md5(vec_id) (uniform, engine-portable, no RNG — the same reproducibility
+    argument as sample_stratified) and keep the first PER_CLASS. One window
+    shuffle on label; the downsampled classes stay exactly balanced however
+    skewed the input distribution is."""
+    e = read_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.asc("vec_id")
+    )
+    return (
+        e.select("vec_id", "label")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PER_CLASS)
+    )
+
+
+@register(
+    "docs_source_mix",
+    """
+    WITH per AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+               AS mix_weight
+    FROM per
+    """,
+    tags=("pipeline", "mixture"),
+)
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mixture table: per (source, lang) document and token
+    counts plus each source's share of total tokens — what a data-mixing
+    config (e.g. source up/down-weighting) is derived from. One groupBy over
+    the corpus; the global-total window runs over the already-aggregated
+    per-source table (tens of rows), not the corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return per.withColumn(
+        "mix_weight",
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total).cast("double"),
+    )
+
+
+@register(
+    "knn_label_vote",
+    f"""
+    WITH nn AS ({_BRUTE_ORACLE}),
+    votes AS (
+        SELECT n.query_id, e.label, COUNT(*) AS n_votes
+        FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+        GROUP BY n.query_id, e.label),
+    best AS (
+        SELECT query_id, label AS pred_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS r
+        FROM votes)
+    SELECT b.query_id, q.label AS own_label, b.pred_label, b.n_votes,
+           CAST(CASE WHEN b.pred_label = q.label THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+    FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+    WHERE b.r = 1
+    """,
+    tags=("pipeline", "similarity", "eval"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: predict each query vector's label by majority
+    vote of its 5 exact nearest neighbors (ties break toward the smaller
+    label) and score against the vector's own label. Reuses the broadcast
+    brute-force top-k; the vote is a groupBy over |queries| x k rows."""
+    e = read_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    topk = sim_bruteforce_topk(spark, sf_dir)
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    best = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    own = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return best.join(F.broadcast(own), "query_id").select(
+        "query_id",
+        "own_label",
+        "pred_label",
+        "n_votes",
+        F.when(F.col("pred_label") == F.col("own_label"), 1).otherwise(0).alias("correct"),
+    )
