@@ -43,7 +43,13 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "tpch_q01", "scalar_interval_arith",
              # adaptive-join-order path (plans/graph.py py4j surface) under a
              # plain session, incl. a date-filtered leaf under non-UTC
-             "job_wide_star", "tpch_q05"]:
+             "job_wide_star", "tpch_q05",
+             # round 4: the driver gate now samples the pipeline tier first
+             # — drive one representative of each family here too
+             "dedup_minhash_lsh", "contamination_check", "sim_lsh_multiprobe",
+             "asof_latest_order", "range_join_ship_window", "text_fingerprint",
+             "sample_class_balanced", "events_json_extract", "docs_source_mix",
+             "knn_label_vote", "embed_quantize", "dedup_embed_cosine"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
