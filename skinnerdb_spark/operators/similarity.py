@@ -164,27 +164,14 @@ def _sign_rows(total_planes: int) -> str:
     return "array(" + ",".join(rows) + ")"
 
 
-def _bits_expr(total_planes: int) -> str:
-    """One-pass bit-string expression: bit j = sign of the exact decimal
-    projection of `embedding` onto plane j (identical arithmetic to the
-    oracle's per-plane decimal SUM)."""
-    proj = (
-        f"aggregate(zip_with(element_at({_sign_rows(total_planes)}, j + 1), embedding, "
-        f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12))), "
-        f"CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): 8-bit sign-LSH bucket string per vector — the first
+    N_PLANES bits of the shared MAX_PLANES signature (see
+    :func:`shared_bits`: plane j is config-independent, so every sign-LSH
+    entry slices one cached bit string)."""
+    return shared_bits(spark, sf_dir).select(
+        "vec_id", F.substring("bits", 1, N_PLANES).alias("bucket")
     )
-    return (
-        f"concat_ws('', transform(sequence(0, {total_planes - 1}), "
-        f"j -> CASE WHEN CAST({proj} AS DOUBLE) > 0 THEN '1' ELSE '0' END))"
-    )
-
-
-def _signatures(e: DataFrame) -> DataFrame:
-    """(vec_id, bucket): 8-bit sign-LSH bucket string per vector, one in-row
-    fold (no explode, no groupBy). fan_out first: the small scan arrives in
-    1-2 partitions and the decimal folds are CPU-bound — at real scale the
-    scan is already wide and callers skip the helper."""
-    return fan_out(e).select("vec_id", F.expr(_bits_expr(N_PLANES)).alias("bucket"))
 
 
 @register("sim_lsh_buckets", _LSH_BUCKET_ORACLE, tags=("similarity", "pipeline", "lsh"))
@@ -195,7 +182,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate neighbors are then searched within a bucket only; this query
     verifies the bucketing itself (size histogram) cross-engine.
     """
-    sig = _signatures(read_table(spark, sf_dir, "embeddings"))
+    sig = _signatures(spark, sf_dir)
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
     )
@@ -320,46 +307,75 @@ def _multi_ann_oracle(n_tables: int, bits: int, probe_hamming: int = 0) -> str:
 """
 
 
-def _multi_signatures(e: DataFrame, n_tables: int, bits: int) -> DataFrame:
-    """(vec_id, t, bkey): per-table LSH bucket keys over n_tables*bits
-    planes. Structure chosen by measurement (PERFORMANCE.md): explode to one
-    row per (vector, plane), fold that plane's literal sign row (no runtime
-    md5), groupBy-reassemble the bit string — ~25% faster end-to-end than a
-    fully in-row nested fold, whose generator path drops out of codegen."""
-    total = n_tables * bits
-    planes = fan_out(e).select(
-        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("j")
-    )
-    p = F.expr(
-        decimal_fold(
-            f"zip_with(element_at({_sign_rows(total)}, j + 1), embedding, "
-            f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12)))"
+#: every sign-LSH entry draws planes from the SAME md5('p<j>_<i>') family:
+#: plane j is identical whatever the total plane count, so the 8-plane
+#: bucket signature, the 4x6 multiprobe keys, and the 8x4 ANN keys are all
+#: substrings of ONE 32-plane bit string. Compute it once per warehouse.
+MAX_PLANES = 32
+
+
+def shared_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (vec_id, bits): the MAX_PLANES-plane sign bit string per
+    vector, memoized per (session, warehouse) like the dedup family's
+    shingle/signature intermediates — bench and repeated ANN calls pay the
+    decimal projection folds once, not per entry.
+
+    Structure chosen by measurement (PERFORMANCE.md): explode to one row per
+    (vector, plane), fold that plane's literal sign row (no runtime md5),
+    groupBy-reassemble the bit string. A fully in-row nested fold and an
+    8-row x 4-top-level-folds variant both measured SLOWER with real
+    (unpruned) plans — codegen drops out in the generator path."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    def build():
+        e = read_table(spark, sf_dir, "embeddings")
+        planes = fan_out(e).select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(MAX_PLANES - 1))).alias("j"),
         )
-    )
-    bits_df = (
-        planes.select("vec_id", "j", p.alias("p"))
-        .groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "j", F.when(F.col("p") > 0, "1").otherwise("0").alias("bit")
+        p = F.expr(
+            decimal_fold(
+                f"zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), embedding, "
+                f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12)))"
+            )
+        )
+        return (
+            planes.select("vec_id", "j", p.alias("p"))
+            .groupBy("vec_id")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "j",
+                                    F.when(F.col("p") > 0, "1").otherwise("0").alias("bit"),
+                                )
                             )
-                        )
+                        ),
+                        lambda x: x["bit"],
                     ),
-                    lambda x: x["bit"],
-                ),
-            ).alias("bits")
+                ).alias("bits")
+            )
         )
-    )
+
+    return _memo(spark, sf_dir, "simbits", build)
+
+
+def _multi_signatures_df(
+    spark: SparkSession, sf_dir: str, n_tables: int, bits: int
+) -> DataFrame:
+    """(vec_id, t, bkey): per-table LSH bucket keys — table t's key is
+    bits[t*b : (t+1)*b] of the shared bit string (n_tables*bits must fit in
+    MAX_PLANES)."""
+    assert n_tables * bits <= MAX_PLANES
     keys = F.expr(
         f"transform(sequence(0, {n_tables - 1}), t -> "
         f"substring(bits, t * {bits} + 1, {bits}))"
     )
-    return bits_df.select("vec_id", F.posexplode(keys).alias("t", "bkey"))
+    return shared_bits(spark, sf_dir).select("vec_id", F.posexplode(keys).alias("t", "bkey"))
 
 
 def sim_hot_bucket_report(
@@ -370,7 +386,7 @@ def sim_hot_bucket_report(
     from skinnerdb_spark.operators.dedup import LSH_MAX_BUCKET, _LSH_MAX_BUCKET_DEFAULT
 
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
-    tbl = _multi_signatures(read_table(spark, sf_dir, "embeddings"), n_tables, bits)
+    tbl = _multi_signatures_df(spark, sf_dir, n_tables, bits)
     return (
         tbl.groupBy("t", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -401,7 +417,7 @@ def _multi_ann(
 
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     e = read_table(spark, sf_dir, "embeddings")
-    tbl = cap_buckets(_multi_signatures(e, n_tables, bits), ["t", "bkey"], cap)
+    tbl = cap_buckets(_multi_signatures_df(spark, sf_dir, n_tables, bits), ["t", "bkey"], cap)
     q = tbl.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("t").alias("qt"), F.col("bkey").alias("qkey")
     )
