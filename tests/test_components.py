@@ -397,6 +397,71 @@ def test_ivf_index_staleness_detection(spark, sf_dir, tmp_path):
 # --------------------------------------------------------------------------
 # sources/ddl — reference schema translation
 # --------------------------------------------------------------------------
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """documents -> JSONL -> back: values survive; a malformed line is
+    quarantined into _corrupt_record, never silently dropped or fatal."""
+    import pytest
+
+    from skinnerdb_spark.sources.formats import (
+        CORRUPT_COL,
+        load_jsonl,
+        quarantine_split,
+        store_jsonl,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    store_jsonl(docs, out)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    back = load_jsonl(spark, out, schema)
+    clean, corrupt = quarantine_split(back)
+    assert corrupt.count() == 0
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert a == b
+    # schema is mandatory at scale
+    with pytest.raises(ValueError, match="schema"):
+        load_jsonl(spark, out)
+    # corrupt line -> quarantined, good lines still parse
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "ok2"}\n'
+    )
+    mixed = load_jsonl(spark, str(bad), "doc_id long, text string")
+    clean, corrupt = quarantine_split(mixed)
+    assert clean.count() == 2 and corrupt.count() == 1
+    assert "{not json" in corrupt.collect()[0][CORRUPT_COL]
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """orders -> ORC partitioned by status -> back: values survive and the
+    partition column prunes (directory-level skip shows as a partition
+    filter, not a data filter)."""
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.sources.formats import load_orc, store_orc
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = str(tmp_path / "orders_orc")
+    store_orc(orders, out, partition_by=["o_orderstatus"])
+    back = load_orc(spark, out)
+    assert back.count() == orders.count()
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+    assert a == b
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_translate_reference_ddl(spark):
     from pyspark.sql import types as T
 
