@@ -90,31 +90,40 @@ _BRUTE_ORACLE = f"""
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, scan the corpus once,
     window-rank per query. The ANN baseline every approximate variant is
-    measured against."""
-    e = read_table(spark, sf_dir, "embeddings")
-    normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
-    q = (
-        normed.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+    measured against — and the input of knn_label_vote and the bench recall
+    section, so the (tiny) result is memoized per (session, warehouse) like
+    the other shared similarity intermediates."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    def build():
+        e = read_table(spark, sf_dir, "embeddings")
+        normed = e.select("vec_id", "embedding", norm_exact("embedding").alias("nrm"))
+        q = (
+            normed.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            )
         )
-    )
-    scored = (
-        normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot_exact("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        scored = (
+            normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (dot_exact("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                    "cosine"
+                ),
+            )
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
-    )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+        )
+
+    return _memo(spark, sf_dir, "brute_topk", build)
 
 
 # --------------------------------------------------------------------------

@@ -133,15 +133,29 @@ def subq_scalar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def subq_from_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FROM-clause subquery (two-level aggregation) — the reference unnests
-    these into its flat-query sequence (UnnestingVisitor.java:141-174)."""
+    these into its flat-query sequence (UnnestingVisitor.java:141-174).
+
+    Aggregation is pushed BELOW the join (Catalyst does not do this
+    rewrite): lineitem pre-aggregates per l_orderkey first, so the shuffle
+    carries one skinny row per order instead of the fat join output, and
+    the (2-column) orders side joins onto the aggregated table. Equivalent
+    because the join is a key-preserving inner join on the group key and
+    o_year is functionally dependent on it — at 100 TB this is the
+    difference between shuffling lineitem-width and order-count rows. The
+    join strategy is deliberately left to AQE: the pruned orders projection
+    auto-broadcasts at bench scale, while at 100 TB (where orders itself is
+    too big to broadcast) both sides hash-partition on the key — a forced
+    broadcast hint here would be a scale bug."""
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
-    per_order = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", F.year("o_orderdate").alias("o_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev"))
+    per_order = l.groupBy("l_orderkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
     )
-    return per_order.groupBy("o_year").agg(
+    with_year = per_order.join(
+        o.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+        per_order.l_orderkey == F.col("o_orderkey"),
+    )
+    return with_year.groupBy("o_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("order_rev")).alias("year_rev"),
     )
