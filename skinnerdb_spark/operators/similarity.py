@@ -244,8 +244,6 @@ def exact_topk_on_candidates(e, cand) -> DataFrame:
 # Planes come from the md5('p<j>_<i>') family; table t owns planes
 # [t*B, (t+1)*B).
 # --------------------------------------------------------------------------
-N_TABLES = 4
-BITS_PER_TABLE = 4
 ANN_TABLES = 8
 ANN_BITS = 4
 # multiprobe operating point: FEWER tables x LONGER keys than the primary
