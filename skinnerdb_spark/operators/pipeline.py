@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from skinnerdb_spark.operators.textprims import fan_out
 from skinnerdb_spark.queries.util import read_table
@@ -174,6 +175,72 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("sh_set", "ev_set")).alias("shared_shingles"),
         )
         .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing: concatenate documents in deterministic order and split at
+# a token budget — the batch-prep step between chunking and training. This is
+# contiguous-fill packing (the pretraining default: docs are concatenated in
+# corpus order and cut at the boundary), which is pure window algebra — the
+# greedy first-fit variant would need per-row state and is deliberately NOT
+# implemented as a Python loop.
+# --------------------------------------------------------------------------
+PACK_TOKENS = 256  # sequence budget (whitespace tokens)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks),
+    binned AS (
+        SELECT source, doc_id, n_tokens,
+               CAST((cum_tokens - n_tokens) // {PACK_TOKENS} AS BIGINT) AS seq_id
+        FROM cum)
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned
+    GROUP BY source, seq_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~PACK_TOKENS-token training sequences per source:
+    running token count in deterministic (doc_id) order, sequence id =
+    which budget window the document STARTS in. Fully deterministic across
+    engines and partitionings (no greedy state, no RNG); one window shuffle
+    on source + one groupBy. Sequences can exceed the budget by at most one
+    document's tail — exactly the semantics of boundary-split concatenation
+    used in pretraining batch prep."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TOKENS)
+        .cast("long"),
+    )
+    return binned.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
 
 
