@@ -466,3 +466,128 @@ def _exact_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("both_n") > 0)
         .drop("both_n")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate CLUSTERS: iterative connected components over the verified pair
+# graph — the refinement dedup_pipeline_decisions' docstring promises. The
+# keep-lowest-id pair policy is one-hop: with chains A~B, B~C (but A!~C) it
+# drops B->A and C->B separately and never learns A,B,C are one group.
+# Cluster-level dedup needs the transitive closure.
+# --------------------------------------------------------------------------
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(i.both_n AS DOUBLE) / (sa.n + sb.n - i.both_n) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(doc, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc = e.v),
+    lbl AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+    SELECT l.doc_id, l.cluster_id, c.cluster_n
+    FROM lbl l
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_n FROM lbl
+          GROUP BY cluster_id) c USING (cluster_id)
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup graph:
+    (doc_id, cluster_id, cluster_n) for every doc in a >=0.5-Jaccard pair,
+    cluster_id = lowest doc_id reachable through dup edges.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels, until a fixpoint (checked with a
+    changed-count aggregate). ``localCheckpoint`` truncates the lineage each
+    round — without it the plan doubles per iteration and Catalyst re-analyzes
+    the whole history. Rounds needed = component diameter; near-dup clusters
+    are dense (LSH proposes most intra-cluster pairs directly), so this
+    converges in 2-3 rounds in practice. At 100 TB the loop runs on the
+    VERIFIED PAIR GRAPH only — a small fraction of the corpus — never on the
+    documents themselves; the alternating large-star/small-star formulation
+    (O(log n) rounds on adversarial chain graphs) is the drop-in upgrade if
+    component diameters ever grow. The DuckDB oracle computes the same
+    closure with a recursive CTE — feasible only at test scale, which is
+    exactly why the distributed path exists.
+
+    Reference analogue: dedup has no counterpart in the reference engine;
+    this extends its query surface for training-data curation (SURVEY §6)."""
+    verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = min_label_components(verified.select("doc_a", "doc_b"))
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_n"))
+    return labels.join(sizes, "lbl").select(
+        F.col("doc").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_n",
+    )
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """(doc, lbl) connected-component labels for an undirected pair graph
+    given as (doc_a, doc_b) rows; lbl = min node id reachable from doc.
+
+    Min-label propagation to a fixpoint — see :func:`dedup_clusters` for the
+    convergence/scale discussion. Deterministic for any input partitioning
+    (min is order-insensitive)."""
+    edges = (
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
+        .toDF("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):  # hard cap; converges in O(component diameter)
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc").alias("v"), F.col("lbl").alias("nlbl")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("doc"))
+            .agg(F.min("nlbl").alias("mlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least("lbl", F.coalesce("mlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

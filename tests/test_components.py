@@ -531,3 +531,16 @@ def test_engine_select_into_and_ddl(spark, sf_dir):
     eng.sql("CREATE OR REPLACE TEMP VIEW two_rows AS SELECT 1 AS a UNION ALL SELECT 2")
     assert eng.sql("SELECT SUM(a) AS s FROM two_rows").collect()[0].s == 3
     eng.sql("DROP VIEW two_rows")
+
+
+def test_min_label_components_transitive_chain(spark):
+    """A 5-node chain needs 4 propagation rounds — pins that the CC loop
+    reaches the TRANSITIVE closure (the one-hop keep/drop policy cannot),
+    plus an isolated 2-cycle keeping its own label."""
+    from skinnerdb_spark.operators.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc: r.lbl for r in min_label_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
