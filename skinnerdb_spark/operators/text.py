@@ -181,3 +181,79 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_shingle_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# repetition filtering (Gopher-style): the removal rules that target
+# degenerate/boilerplate docs — share of the most frequent word and
+# duplicate-n-gram fractions. Our docs are single-line word streams, so the
+# line-based rules have no signal here; the n-gram family is the applicable
+# subset. Thresholds follow the published shape but sit near this corpus's
+# median so the keep flag actually splits the data.
+# --------------------------------------------------------------------------
+TOP_WORD_MAX = 0.10  # keep if most frequent word covers <= 10% of tokens
+DUP_TRIGRAM_MAX = 0.05  # keep if <= 5% of trigrams are repeats
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+    m AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 list_max(list_transform(list_distinct(w),
+                          d -> len(list_filter(w, x -> x = d)))) AS topc,
+                 list_transform(generate_series(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i + 1]) AS bi,
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tri
+          FROM ws)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(topc AS DOUBLE) / n_words AS top_word_frac,
+           1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_bigram_frac,
+           1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) AS dup_trigram_frac,
+           CASE WHEN CAST(topc AS DOUBLE) / n_words <= {TOP_WORD_MAX}
+                 AND 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                     <= {DUP_TRIGRAM_MAX}
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+    tags=("text", "pipeline"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rule family): per doc the
+    most-frequent-word token share and the duplicate bi/tri-gram fractions,
+    plus the keep/remove decision.
+
+    Entirely in-row — every metric is a lambda fold over the row's own word
+    array (worst case O(distinct_words x n) per row for the mode count),
+    zero explodes, zero shuffles: the scan partitioning IS the parallelism,
+    so the filter runs map-side ahead of any downstream dedup shuffle."""
+    d = fan_out(read_table(spark, sf_dir, "documents"))
+    w = d.filter(F.col("text").isNotNull()).withColumn(
+        "w", F.split("text", " ")
+    ).filter(F.size("w") >= 3)
+    m = w.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.expr(
+            "array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))"
+        ).alias("topc"),
+        shingles_expr("w", k=2).alias("bi"),
+        shingles_expr("w", k=3).alias("tri"),
+    )
+    top_frac = F.col("topc").cast("double") / F.col("n_words")
+    dup_bi = F.lit(1.0) - F.size(F.array_distinct("bi")).cast("double") / F.size("bi")
+    dup_tri = F.lit(1.0) - F.size(F.array_distinct("tri")).cast("double") / F.size("tri")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        top_frac.alias("top_word_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        F.when(
+            (top_frac <= TOP_WORD_MAX) & (dup_tri <= DUP_TRIGRAM_MAX), 1
+        ).otherwise(0).alias("keep"),
+    )
