@@ -537,13 +537,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     )
-    labels = min_label_components(verified.select("doc_a", "doc_b"))
+    algo = str(spark.conf.get(CC_ALGO, "label")).lower()
+    components = star_components if algo == "star" else min_label_components
+    labels = components(verified.select("doc_a", "doc_b"))
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_n"))
     return labels.join(sizes, "lbl").select(
         F.col("doc").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         "cluster_n",
     )
+
+
+def star_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """(doc, lbl) component labels via alternating large-star / small-star
+    rounds (the MapReduce-CC formulation) — O(log n) rounds on ANY graph
+    shape, vs min-label propagation's O(diameter).
+
+    The scale story: near-dup clusters are dense, so propagation usually wins
+    (2-3 rounds, one join each); but an adversarial chain graph — e.g.
+    boilerplate documents that each only LSH-collide with their nearest
+    variant — makes propagation linear in chain length. Star contraction
+    re-wires the graph itself each round (every node to its neighborhood
+    min), halving tree heights: the worst case is logarithmic. Selectable in
+    :func:`dedup_clusters` via conf ``skinnerdb.cc.algo``; both paths are
+    equality-tested against exact union-find on random graphs
+    (tests/test_property.py).
+
+    large-star: node u connects each LARGER neighbor to min(N(u) + u).
+    small-star: each edge oriented (larger -> smaller); node u connects its
+    smaller neighbors and itself to their min. Fixpoint = star forest whose
+    centers are component minima."""
+    e = (
+        pairs.toDF("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star on the symmetrized edge list
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on the (larger -> smaller) oriented list
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        j = e1.join(mins2, "u")
+        small = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        new_e = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if new_e.exceptAll(e).union(e.exceptAll(new_e)).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    # fixpoint is a star forest: u -> center v; centers label themselves
+    return e.select(F.col("u").alias("doc"), F.col("v").alias("lbl")).union(
+        e.select(F.col("v").alias("doc"), F.col("v").alias("lbl")).distinct()
+    )
+
+
+#: conf key for dedup_clusters' CC algorithm: 'label' (min-label
+#: propagation, best for dense near-dup clusters) | 'star' (large/small-star
+#: contraction, O(log n) rounds on adversarial chain graphs)
+CC_ALGO = "skinnerdb.cc.algo"
 
 
 def min_label_components(pairs: DataFrame) -> DataFrame:
