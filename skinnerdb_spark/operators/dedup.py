@@ -567,11 +567,13 @@ def star_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
     small-star: each edge oriented (larger -> smaller); node u connects its
     smaller neighbors and itself to their min. Fixpoint = star forest whose
     centers are component minima."""
+    npart = _cc_parallelism(pairs)
     e = (
         pairs.toDF("u", "v")
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
+        .repartition(npart, "u")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
@@ -618,6 +620,18 @@ def star_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
 #: contraction, O(log n) rounds on adversarial chain graphs)
 CC_ALGO = "skinnerdb.cc.algo"
 
+#: edges per partition for the CC loops. The pair graph is orders of
+#: magnitude smaller than the corpus, so running its iterations at the
+#: corpus' shuffle width just multiplies per-task overhead by the round
+#: count; sizing from the actual edge count keeps sf0.1 on a couple of
+#: partitions while a 10^9-edge graph still fans out to thousands.
+_CC_EDGES_PER_PARTITION = 500_000
+
+
+def _cc_parallelism(pairs: DataFrame) -> int:
+    n = pairs.count()  # upstream verified-pair set is cached; this is cheap
+    return max(1, -(-n // _CC_EDGES_PER_PARTITION))
+
 
 def min_label_components(pairs: DataFrame) -> DataFrame:
     """(doc, lbl) connected-component labels for an undirected pair graph
@@ -626,15 +640,18 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     Min-label propagation to a fixpoint — see :func:`dedup_clusters` for the
     convergence/scale discussion. Deterministic for any input partitioning
     (min is order-insensitive)."""
+    npart = _cc_parallelism(pairs)
     edges = (
         pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("u", "v")
+        .repartition(npart, "u")
         .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("doc"))
         .distinct()
         .withColumn("lbl", F.col("doc"))
+        .repartition(npart, "doc")
         .localCheckpoint(eager=True)
     )
     for _ in range(64):  # hard cap; converges in O(component diameter)
