@@ -421,3 +421,78 @@ def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE seg_cnt > 5
         """
     )
+
+
+@register(
+    "window_frames",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
+                   AS day_nr
+        FROM orders WHERE o_custkey <= 200)
+    SELECT o_custkey, o_orderkey, day_nr,
+           CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day_nr
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY day_nr, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY day_nr, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_ok
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey)
+    """,
+    tags=("window", "surplus"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface beyond the ranking basics: a RANGE frame over a
+    numeric day offset (30-day trailing spend), the distribution functions
+    PERCENT_RANK / CUME_DIST / NTILE, and FIRST/LAST_VALUE over an explicit
+    full frame (the default frame stops at CURRENT ROW — the classic
+    LAST_VALUE trap).
+
+    Exactness: the frame SUM runs over DECIMAL(18,2) (bounded 30-day frames,
+    scaled magnitude far under 2^53) and casts to DOUBLE only at the end;
+    PERCENT_RANK/CUME_DIST are exact small-integer ratios — bit-identical
+    across engines. All window specs share the one partition key, so the
+    whole entry is a single hash shuffle on o_custkey."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("timestamp"))
+            .cast("long")
+            .alias("day_nr"),
+        )
+    )
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("day_nr").rangeBetween(-30, 0)
+    )
+    w_dist = Window.partitionBy("o_custkey").orderBy("price", "o_orderkey")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_nr", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_nr",
+        F.sum("price").over(w_range).cast("double").alias("spend_30d"),
+        F.percent_rank().over(w_dist).alias("pr"),
+        F.cume_dist().over(w_dist).alias("cd"),
+        F.ntile(4).over(w_dist).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(w_full).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+    )

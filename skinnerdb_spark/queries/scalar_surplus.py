@@ -185,3 +185,81 @@ def null_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unmatched"),
         )
     )
+
+
+@register(
+    "outer_join_full",
+    """
+    WITH cu AS (SELECT c_nationkey AS k, COUNT(*) AS nc
+                FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 60),
+         su AS (SELECT s_nationkey AS k, COUNT(*) AS ns
+                FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 5)
+    SELECT COALESCE(cu.k, su.k) AS nationkey, cu.nc, su.ns,
+           CASE WHEN cu.k IS NULL THEN 'supplier_only'
+                WHEN su.k IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM cu FULL OUTER JOIN su ON cu.k = su.k
+    """,
+    tags=("join", "outer", "surplus"),
+)
+def outer_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with genuinely unmatched rows on BOTH sides (the
+    HAVING cuts keep different nation subsets), COALESCE'd key + side tag.
+    Outer joins are the only §2.3 join shape the surface lacked an entry
+    for; both aggregate inputs are tiny, so AQE broadcast-ranges the join."""
+    cu = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .filter(F.col("nc") >= 60)
+    )
+    su = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= 5)
+    )
+    j = cu.alias("cu").join(su.alias("su"), F.col("cu.k") == F.col("su.k"), "full")
+    return j.select(
+        F.coalesce("cu.k", "su.k").alias("nationkey"),
+        "nc",
+        "ns",
+        F.when(F.col("cu.k").isNull(), "supplier_only")
+        .when(F.col("su.k").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@register(
+    "outer_join_on_filter",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cust_without_urgent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "outer", "surplus"),
+)
+def outer_join_on_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-vs-WHERE outer-join trap: a predicate in the LEFT JOIN's ON
+    clause filters the RIGHT side only — customers with no urgent order
+    survive as null-extended rows (the same predicate in WHERE would silently
+    turn the join inner). Catalyst must NOT push an ON-clause right-side
+    predicate below the preserved side; this entry pins that."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    j = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT"),
+        "left",
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cust_without_urgent"),
+    )
