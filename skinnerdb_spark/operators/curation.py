@@ -184,3 +184,104 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         F.when(F.col("pred_label") == F.col("own_label"), 1).otherwise(0).alias("correct"),
     )
+
+
+@register(
+    "ev_gap_fill",
+    """
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+               FROM events GROUP BY event_type, h),
+    rng AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+            FROM b GROUP BY event_type),
+    spine AS (SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+              FROM rng)
+    SELECT s.event_type, s.h,
+           COALESCE(b.n, 0) AS n,
+           CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.h = s.h
+    """,
+    tags=("events", "timeseries", "curation"),
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per event_type (from
+    that type's own observed [min, max] hour range), zero-filled where no
+    events landed — the step that makes downstream window math (moving
+    averages, anomaly z-scores) correct on sparse telemetry.
+
+    Scale shape: the spine generates from the tiny per-type range table —
+    ``sequence()`` + explode per GROUP ROW, never a cross join of types x
+    hours (a cartesian the plan suite bans); the join back to hourly counts
+    is aggregate-to-aggregate, orders of magnitude smaller than the event
+    stream."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    return spine.join(b, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "surplus"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority x status, via Spark's native
+    .pivot() with the value list given EXPLICITLY — the at-scale contract
+    (without it Spark runs an extra distinct-collect job over the fact table
+    to discover column values, and the output schema becomes data-dependent).
+    Missing combinations coalesce to 0 to match SQL's SUM(CASE...)."""
+    o = read_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(c, F.lit(0)).cast("bigint").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    """
+    SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey <= 200
+    """,
+    tags=("pivot", "surplus"),
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide attribute columns to (key, attr, val) long form —
+    Spark's native .unpivot (one pass, map-side; the UNION ALL oracle form
+    would scan the table once per attribute)."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select("p_partkey", F.col("p_retailprice").alias("retailprice"),
+                F.col("p_size").cast("double").alias("size"))
+    )
+    return p.unpivot("p_partkey", ["retailprice", "size"], "attr", "val")
