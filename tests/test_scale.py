@@ -88,3 +88,47 @@ def test_aggregate_two_phase_merge_fns(spark, sf_dir):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     with pytest.raises(ValueError, match="merge"):
         aggregate_two_phase(l, ["l_returnflag"], {"a": F.avg("l_quantity")}, merge="avg")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning — a first-class 100 TB lever: a
+    selective dim filter is turned into a bloom filter applied to the fact
+    side BEFORE its shuffle, cutting shuffle write by the dim selectivity.
+    At real scale Spark injects it by default (fact scan >= 10 GB); the test
+    only lowers the application-side threshold because test inputs are tiny.
+    Asserts the plan carries might_contain + bloom_filter_agg and that
+    results are unchanged."""
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = read_table(spark, sf_dir, "lineitem")
+        p = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        q = l.join(p, F.col("l_partkey") == F.col("p_partkey")).groupBy(
+            "p_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        baseline = sorted(map(tuple, q.collect()))
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        q2 = l.join(p, F.col("l_partkey") == F.col("p_partkey")).groupBy(
+            "p_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = q2._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, "bloom filter not injected on fact side"
+        assert "bloom_filter_agg" in plan, "bloom filter not built from dim side"
+        assert sorted(map(tuple, q2.collect())) == baseline
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
