@@ -257,3 +257,36 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (top_frac <= TOP_WORD_MAX) & (dup_tri <= DUP_TRIGRAM_MAX), 1
         ).otherwise(0).alias("keep"),
     )
+
+
+@register(
+    "docs_length_quantiles",
+    """
+    SELECT source,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75,
+           quantile_cont(n_chars, 0.95) AS q95
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "pipeline"),
+)
+def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles — the distribution table length
+    filters and packing budgets are tuned from.
+
+    Exact `percentile` (identical linear interpolation to DuckDB's
+    quantile_cont — bit-equal, gate-verified), which buffers each group's
+    values in an ObjectHashAggregate. That is the honest cost of EXACT order
+    statistics; it is fine while any single group's values fit an executor
+    (millions of docs per source), and the drop-in at true 100 TB group
+    cardinality is approx_percentile (t-digest-style sketch, engine-specific
+    results — which is exactly why the registered entry is the exact one)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        *[
+            F.expr(f"percentile(n_chars, {q})").alias(f"q{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

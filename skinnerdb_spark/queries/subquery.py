@@ -159,3 +159,36 @@ def subq_from_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("order_rev")).alias("year_rev"),
     )
+
+
+@register(
+    "lateral_top1_order",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey
+                              LIMIT 1) t
+    WHERE c.c_custkey <= 500
+    """,
+    tags=("subquery", "lateral", "surplus"),
+)
+def lateral_top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — top-1-per-key as
+    the SQL standard writes it. Catalyst decorrelates the per-row subquery
+    into a join + per-key limit rather than re-executing it per customer row
+    (the reference's unnesting visitor has no lateral support at all —
+    SURVEY §3.1); customers with no orders drop, per inner-lateral
+    semantics. Runs through the engine's spark.sql surface."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey
+                                  LIMIT 1) t
+        WHERE c.c_custkey <= 500
+        """
+    )
