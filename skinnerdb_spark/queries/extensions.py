@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from skinnerdb_spark.functions.exact import DS, dsum
-from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.queries.util import read_table, ts
 from skinnerdb_spark.registry import register
 
 
@@ -471,9 +471,9 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-            F.datediff("o_orderdate", F.lit("1992-01-01").cast("timestamp"))
-            .cast("long")
-            .alias("day_nr"),
+            # NTZ literal: a plain cast("timestamp") would build an LTZ
+            # literal and shift day boundaries under a non-UTC session
+            F.datediff("o_orderdate", ts("1992-01-01")).cast("long").alias("day_nr"),
         )
     )
     w_range = (

@@ -49,7 +49,15 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "dedup_minhash_lsh", "contamination_check", "sim_lsh_multiprobe",
              "asof_latest_order", "range_join_ship_window", "text_fingerprint",
              "sample_class_balanced", "events_json_extract", "docs_source_mix",
-             "knn_label_vote", "embed_quantize", "dedup_embed_cosine"]:
+             "knn_label_vote", "embed_quantize", "dedup_embed_cosine",
+             # round-4 continuation entries — timestamp-bearing ones
+             # (window_frames, ev_gap_fill) are exactly what this session
+             # exists to catch, the rest ride along cheaply
+             "window_frames", "ev_gap_fill", "pack_sequences",
+             "dedup_clusters", "text_repetition", "outer_join_full",
+             "outer_join_on_filter", "pivot_status_by_priority",
+             "unpivot_part_attrs", "docs_length_quantiles",
+             "lateral_top1_order"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
