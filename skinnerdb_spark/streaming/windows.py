@@ -205,8 +205,11 @@ def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") 
     # nanosAsLong surfaces TIMESTAMP(NANOS) as bigint; truncate to micros.
     # Watermarks require TIMESTAMP (tz-aware), not NTZ — under the UTC session
     # the wall-clock values match the batch path's TIMESTAMP_NTZ.
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", watermark)
 
 
