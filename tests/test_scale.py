@@ -19,13 +19,28 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert salted == plain
 
 
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    # managed tables land in spark.sql.warehouse.dir (cwd/spark-warehouse by
-    # default); that's fine for the test, clean up the tables after
-    yield
-    for t in ("b_lineitem", "b_orders"):
+def _purge_tables(spark, names):
+    """Drop catalog entries AND stale managed-table directories: a crashed
+    session can leave spark-warehouse/<t> behind with no catalog entry, and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    warehouse_dir = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    for t in names:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse_dir / t, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    # managed tables land in spark.sql.warehouse.dir (cwd/spark-warehouse by
+    # default); purge stale dirs up front (idempotence) and clean up after
+    tables = ("b_lineitem", "b_orders")
+    _purge_tables(spark, tables)
+    yield
+    _purge_tables(spark, tables)
 
 
 def test_bucketed_join_elides_shuffle(spark, sf_dir, warehouse):
