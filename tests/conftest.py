@@ -9,6 +9,9 @@ from skinnerdb_spark.catalog import TABLES, table_path
 from skinnerdb_spark.session import get_spark
 
 SF_DIR = os.environ.get("SKINNER_TEST_SF_DIR", "/root/testdata/sf0.001")
+# static oracle SQL (e.g. sim_ivf_ann's persisted-index path) must target the
+# SF the tests run at — pin before the registry is populated
+os.environ.setdefault("SKINNER_ORACLE_SF_DIR", SF_DIR)
 
 
 @pytest.fixture(scope="session")
