@@ -206,6 +206,8 @@ class QueryGraph:
     #: shape signature (no filter constants): same join graph -> same
     #: template family, eligible for cross-query order reuse
     shape_sig: tuple = field(default=())
+    #: leaves the user marked F.broadcast() — re-hinted at chain rebuild
+    hinted: frozenset[str] = field(default=frozenset())
 
     def ensure_sizes(self) -> None:
         """Optimizer-stat size estimates per leaf (no jobs run). Deferred:
@@ -257,8 +259,13 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
             continue
         raise ExtractionError(f"no reorderable join under operator {c}")
 
-    # -- flatten the inner-join subtree; non-join children are the leaves
+    # -- flatten the inner-join subtree; non-join children are the leaves.
+    # Broadcast hints (F.broadcast(dim)) are unwrapped here and re-applied at
+    # chain-rebuild time: a ResolvedHint left on a STANDALONE leaf plan would
+    # be analyzed hint-in-hand with no enclosing join (size estimation,
+    # sampled episodes) and Catalyst drops it with a HintErrorLogger warning.
     leaf_plans: list[Any] = []
+    leaf_hinted: list[bool] = []
 
     def flatten(jn: Any) -> None:
         if _cls(jn) == "Join":
@@ -271,7 +278,12 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
             for child in _j(spark, jn.children()):
                 flatten(child)
         else:
+            hinted = False
+            while _cls(jn) == "ResolvedHint":
+                hinted = hinted or "broadcast" in jn.hints().toString().lower()
+                jn = jn.child()
             leaf_plans.append(jn)
+            leaf_hinted.append(hinted)
 
     flatten(node)
     if len(leaf_plans) < 3:
@@ -371,6 +383,7 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
         out_attrs=list(_j(spark, analyzed.output())),
         signature=signature,
         shape_sig=shape_sig,
+        hinted=frozenset(n for n, h in zip(names, leaf_hinted) if h),
     )
 
 
@@ -380,8 +393,16 @@ def build_graph_chain(
     """Left-deep chain in ``order`` with every conjunct attached at its
     earliest bound position; exprId-resolved conditions, so safe under
     duplicate names."""
+    import pyspark.sql.functions as _F
+
     leaves = leaves or graph.leaves
-    acc = leaves[order[0]]
+
+    def leaf(t: str) -> DataFrame:
+        # re-apply the user's broadcast hint INSIDE a join relation (see
+        # extract_query_graph: standalone hinted leaves are unwrapped)
+        return _F.broadcast(leaves[t]) if t in graph.hinted else leaves[t]
+
+    acc = leaf(order[0])
     bound = {order[0]}
     used: set[int] = set()
     post_used: set[int] = set()
@@ -404,7 +425,7 @@ def build_graph_chain(
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c
-        acc = acc.join(leaves[t], cond)
+        acc = acc.join(leaf(t), cond)
         bound.add(t)
         acc = attach_post(acc)
     # edges between leaves both bound before either side joined (shouldn't

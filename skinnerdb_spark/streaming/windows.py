@@ -192,8 +192,13 @@ def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") 
     watermark — the late-data bound a production pipeline would set."""
     import os
 
-    # defensive: callers may pass a session built outside session.py
+    # defensive: callers may pass a session built outside session.py. Pin the
+    # session timezone too (matching session.py): the NTZ->timestamp cast
+    # below is timezone-dependent, and in a DST-observing zone it is
+    # non-linear across transitions, which would distort watermark eviction
+    # and stream-stream join interval bounds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(src_dir).schema
     reader = spark.readStream.schema(schema)
     if os.path.isfile(src_dir):
