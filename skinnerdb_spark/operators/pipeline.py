@@ -128,6 +128,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 EVAL_DOCS = 20
 CONTAM_MIN_SHARED = 2
+#: hard ceiling on the broadcast eval-shingle array (same guard pattern as
+#: dedup's skinnerdb.lsh.maxBucket): the check assumes "eval set is megabytes,
+#: corpus is 100 TB" — a mis-scoped EVAL_DOCS boundary would otherwise fold an
+#: unbounded shingle set into one row and OOM an executor. A fired cap
+#: degrades LOUDLY: warning here + :func:`contamination_eval_report`.
+CONTAM_MAX_EVAL = "skinnerdb.contamination.maxEvalShingles"
+_CONTAM_MAX_EVAL_DEFAULT = 1_000_000
+
+
+def _capped_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row (ev_set) DataFrame of distinct eval shingles, deterministically
+    truncated to the conf cap (lexicographic order, lowest first)."""
+    from skinnerdb_spark.operators.dedup import shared_shingle_sets
+
+    cap = int(spark.conf.get(CONTAM_MAX_EVAL, str(_CONTAM_MAX_EVAL_DEFAULT)))
+    if cap != _CONTAM_MAX_EVAL_DEFAULT:
+        import warnings
+
+        warnings.warn(
+            f"{CONTAM_MAX_EVAL}={cap} (non-default): a fired cap drops eval "
+            "shingles and contamination_check may diverge from the uncapped "
+            "DuckDB oracle; see contamination_eval_report()",
+            stacklevel=2,
+        )
+    sets = shared_shingle_sets(spark, sf_dir)
+    return (
+        sets.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("sh_set").alias("s"))
+        .agg(F.slice(F.array_sort(F.collect_set("s")), 1, cap).alias("ev_set"))
+    )
+
+
+def contamination_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_eval_shingles, cap, n_dropped): what the eval-array cap
+    would drop — the contamination twin of dedup.hot_bucket_report ('no
+    silent caps')."""
+    from skinnerdb_spark.operators.dedup import shared_shingle_sets
+
+    cap = int(spark.conf.get(CONTAM_MAX_EVAL, str(_CONTAM_MAX_EVAL_DEFAULT)))
+    return (
+        shared_shingle_sets(spark, sf_dir)
+        .filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("sh_set").alias("s"))
+        .agg(F.count_distinct(F.col("s")).alias("n_eval_shingles"))
+        .select(
+            "n_eval_shingles",
+            F.lit(cap).alias("cap"),
+            F.greatest(F.col("n_eval_shingles") - cap, F.lit(0)).alias("n_dropped"),
+        )
+    )
 
 
 @register(
@@ -158,15 +208,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``size(array_intersect(...))`` per corpus doc (the same in-row shape as
     the dedup verify stage, dedup.py:_exact_jaccard_on_candidates): zero
     explodes, zero shuffles over the corpus — the shape that works when the
-    corpus is 100 TB and the eval set is megabytes."""
+    corpus is 100 TB and the eval set is megabytes. The folded array is
+    bounded by ``skinnerdb.contamination.maxEvalShingles`` (default 1M —
+    never fires on a sane eval set); a fired cap warns and is observable via
+    :func:`contamination_eval_report`."""
     from skinnerdb_spark.operators.dedup import shared_shingle_sets
 
     sets = shared_shingle_sets(spark, sf_dir)
-    ev = (
-        sets.filter(F.col("doc_id") < EVAL_DOCS)
-        .select(F.explode("sh_set").alias("s"))
-        .agg(F.collect_set("s").alias("ev_set"))
-    )
+    ev = _capped_eval_set(spark, sf_dir)
     return (
         sets.filter(F.col("doc_id") >= EVAL_DOCS)
         .crossJoin(F.broadcast(ev))

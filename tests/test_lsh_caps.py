@@ -111,3 +111,43 @@ def test_simhash_drops_null_text(spark, tmp_path):
     assert got == {0, 2}, f"NULL-text doc must be dropped, got {got}"
     sigs = {r["doc_id"]: r["simhash"] for r in out}
     assert sigs[0] == sigs[2]
+
+
+def test_contamination_eval_cap_bounds_array_and_reports(spark, sf_dir):
+    """The eval-shingle cap is the contamination twin of the LSH hot-bucket
+    guard: a tiny cap must bound the broadcast array, warn about oracle
+    divergence, and report exactly how many shingles were dropped."""
+    from skinnerdb_spark.operators.pipeline import (
+        CONTAM_MAX_EVAL,
+        _capped_eval_set,
+        contamination_check,
+        contamination_eval_report,
+    )
+
+    full = contamination_eval_report(spark, sf_dir).collect()[0]
+    assert full["n_dropped"] == 0, "default cap must never fire on test data"
+    uncapped_hits = contamination_check(spark, sf_dir).count()
+
+    prev = spark.conf.get(CONTAM_MAX_EVAL, None)
+    spark.conf.set(CONTAM_MAX_EVAL, "3")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ev = _capped_eval_set(spark, sf_dir).collect()[0]["ev_set"]
+        assert any(CONTAM_MAX_EVAL in str(x.message) for x in w), (
+            "non-default cap must warn about oracle divergence"
+        )
+        assert len(ev) == 3, "broadcast eval array must be bounded by the cap"
+        assert ev == sorted(ev), "truncation must be deterministic (sorted)"
+        rep = contamination_eval_report(spark, sf_dir).collect()[0]
+        assert rep["cap"] == 3
+        assert rep["n_dropped"] == rep["n_eval_shingles"] - 3 > 0
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            capped_hits = contamination_check(spark, sf_dir).count()
+        assert capped_hits <= uncapped_hits, "capping can only lose hits"
+    finally:
+        if prev is None:
+            spark.conf.unset(CONTAM_MAX_EVAL)
+        else:
+            spark.conf.set(CONTAM_MAX_EVAL, prev)
