@@ -92,3 +92,72 @@ def _make(suffix: str, brand: str | None, region: str | None, qlo: int, qhi: int
 
 for _v in _VARIANTS:
     _make(*_v)
+
+
+# ---------------------------------------------------------------------------
+# job_deep15 — the reference's DEEPEST query shape as a registry entry:
+# 15 relations with alias reuse (lineitem x2, orders x2, nation x3, region x3),
+# stacked LIKE / NOT LIKE, a date band, and two cross-alias theta predicates —
+# the imdb/queries/29a.sql class (17 relations; the t12_deep17_* corpus files
+# cover 17). Kept in byte-sync with queries_sql/t11_deep15_01.sql, which the
+# bench drives through Engine.adaptive_sql.
+# ---------------------------------------------------------------------------
+import os as _os
+
+_T11_FILE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "queries_sql",
+    "t11_deep15_01.sql",
+)
+with open(_T11_FILE) as _f:
+    _DEEP15_ORACLE = _f.read()
+
+
+@register("job_deep15", _DEEP15_ORACLE, tags=("job", "family", "deep", "adaptive"))
+def job_deep15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-way snowflake with self-joins: two items of one order, each with a
+    full part -> supplier -> nation -> region chain, the customer's
+    nation -> region chain, and a repeat-purchase orders alias bound by a
+    date theta. Routed through the adaptive join-order bandit — the widest
+    graph it learns (15 leaves; extraction handles the dup-alias naming and
+    places both theta conjuncts at their earliest bound position)."""
+    rt = read_table
+    l1 = rt(spark, sf_dir, "lineitem")
+    l2 = rt(spark, sf_dir, "lineitem")
+    o = rt(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    o2 = rt(spark, sf_dir, "orders")
+    c = rt(spark, sf_dir, "customer").filter(F.col("c_name").like("Customer#%"))
+    n1, n2, n3 = (rt(spark, sf_dir, "nation") for _ in range(3))
+    r1 = rt(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r2, r3 = (rt(spark, sf_dir, "region") for _ in range(2))
+    p1 = rt(spark, sf_dir, "part").filter(F.col("p_name").like("%re%"))
+    p2 = rt(spark, sf_dir, "part").filter(~F.col("p_name").like("%blue%"))
+    s1, s2 = (rt(spark, sf_dir, "supplier") for _ in range(2))
+    return adaptive(
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .join(l2, l2["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(o2, o2["o_custkey"] == c["c_custkey"])
+        .join(B(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(B(r1), n1["n_regionkey"] == r1["r_regionkey"])
+        .join(p1, l1["l_partkey"] == p1["p_partkey"])
+        .join(B(s1), l1["l_suppkey"] == s1["s_suppkey"])
+        .join(B(n2), s1["s_nationkey"] == n2["n_nationkey"])
+        .join(B(r2), n2["n_regionkey"] == r2["r_regionkey"])
+        .join(p2, l2["l_partkey"] == p2["p_partkey"])
+        .join(B(s2), l2["l_suppkey"] == s2["s_suppkey"])
+        .join(B(n3), s2["s_nationkey"] == n3["n_nationkey"])
+        .join(B(r3), n3["n_regionkey"] == r3["r_regionkey"])
+        .filter(l1["l_linenumber"] < l2["l_linenumber"])
+        .filter(o2["o_orderdate"] > o["o_orderdate"])
+        .agg(
+            F.min(p1["p_name"]).alias("min_p1"),
+            F.min(p2["p_name"]).alias("min_p2"),
+            F.min(n2["n_name"]).alias("min_suppnation1"),
+            F.min(r3["r_name"]).alias("min_suppregion2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -300,7 +300,8 @@ def _deep_corpus() -> list[str]:
     corpus = os.path.join(os.path.dirname(__file__), "..", "queries_sql")
     return sorted(
         os.path.basename(p)
-        for pat in ("t8_deep8_*.sql", "t9_deep10_*.sql", "t10_deep12_*.sql")
+        for pat in ("t8_deep8_*.sql", "t9_deep10_*.sql", "t10_deep12_*.sql",
+                    "t11_deep15_*.sql", "t12_deep17_*.sql")
         for p in glob.glob(os.path.join(corpus, pat))
     )
 

@@ -273,6 +273,90 @@ WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
     )
 
 
+# ------------------------------------------------------------ T11: deep15
+# 15-leaf, the reference's deepest-shape family (imdb/queries/29a.sql: 17
+# relations, alias reuse, stacked LIKE + range predicates). Two items of one
+# order, each with its FULL part -> supplier -> nation -> region chain, the
+# customer's nation -> region chain, plus a repeat-purchase orders alias
+# (o2 by the same customer, strictly later) — multiple LIKE / NOT LIKE and a
+# date band, exactly the 29a predicate mix.
+_T11 = [
+    ("%re%", "%blue%", "ASIA", "1995-01-01", "1997-01-01"),
+    ("%an%", "%red%", "EUROPE", "1996-01-01", "1998-01-01"),
+    ("%ol%", "%green%", "AMERICA", "1995-06-01", "1998-06-01"),
+    ("%id%", "%white%", "AFRICA", "1996-06-01", "1999-01-01"),
+    ("%in%", "%pink%", "MIDDLE EAST", "1995-01-01", "1998-01-01"),
+    ("%ge%", "%ivory%", "ASIA", "1996-01-01", "1999-01-01"),
+]
+for i, (like1, nlike2, region, dlo, dhi) in enumerate(_T11, 1):
+    add(
+        f"t11_deep15_{i:02d}",
+        f"""
+SELECT MIN(p1.p_name) AS min_p1, MIN(p2.p_name) AS min_p2,
+       MIN(n2.n_name) AS min_suppnation1, MIN(r3.r_name) AS min_suppregion2,
+       COUNT(*) AS n_rows
+FROM lineitem l1, lineitem l2, orders o, orders o2, customer c,
+     nation n1, region r1, part p1, supplier s1, nation n2, region r2,
+     part p2, supplier s2, nation n3, region r3
+WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey AND o2.o_custkey = c.c_custkey
+  AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
+  AND l1.l_partkey = p1.p_partkey AND l1.l_suppkey = s1.s_suppkey
+  AND s1.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+  AND l2.l_partkey = p2.p_partkey AND l2.l_suppkey = s2.s_suppkey
+  AND s2.s_nationkey = n3.n_nationkey AND n3.n_regionkey = r3.r_regionkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND o2.o_orderdate > o.o_orderdate
+  AND p1.p_name LIKE '{like1}' AND p2.p_name NOT LIKE '{nlike2}'
+  AND c.c_name LIKE 'Customer#%'
+  AND o.o_orderdate >= TIMESTAMP '{dlo} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{dhi} 00:00:00'
+  AND r1.r_name = '{region}'
+""",
+    )
+
+# ------------------------------------------------------------ T12: deep17
+# 17-leaf — matches the widest reference shape (29a.sql's 17 relations):
+# THREE items of one order (linenumber-ordered triple), each with its own
+# part, the first two with supplier -> nation chains, customer side with
+# nation -> region, repeat-purchase o2, stacked LIKEs + date band.
+_T12 = [
+    ("%re%", "%blue%", "PROMO%", "ASIA", "1995-01-01", "1998-01-01"),
+    ("%an%", "%red%", "ECONOMY%", "EUROPE", "1995-06-01", "1998-06-01"),
+    ("%ea%", "%green%", "STANDARD%", "AMERICA", "1996-01-01", "1999-01-01"),
+    ("%ar%", "%white%", "SMALL%", "AFRICA", "1995-01-01", "1999-01-01"),
+]
+for i, (like1, nlike2, tlike3, region, dlo, dhi) in enumerate(_T12, 1):
+    add(
+        f"t12_deep17_{i:02d}",
+        f"""
+SELECT MIN(p1.p_name) AS min_p1, MIN(p2.p_name) AS min_p2,
+       MIN(p3.p_name) AS min_p3, MIN(n2.n_name) AS min_suppnation1,
+       COUNT(*) AS n_rows
+FROM lineitem l1, lineitem l2, lineitem l3, orders o, orders o2, customer c,
+     nation n1, region r1, part p1, supplier s1, nation n2,
+     part p2, supplier s2, nation n3, part p3, supplier s3, nation n4
+WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
+  AND l3.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey AND o2.o_custkey = c.c_custkey
+  AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
+  AND l1.l_partkey = p1.p_partkey AND l1.l_suppkey = s1.s_suppkey
+  AND s1.s_nationkey = n2.n_nationkey
+  AND l2.l_partkey = p2.p_partkey AND l2.l_suppkey = s2.s_suppkey
+  AND s2.s_nationkey = n3.n_nationkey
+  AND l3.l_partkey = p3.p_partkey AND l3.l_suppkey = s3.s_suppkey
+  AND s3.s_nationkey = n4.n_nationkey
+  AND l1.l_linenumber < l2.l_linenumber AND l2.l_linenumber < l3.l_linenumber
+  AND o2.o_orderdate > o.o_orderdate
+  AND p1.p_name LIKE '{like1}' AND p2.p_name NOT LIKE '{nlike2}'
+  AND p3.p_type LIKE '{tlike3}'
+  AND o.o_orderdate >= TIMESTAMP '{dlo} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{dhi} 00:00:00'
+  AND r1.r_name = '{region}'
+""",
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, sql in sorted(queries.items()):
