@@ -459,11 +459,17 @@ def _multi_ann(
     tags=("similarity", "pipeline", "lsh"),
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Primary LSH ANN: candidates = union of 8 independent 4-bit bucket
+    """Sign-LSH ANN: candidates = union of 8 independent 4-bit bucket
     joins, exact cosine top-k on candidates only. Measured recall@5 = 0.64 on
-    the (worst-case, near-orthogonal) test corpus at ~40% candidate cost —
-    the recall >= 0.6 operating point; bench.py emits the live recall number
-    vs sim_bruteforce_topk."""
+    the (worst-case, near-orthogonal) test corpus at ~40% candidate cost.
+
+    DESIGN POINT, not the default: a cost-recall sweep (PERFORMANCE.md,
+    round 5) showed sign-LSH cannot reach recall 0.8 on this corpus below
+    ~57% candidate cost (4x5-bit Hamming-1: 0.86 @ 0.571; 8x3: 0.88 @ 0.644)
+    — random hyperplanes don't adapt to the data. The DEFAULT ANN entry is
+    sim_ivf_ann (learned k-means cells: 0.86 @ 0.121); sign-LSH stays as the
+    train-free variant for streaming-ingest corpora where retraining
+    centroids is not an option. bench.py emits live recall for all three."""
     return _multi_ann(spark, sf_dir, ANN_TABLES, ANN_BITS)
 
 
