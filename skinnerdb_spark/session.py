@@ -58,6 +58,16 @@ def get_spark(
         # Dimension tables (region/nation/supplier/part at bench SF) are tiny;
         # raise the auto-broadcast bound so star joins broadcast by default.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # In local mode the driver JVM IS the executor: all task threads,
+        # broadcast builds, and window buffers share its heap, and the
+        # unconfigured default is 1g — which GC-thrashes a 32-thread bench
+        # (run-to-run drift) and sporadically fails broadcast builds with
+        # "Not enough memory to build and broadcast". Size it to the machine
+        # (only effective at JVM launch; a getOrCreate() against an already
+        # running JVM leaves it unchanged). On a real cluster executors carry
+        # their own spark.executor.memory; this knob then only covers
+        # driver-side collects and broadcast staging.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
