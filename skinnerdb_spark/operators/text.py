@@ -290,3 +290,117 @@ def docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (SELECT doc_id, t.term
+             FROM d, UNNEST(string_split(text, ' ')) AS t(term)
+             WHERE t.term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+    ranked AS (
+        SELECT doc_id, term, tf, df, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS BIGINT) AS rnk
+        FROM scored)
+    SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "pipeline", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — keyword extraction for corpus
+    curation dashboards. Scoring is tf * N / df on EXACT integers with one
+    IEEE double division (correctly rounded in both engines — hash-stable),
+    deliberately NOT log-scaled: libm log() is not bit-reproducible across
+    engines, and the per-doc RANKING under tf*N/df is the same monotone
+    order as tf*log-idf for df < N.
+
+    Scale shape: explode is map-side; (doc_id, term) tf and term df are two
+    hash aggregations; the df join rides the term partitioning; the final
+    per-doc top-3 is one window. No UDFs, no collects."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+@register(
+    "docs_vocab_stats",
+    """
+    WITH toks AS (
+        SELECT source, t.term
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+        WHERE text IS NOT NULL AND LENGTH(text) > 0 AND t.term <> ''),
+    counts AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY source, term)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+    FROM counts
+    GROUP BY source
+    """,
+    tags=("text", "pipeline", "vocab"),
+)
+def docs_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token count, vocabulary size, hapax
+    legomena (corpus frequency 1), and type-token ratio — the Zipf-shape
+    signals a curation pipeline watches for synthetic/templated text (low
+    TTR, few hapaxes) vs natural text.
+
+    Two hash aggregations — (source, term) then source — with map-side
+    partial aggregation on both; the explode never leaves the mapper. The
+    ratio is one exact-int double division (hash-stable)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )

@@ -183,10 +183,63 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_stream_dedup",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+                 AS n_total
+        FROM events)
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+           value AS first_value, n_total - 1 AS n_dupes
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("events", "dedup", "streaming"),
+)
+def ev_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of watermarked streaming deduplication
+    (``dropDuplicates`` on (user_id, event_type) — see
+    :func:`stream_dedup`): the deterministic form keeps the EARLIEST event
+    per key (event-time order, event_id tiebreak) and reports how many
+    duplicates the stream would have suppressed. One shuffle on the dedup
+    key; at stream scale the state store holds one row per live key inside
+    the watermark horizon."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("value").alias("first_value"),
+            (F.col("n_total") - 1).alias("n_dupes"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # real Structured Streaming entry points (no oracle — stream semantics; the
 # batch twins above are the value-verified forms)
 # --------------------------------------------------------------------------
+def stream_dedup(spark: SparkSession, src_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked streaming deduplication: at-most-one emitted row per
+    (user_id, event_type) among events inside the watermark horizon —
+    Structured Streaming's dropDuplicatesWithinWatermark-style state-bounded
+    dedup (state evicts as the watermark advances). The value-verified batch
+    twin is :func:`ev_stream_dedup`."""
+    return stream_events(spark, src_dir, watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
 def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") -> DataFrame:
     """readStream over the events parquet directory with an event-time
     watermark — the late-data bound a production pipeline would set."""

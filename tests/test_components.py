@@ -252,6 +252,24 @@ def test_stream_dedup_drop_duplicates(spark, sf_dir):
     assert rows[-1]["count"] == batch_n
 
 
+def test_stream_dedup_matches_batch_twin_keys(spark, sf_dir):
+    """stream_dedup (watermarked dropDuplicates on (user_id, event_type))
+    emits exactly one row per key — the same key set as the deterministic
+    batch twin ev_stream_dedup (which additionally pins WHICH row wins)."""
+    from skinnerdb_spark.streaming.windows import ev_stream_dedup, stream_dedup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    deduped = stream_dedup(spark, src).select("user_id", "event_type")
+    rows = run_stream_once(deduped, "t_stream_dedup_twin", output_mode="append")
+    stream_keys = {(r["user_id"], r["event_type"]) for r in rows}
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev_stream_dedup(spark, sf_dir).collect()
+    }
+    assert stream_keys == batch_keys
+    assert len(rows) == len(stream_keys), "at most one emission per key"
+
+
 def test_stream_static_enrichment_join(spark, sf_dir):
     """Streaming events enriched against the static customer dim."""
     from skinnerdb_spark.streaming.windows import stream_enriched
