@@ -7,7 +7,7 @@ Command surface, mapped 1:1 onto the Engine facade:
     help                      this text
     list                      tables in the session catalog
     load <tbl> <csv> [sep]    CSV -> parquet-backed view (LoadCSV analogue)
-    compress                  no-op (Parquet dictionary pages are always on)
+    compress [tbl]            rewrite table(s) as dictionary+zstd parquet
     index all | index <tbl>   cache table(s) in columnar RAM (Indexer analogue)
     bench <dir>               run a .sql directory with per-query stats
     exec <file>               run each ';'-terminated statement in a file
@@ -34,7 +34,7 @@ quit                      exit the console
 help                      show this help
 list                      list tables
 load <tbl> <csv> [sep]    register a CSV file as table <tbl>
-compress                  no-op (Parquet dictionary encoding is always on)
+compress [tbl]            rewrite table(s) as dictionary+zstd parquet, re-point views
 index all | index <tbl>   cache table(s) in memory
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
@@ -65,7 +65,18 @@ class Console:
         if cmd == "list":
             return "\n".join(t.name for t in self.engine.spark.catalog.listTables())
         if cmd == "compress":
-            return "compression is automatic (Parquet dictionary pages)"
+            # reference: Compressor.compress() dictionary-encodes string
+            # columns and updates the catalog (Compressor.java:31-49); here
+            # the tables are rewritten as dictionary+zstd parquet and the
+            # session views re-pointed at the compressed copies
+            names = [rest.strip()] if rest.strip() else None
+            rep = self.engine.compress_tables(names)
+            lines = [
+                f"{r['table']}: {r['bytes_before']} -> {r['bytes_after']} bytes"
+                f" (x{r['ratio']})"
+                for r in rep
+            ]
+            return "\n".join(lines)
         if cmd == "index":
             return self._index(rest.strip())
         if cmd == "load":

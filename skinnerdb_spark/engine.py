@@ -35,7 +35,54 @@ class Engine:
     def attach_warehouse(self, sf_dir: str) -> None:
         """Register every warehouse table as a view (the reference's eager
         BufferManager.loadDB, minus the eagerness)."""
+        self.sf_dir = sf_dir
         register_views(self.spark, sf_dir)
+
+    def compress_tables(self, names: list[str] | None = None) -> list[dict]:
+        """Rewrite warehouse tables as dictionary+zstd parquet and re-point
+        their views at the compressed copies — the Spark-native form of the
+        reference's `compress` command (src/compression/Compressor.java:31-49
+        dictionary-encodes string columns, persists the encoded data, and
+        updates the catalog so subsequent queries scan compressed columns).
+        Parquet dictionary pages ARE that string dictionary; zstd shrinks
+        the rest. Returns per-table {table, bytes_before, bytes_after,
+        ratio}; subsequent session queries read the compressed copies."""
+        import os
+
+        from skinnerdb_spark.catalog import TABLES, read_table, table_path
+
+        def du(path: str) -> int:
+            if os.path.isfile(path):
+                return os.path.getsize(path)
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+
+        out_root = os.path.join("spark-warehouse", "compressed")
+        report = []
+        for t in names or TABLES:
+            src = table_path(self.sf_dir, t)
+            dst = os.path.join(out_root, t)
+            (
+                read_table(self.spark, self.sf_dir, t)
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.enable.dictionary", "true")
+                .parquet(dst)
+            )
+            self.spark.read.parquet(dst).createOrReplaceTempView(t)
+            before, after = du(src), du(dst)
+            report.append(
+                {
+                    "table": t,
+                    "bytes_before": before,
+                    "bytes_after": after,
+                    "ratio": round(after / before, 4) if before else None,
+                }
+            )
+        return report
 
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)

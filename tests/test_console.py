@@ -26,7 +26,7 @@ def test_help_list_quit(console):
     assert "bench" in console.handle("help")
     assert "lineitem" in console.handle("list")
     assert console.handle("quit") is None
-    assert console.handle("compress")  # no-op but responds
+    assert "region:" in console.handle("compress region")  # real rewrite + report
 
 
 def test_explain(console):
@@ -74,3 +74,16 @@ def test_explain_adaptive(console):
     assert "chosen order:" in out and ("episodes" in out or "single connected" in out)
     out2 = console.handle("explain adaptive SELECT COUNT(*) AS n FROM region")
     assert "not adaptive" in out2
+
+
+def test_compress_rewrites_and_repoints(console, spark):
+    """`compress <tbl>` rewrites the table as dictionary+zstd parquet,
+    re-points the session view, and query results are unchanged
+    (Compressor.java parity: compressed data, same answers)."""
+    before = spark.sql("SELECT COUNT(*) AS n, MIN(n_name) AS m FROM nation").collect()
+    out = console.handle("compress nation")
+    assert "nation:" in out and "bytes" in out
+    after = spark.sql("SELECT COUNT(*) AS n, MIN(n_name) AS m FROM nation").collect()
+    assert after == before
+    import os
+    assert os.path.isdir(os.path.join("spark-warehouse", "compressed", "nation"))
