@@ -285,3 +285,109 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p_size").cast("double").alias("size"))
     )
     return p.unpivot("p_partkey", ["retailprice", "size"], "attr", "val")
+
+
+# --------------------------------------------------------------------------
+# funnel analysis: ordered view -> click -> purchase conversion per user —
+# the product-analytics staple (a MATCH_RECOGNIZE-lite over event sequences).
+# Each step must occur strictly AFTER the previous step's first occurrence.
+# --------------------------------------------------------------------------
+@register(
+    "ev_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.first_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("events", "funnel", "curation"),
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: per user, the first 'view', the first 'click'
+    after that view, and the first 'purchase' after that click (NULL where
+    the funnel stalls). Three conditional MIN aggregations, each keyed on
+    user_id — after the first shuffle every subsequent agg and join reuses
+    the user_id partitioning, so the funnel costs ONE real event shuffle
+    regardless of corpus size; intermediate frames are user-sized."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "first_view", "first_click", "first_purchase"
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort retention: users grouped by first-activity day, activity counted per
+# day offset — the cohort heatmap every growth dashboard draws.
+# --------------------------------------------------------------------------
+@register(
+    "ev_retention_cohorts",
+    """
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT c.cohort_day,
+               date_diff('day', c.cohort_day, date_trunc('day', e.ts))
+                 AS day_offset,
+               e.user_id
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id)
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "retention", "curation"),
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: cohort = day of a user's first event;
+    n_active = distinct cohort users active at each day offset. The cohort
+    assignment shuffles by user_id once; the activity join reuses it; the
+    final matrix aggregation carries (cohort, offset, user) distinct rows —
+    bounded by active-user-days, far below raw event volume."""
+    e = read_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
