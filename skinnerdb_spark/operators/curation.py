@@ -315,10 +315,11 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel: per user, the first 'view', the first 'click'
     after that view, and the first 'purchase' after that click (NULL where
-    the funnel stalls). Three conditional MIN aggregations, each keyed on
-    user_id — after the first shuffle every subsequent agg and join reuses
-    the user_id partitioning, so the funnel costs ONE real event shuffle
-    regardless of corpus size; intermediate frames are user-sized."""
+    the funnel stalls). Three conditional MIN aggregations keyed on user_id:
+    the view/click/purchase subsets are DISJOINT, so although the plan holds
+    an exchange per step, total shuffle volume is a single pass over the
+    funnel's events; every intermediate (v/c/p) is user-sized, and the final
+    left joins carry only per-user firsts."""
     e = read_table(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")

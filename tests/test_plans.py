@@ -111,3 +111,27 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, (
         f"expected one lineitem scan, got {plan.count('lineitem.parquet')}"
     )
+
+
+def test_round5_entries_plan_shapes(spark, sf_dir):
+    """Scale-claims of the round-5 entries, pinned:
+
+    - text_tfidf_topk: the vocabulary-sized df side broadcasts (the
+      corpus-sized tf side must not reshuffle by term through the join);
+    - ev_funnel_conversion: per-user firsts only — no cartesian, no
+      corpus-wide sort, exchanges all keyed on user_id (plus none);
+    - ev_retention_cohorts: the distinct+agg matrix adds at most 3 hash
+      exchanges after the cohort shuffle."""
+    plan = plan_of(spark, "text_tfidf_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "ev_funnel_conversion", sf_dir)
+    assert "CartesianProduct" not in plan
+    import re
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("user_id") for k in keys), keys
+
+    plan = plan_of(spark, "ev_retention_cohorts", sf_dir)
+    assert plan.count("hashpartitioning") <= 4, plan[:800]
+    assert "CartesianProduct" not in plan
