@@ -392,3 +392,67 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
     )
+
+
+# --------------------------------------------------------------------------
+# token-budget rebalancing: sample each source down to an equal share of the
+# total token budget — the "flatten the mixture" curation step between
+# docs_source_mix (observe) and training (consume).
+# --------------------------------------------------------------------------
+@register(
+    "sample_source_target_mix",
+    """
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM toks),
+    ranked AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM toks)
+    SELECT r.source, r.doc_id, r.n_tokens, r.cum_tokens
+    FROM ranked r, tot
+    WHERE r.cum_tokens * tot.n_sources <= tot.total_tokens
+    """,
+    tags=("pipeline", "sampling", "curation"),
+)
+def sample_source_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token-share source rebalancing: within each source, docs rank by
+    md5(doc_id) (deterministic, RNG-free — the family's reproducibility
+    contract) and accumulate until the source has consumed its 1/n_sources
+    share of the corpus token budget. The keep test is pure INTEGER algebra
+    (cum * n_sources <= total) — no division, no float, hash-stable.
+
+    One window shuffle on source; the global budget row broadcasts. Sources
+    under their share keep everything (cum never exceeds the quota); heavy
+    sources truncate at the budget boundary — exactly how a mixture config
+    caps an over-represented crawl."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    tot = toks.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct(F.col("source")).cast("bigint").alias("n_sources"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(F.col("cum_tokens") * F.col("n_sources") <= F.col("total_tokens"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
