@@ -31,6 +31,7 @@ semantics, only order.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -71,11 +72,76 @@ _PASSTHROUGH = {
 _ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
 _ORDER_CACHE_CAP = 4096
 
+#: learned orders also persist across sessions (spark-warehouse/
+#: joinorder_cache.json, same durability upgrade as the IVF index vs the
+#: reference's per-session RAM indexes): a new driver process inherits every
+#: order previous sessions learned and pays zero episodes on template hits.
+#: Stale-safe by construction — signatures embed the scan locations, so a
+#: different warehouse simply misses. Opt out: SKINNER_ORDER_CACHE_PERSIST=0.
+_ORDER_CACHE_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "joinorder_cache.json",
+)
+_persist_loaded = False
+
+
+def _persist_enabled() -> bool:
+    return os.environ.get("SKINNER_ORDER_CACHE_PERSIST", "1") != "0"
+
+
+def _tuplify(x):
+    return tuple(_tuplify(e) for e in x) if isinstance(x, list) else x
+
+
+def load_order_cache(path: str | None = None) -> int:
+    """Merge the persisted order cache into the in-process one (idempotent;
+    in-process entries win). Returns the number of entries loaded."""
+    import json
+
+    global _persist_loaded
+    _persist_loaded = True
+    try:
+        with open(path or _ORDER_CACHE_FILE) as f:
+            items = json.load(f)
+    except (OSError, ValueError):
+        return 0
+    n = 0
+    for k, v in items:
+        key = _tuplify(k)
+        if key not in _ORDER_CACHE:
+            _ORDER_CACHE[key] = tuple(v)
+            n += 1
+    return n
+
+
+def save_order_cache(path: str | None = None) -> None:
+    """Atomically persist the in-process cache (tmp file + replace)."""
+    import json
+
+    path = path or _ORDER_CACHE_FILE
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([[k, v] for k, v in _ORDER_CACHE.items()], f)
+    os.replace(tmp, path)
+
+
+def _cache_get(key: tuple):
+    if not _persist_loaded and _persist_enabled():
+        load_order_cache()
+    return _ORDER_CACHE.get(key)
+
 
 def _cache_put(key: tuple, order: tuple[str, ...]) -> None:
     if key not in _ORDER_CACHE and len(_ORDER_CACHE) >= _ORDER_CACHE_CAP:
         _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
     _ORDER_CACHE[key] = order
+    if _persist_enabled():
+        try:
+            save_order_cache()
+        except OSError:
+            pass
 
 
 class ExtractionError(ValueError):
@@ -490,14 +556,14 @@ def adaptive_reorder(
     # passes, just the chain rebuild
     cached = None
     if use_cache:
-        cached = _ORDER_CACHE.get(graph.signature)
+        cached = _cache_get(graph.signature)
         if cached is None and reuse_shape:
             # template-family reuse: a query with the same join graph but
             # different filter constants inherits the learned order (the
             # reference learns per query; cross-template reuse is the
             # Spark-first trade — per-order *physical* strategy still adapts
             # at runtime via AQE, so a selectivity flip costs little)
-            cached = _ORDER_CACHE.get(graph.shape_sig)
+            cached = _cache_get(graph.shape_sig)
     if cached is not None and cached in cands:
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)

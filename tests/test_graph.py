@@ -326,3 +326,27 @@ def test_deep_corpus_adaptive_identical_to_catalyst(spark, fname):
 
 def test_deep_corpus_has_twenty_plus_queries():
     assert len(_deep_corpus()) >= 20
+
+
+def test_order_cache_persists_across_processes(spark, tmp_path, monkeypatch):
+    """Learned orders survive process restarts (the reference rebuilds its
+    UCT state every session; we persist, like the IVF index): save writes an
+    atomic JSON snapshot, load merges it back with in-process entries
+    winning, and tuple keys round-trip exactly."""
+    from skinnerdb_spark.plans import graph as G
+
+    path = str(tmp_path / "orders.json")
+    key = (("a", "b"), ("file:/x",), (("a", "k", "b", "k"),), ("(a.k = 1)",))
+    G._cache_put(key, ("a", "b"))
+    G.save_order_cache(path)
+
+    saved = dict(G._ORDER_CACHE)
+    G._ORDER_CACHE.clear()
+    assert G.load_order_cache(path) >= 1
+    assert G._ORDER_CACHE[key] == ("a", "b"), "tuple keys must round-trip"
+    # in-process entries win over the file on merge
+    G._ORDER_CACHE[key] = ("b", "a")
+    G.load_order_cache(path)
+    assert G._ORDER_CACHE[key] == ("b", "a")
+    G._ORDER_CACHE.clear()
+    G._ORDER_CACHE.update(saved)
