@@ -174,10 +174,18 @@ def test_order_cache_not_shared_across_warehouses(spark, sf_dir):
     assert g1.signature != g2.signature
 
 
-def test_order_cache_hit(spark):
+def test_order_cache_hit(spark, monkeypatch):
     q = """SELECT COUNT(*) AS c FROM customer, orders, nation
            WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
              AND o_totalprice > 1234.5"""
+    # isolate from the cross-session persisted cache: a previous process may
+    # already have learned this exact signature
+    from skinnerdb_spark.plans import graph as G
+
+    monkeypatch.setenv("SKINNER_ORDER_CACHE_PERSIST", "0")
+    g = extract_query_graph(spark.sql(q))
+    G._ORDER_CACHE.pop(g.signature, None)
+    G._ORDER_CACHE.pop(g.shape_sig, None)
     r1 = adaptive_reorder(spark.sql(q), episodes=2)
     assert r1.episodes  # learned
     r2 = adaptive_reorder(spark.sql(q), episodes=2)
