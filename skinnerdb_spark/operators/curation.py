@@ -456,3 +456,65 @@ def sample_source_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") * F.col("n_sources") <= F.col("total_tokens"))
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# anomaly detection: hourly volume outliers per event type by a 2-sigma rule
+# computed in EXACT integer algebra — no float mean/stddev, so the flag is
+# bit-identical across engines (libm-free, like the TF-IDF scoring).
+# --------------------------------------------------------------------------
+@register(
+    "ev_anomaly_hours",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, h),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.h AS hour, h.c AS n_events,
+           CAST(h.c * st.n - st.s AS BIGINT) AS dev_num,
+           CAST(st.n AS BIGINT) AS n_hours
+    FROM hourly h JOIN stats st ON st.event_type = h.event_type
+    WHERE (h.c * st.n - st.s) * (h.c * st.n - st.s)
+          > 4 * (st.n * st.sq - st.s * st.s)
+    """,
+    tags=("events", "anomaly", "curation"),
+)
+def ev_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomalies per event type: hours whose count deviates
+    from the type's mean by more than 2 standard deviations. The 2-sigma test
+    is algebraically cleared of divisions —
+
+        (c - s/n)^2 > 4 * (n*sq - s^2)/n^2   <=>   (c*n - s)^2 > 4*(n*sq - s^2)
+
+    — so the whole predicate is exact BIGINT arithmetic: no float mean, no
+    sqrt, no engine-specific rounding. Two hash aggregations (hourly counts,
+    per-type moments) + a broadcast-sized join back; the moment table is one
+    row per event type."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 4 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s")))
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("c").alias("n_events"),
+            dev.cast("bigint").alias("dev_num"),
+            F.col("n").cast("bigint").alias("n_hours"),
+        )
+    )
