@@ -562,3 +562,44 @@ def test_min_label_components_transitive_chain(spark):
     )
     got = {r.doc: r.lbl for r in min_label_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_funnel_steps_strictly_ordered(spark, sf_dir):
+    """Funnel invariants: each reached step is strictly later than the
+    previous one, and a step can only be reached if the previous was."""
+    from skinnerdb_spark.operators.curation import ev_funnel_conversion
+
+    for r in ev_funnel_conversion(spark, sf_dir).collect():
+        if r["first_click"] is not None:
+            assert r["first_click"] > r["first_view"]
+        if r["first_purchase"] is not None:
+            assert r["first_click"] is not None
+            assert r["first_purchase"] > r["first_click"]
+
+
+def test_source_target_mix_respects_budget(spark, sf_dir):
+    """Token-budget rebalancing invariants: every source's sampled tokens fit
+    its 1/n_sources share; under-budget sources keep ALL their docs."""
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.curation import sample_source_target_mix
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select("source", F.size(F.split("text", " ")).alias("n"))
+    totals = {r["source"]: r["t"] for r in toks.groupBy("source").agg(F.sum("n").alias("t")).collect()}
+    total_all = sum(totals.values())
+    n_sources = len(totals)
+    sampled = {
+        r["source"]: (r["docs"], r["tok"])
+        for r in sample_source_target_mix(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    doc_counts = {r["source"]: r["c"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for src, (docs, tok) in sampled.items():
+        assert tok * n_sources <= total_all, f"{src} exceeds its token share"
+        if totals[src] * n_sources <= total_all:
+            assert docs == doc_counts[src], f"under-budget {src} must keep all docs"
