@@ -518,3 +518,71 @@ def ev_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_hours"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert: incremental corpus refresh — matched rows take the update,
+# unmatched updates insert, untouched rows pass through (MERGE INTO
+# semantics, expressed as a full outer join; Spark-native without a lakehouse
+# dependency). The update set here is derived deterministically from the
+# corpus itself so the operator is fully oracle-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "docs_merge_upsert",
+    """
+    WITH target AS (SELECT doc_id, text, source FROM documents),
+    updates AS (
+        SELECT doc_id, upper(text) AS text, source FROM documents
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, 'refresh' AS source
+        FROM documents WHERE doc_id % 13 = 0)
+    SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+           COALESCE(u.text, t.text) AS text,
+           COALESCE(u.source, t.source) AS source,
+           CAST(CASE WHEN u.doc_id IS NOT NULL AND t.doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS was_updated,
+           CAST(CASE WHEN t.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS was_inserted
+    FROM target t FULL OUTER JOIN updates u ON u.doc_id = t.doc_id
+    """,
+    tags=("pipeline", "merge", "curation"),
+)
+def docs_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one full outer join on the key: WHEN MATCHED
+    update (take the update's columns), WHEN NOT MATCHED insert, else pass
+    the target row through — the incremental-refresh step of a continuously
+    curated corpus. One shuffle on doc_id for each side; at scale the same
+    plan serves a daily-crawl upsert into a 100 TB corpus (and bucketing both
+    sides on doc_id elides even that, sources/bucketing.py)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    updates = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.upper("text").alias("text"), "source")
+        .unionAll(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                F.lit("refresh").alias("source"),
+            )
+        )
+    )
+    t = d.select(
+        F.col("doc_id").alias("t_id"), F.col("text").alias("t_text"),
+        F.col("source").alias("t_source"),
+    )
+    u = updates.select(
+        F.col("doc_id").alias("u_id"), F.col("text").alias("u_text"),
+        F.col("source").alias("u_source"),
+    )
+    j = t.join(u, t["t_id"] == u["u_id"], "full_outer")
+    return j.select(
+        F.coalesce("u_id", "t_id").alias("doc_id"),
+        F.coalesce("u_text", "t_text").alias("text"),
+        F.coalesce("u_source", "t_source").alias("source"),
+        F.when(F.col("u_id").isNotNull() & F.col("t_id").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("was_updated"),
+        F.when(F.col("t_id").isNull(), 1).otherwise(0).cast("int").alias("was_inserted"),
+    )
