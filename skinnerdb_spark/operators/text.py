@@ -409,3 +409,48 @@ def docs_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+@register(
+    "name_edit_distance_pairs",
+    """
+    WITH names AS (SELECT DISTINCT c_name AS name FROM customer)
+    SELECT a.name AS name_a, b.name AS name_b
+    FROM names a JOIN names b
+      ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+    """,
+    tags=("text", "pipeline", "similarity"),
+)
+def name_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: all pairs of customer names at edit distance
+    exactly 1 — the spell-variant/entity-resolution primitive.
+
+    Scale path is SymSpell-style deletion neighborhoods, NOT the oracle's
+    O(n^2) cross join: every name emits itself plus its |name| single-char
+    deletions as bucket keys; any distance-1 pair (substitution, insertion,
+    or deletion) provably shares >= 1 key, so candidates meet only inside a
+    key bucket (one shuffle) and the exact Levenshtein verify (JVM built-in)
+    runs on candidates alone. Same cap-able bucket-join skeleton as the LSH
+    dedup family; both engines compute the identical integer edit distance,
+    so the gate stays a hash check."""
+    names = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    dels = F.expr(
+        "transform(sequence(1, length(name)), i -> "
+        "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i)))"
+    )
+    keyed = names.select(
+        "name", F.explode(F.array_union(F.array(F.col("name")), dels)).alias("k")
+    )
+    a = keyed.select(F.col("name").alias("name_a"), "k")
+    b = keyed.select(F.col("name").alias("name_b"), "k")
+    cand = (
+        a.join(b, ["k"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") == 1)
