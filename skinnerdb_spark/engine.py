@@ -29,6 +29,7 @@ from skinnerdb_spark.sources.csv import load_csv
 class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
+        self.sf_dir: str | None = None
         if sf_dir:
             self.attach_warehouse(sf_dir)
 
@@ -51,6 +52,9 @@ class Engine:
 
         from skinnerdb_spark.catalog import TABLES, read_table, table_path
 
+        if self.sf_dir is None:
+            raise ValueError("compress requires an attached warehouse (attach_warehouse)")
+
         def du(path: str) -> int:
             if os.path.isfile(path):
                 return os.path.getsize(path)
@@ -60,7 +64,10 @@ class Engine:
                 for f in fs
             )
 
-        out_root = os.path.join("spark-warehouse", "compressed")
+        # repo-root anchored, like the IVF index — a console launched from a
+        # different cwd must find the same compressed copies
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out_root = os.path.join(repo_root, "spark-warehouse", "compressed")
         report = []
         for t in names or TABLES:
             src = table_path(self.sf_dir, t)

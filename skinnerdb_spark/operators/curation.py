@@ -460,8 +460,9 @@ def sample_source_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # anomaly detection: hourly volume outliers per event type by a 2-sigma rule
-# computed in EXACT integer algebra — no float mean/stddev, so the flag is
-# bit-identical across engines (libm-free, like the TF-IDF scoring).
+# with the sigma test algebraically cleared of divisions/sqrt, evaluated as
+# identical IEEE-double expressions in both engines — deterministic flags,
+# libm-free, and no int64 overflow cliff at large corpus moments.
 # --------------------------------------------------------------------------
 @register(
     "ev_anomaly_hours",
@@ -476,26 +477,35 @@ def sample_source_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(c) AS BIGINT) AS s,
                CAST(SUM(c * c) AS BIGINT) AS sq
         FROM hourly GROUP BY event_type)
-    SELECT h.event_type, h.h AS hour, h.c AS n_events,
-           CAST(h.c * st.n - st.s AS BIGINT) AS dev_num,
-           CAST(st.n AS BIGINT) AS n_hours
-    FROM hourly h JOIN stats st ON st.event_type = h.event_type
-    WHERE (h.c * st.n - st.s) * (h.c * st.n - st.s)
-          > 4 * (st.n * st.sq - st.s * st.s)
+    SELECT event_type, hour, n_events, dev_num, n_hours
+    FROM (
+        SELECT h.event_type, h.h AS hour, h.c AS n_events,
+               CAST(h.c * st.n - st.s AS BIGINT) AS dev_num,
+               CAST(st.n AS BIGINT) AS n_hours,
+               CAST(h.c AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE)
+                 AS dev_d,
+               CAST(st.n AS DOUBLE) * CAST(st.sq AS DOUBLE)
+                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) AS var_num
+        FROM hourly h JOIN stats st ON st.event_type = h.event_type) t
+    WHERE dev_d * dev_d > 4 * var_num
     """,
     tags=("events", "anomaly", "curation"),
 )
 def ev_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly-volume anomalies per event type: hours whose count deviates
     from the type's mean by more than 2 standard deviations. The 2-sigma test
-    is algebraically cleared of divisions —
+    is algebraically cleared of divisions and square roots —
 
         (c - s/n)^2 > 4 * (n*sq - s^2)/n^2   <=>   (c*n - s)^2 > 4*(n*sq - s^2)
 
-    — so the whole predicate is exact BIGINT arithmetic: no float mean, no
-    sqrt, no engine-specific rounding. Two hash aggregations (hourly counts,
-    per-type moments) + a broadcast-sized join back; the moment table is one
-    row per event type."""
+    — and the cleared form is evaluated in DOUBLE with the SAME expression
+    shape in both engines: every IEEE multiply/subtract/compare is correctly
+    rounded, so given identical BIGINT moments the flag is deterministic
+    cross-engine (no libm, no engine-specific mean/σ), and DOUBLE range means
+    no silent int64 wraparound however large the corpus moments get (BIGINT
+    products would wrap at s ≈ 3e9 events per type). Two hash aggregations
+    (hourly counts, per-type moments) + a broadcast-sized join back; the
+    moment table is one row per event type."""
     e = read_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
@@ -506,15 +516,18 @@ def ev_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
     )
-    dev = F.col("c") * F.col("n") - F.col("s")
+    c_d, n_d = F.col("c").cast("double"), F.col("n").cast("double")
+    s_d, sq_d = F.col("s").cast("double"), F.col("sq").cast("double")
+    dev_d = c_d * n_d - s_d
+    var_num = n_d * sq_d - s_d * s_d
     return (
         hourly.join(F.broadcast(stats), "event_type")
-        .filter(dev * dev > 4 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s")))
+        .filter(dev_d * dev_d > 4 * var_num)
         .select(
             "event_type",
             F.col("h").alias("hour"),
             F.col("c").alias("n_events"),
-            dev.cast("bigint").alias("dev_num"),
+            (F.col("c") * F.col("n") - F.col("s")).cast("bigint").alias("dev_num"),
             F.col("n").cast("bigint").alias("n_hours"),
         )
     )

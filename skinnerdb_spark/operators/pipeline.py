@@ -139,24 +139,38 @@ _CONTAM_MAX_EVAL_DEFAULT = 1_000_000
 
 def _capped_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-row (ev_set) DataFrame of distinct eval shingles, deterministically
-    truncated to the conf cap (lexicographic order, lowest first)."""
+    truncated to the conf cap (lexicographic order, lowest first).
+
+    The bound is enforced BEFORE any single-row aggregation:
+    distinct -> orderBy -> limit(cap) runs as a TakeOrdered (each executor
+    holds at most cap rows), so a mis-scoped EVAL_DOCS cannot OOM the
+    collect step — the final fold only ever sees <= cap rows. A FIRED cap
+    (eval set actually larger than the bound) warns loudly, since the DuckDB
+    oracle never caps and the gate would diverge."""
     from skinnerdb_spark.operators.dedup import shared_shingle_sets
 
     cap = int(spark.conf.get(CONTAM_MAX_EVAL, str(_CONTAM_MAX_EVAL_DEFAULT)))
-    if cap != _CONTAM_MAX_EVAL_DEFAULT:
+    sets = shared_shingle_sets(spark, sf_dir)
+    distinct = (
+        sets.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("sh_set").alias("s"))
+        .distinct()
+    )
+    # cheap fired-cap probe: limit(cap+1) bounds the count job itself
+    n_probe = distinct.limit(cap + 1).count()
+    if n_probe > cap:
         import warnings
 
         warnings.warn(
-            f"{CONTAM_MAX_EVAL}={cap} (non-default): a fired cap drops eval "
-            "shingles and contamination_check may diverge from the uncapped "
-            "DuckDB oracle; see contamination_eval_report()",
+            f"{CONTAM_MAX_EVAL}={cap} FIRED: eval shingle set exceeds the cap; "
+            "shingles were dropped and contamination_check will diverge from "
+            "the uncapped DuckDB oracle; see contamination_eval_report()",
             stacklevel=2,
         )
-    sets = shared_shingle_sets(spark, sf_dir)
     return (
-        sets.filter(F.col("doc_id") < EVAL_DOCS)
-        .select(F.explode("sh_set").alias("s"))
-        .agg(F.slice(F.array_sort(F.collect_set("s")), 1, cap).alias("ev_set"))
+        distinct.orderBy("s")
+        .limit(cap)
+        .agg(F.array_sort(F.collect_list("s")).alias("ev_set"))
     )
 
 

@@ -96,7 +96,8 @@ def _tuplify(x):
 
 def load_order_cache(path: str | None = None) -> int:
     """Merge the persisted order cache into the in-process one (idempotent;
-    in-process entries win). Returns the number of entries loaded."""
+    in-process entries win; the in-memory cap applies so a grown file cannot
+    balloon the dict). Returns the number of entries loaded."""
     import json
 
     global _persist_loaded
@@ -108,6 +109,8 @@ def load_order_cache(path: str | None = None) -> int:
         return 0
     n = 0
     for k, v in items:
+        if len(_ORDER_CACHE) >= _ORDER_CACHE_CAP:
+            break
         key = _tuplify(k)
         if key not in _ORDER_CACHE:
             _ORDER_CACHE[key] = tuple(v)
@@ -134,6 +137,10 @@ def _cache_get(key: tuple):
 
 
 def _cache_put(key: tuple, order: tuple[str, ...]) -> None:
+    # merge the persisted file BEFORE the first save: a put-before-get path
+    # must not clobber orders other sessions already learned
+    if _persist_enabled() and not _persist_loaded:
+        load_order_cache()
     if key not in _ORDER_CACHE and len(_ORDER_CACHE) >= _ORDER_CACHE_CAP:
         _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
     _ORDER_CACHE[key] = order
@@ -346,7 +353,18 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
         else:
             hinted = False
             while _cls(jn) == "ResolvedHint":
-                hinted = hinted or "broadcast" in jn.hints().toString().lower()
+                h = jn.hints().toString().lower()
+                if "broadcast" in h:
+                    hinted = True
+                else:
+                    # a shuffle_hash/merge/rebroadcast pin is a user decision
+                    # we cannot re-apply faithfully after reordering — refuse
+                    # to reorder (same contract as the join-level-hint guard)
+                    # rather than silently dropping it
+                    raise ExtractionError(
+                        f"leaf-level non-broadcast hint ({h.strip()}); "
+                        "order is user-pinned"
+                    )
                 jn = jn.child()
             leaf_plans.append(jn)
             leaf_hinted.append(hinted)

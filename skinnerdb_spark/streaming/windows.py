@@ -249,7 +249,11 @@ def stream_events(spark: SparkSession, src_dir: str, watermark: str = "1 hour") 
     # session timezone too (matching session.py): the NTZ->timestamp cast
     # below is timezone-dependent, and in a DST-observing zone it is
     # non-linear across transitions, which would distort watermark eviction
-    # and stream-stream join interval bounds.
+    # and stream-stream join interval bounds. NOTE this pin is deliberately
+    # session-wide and persistent — the engine's whole correctness contract
+    # (oracle comparisons, NTZ semantics) assumes a UTC session, exactly as
+    # session.py establishes; a caller needing a display timezone should set
+    # it per-expression (from_utc_timestamp), not on the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(src_dir).schema

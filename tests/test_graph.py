@@ -343,6 +343,9 @@ def test_order_cache_persists_across_processes(spark, tmp_path, monkeypatch):
     winning, and tuple keys round-trip exactly."""
     from skinnerdb_spark.plans import graph as G
 
+    # keep the test away from the REAL persisted file: no auto-save, and the
+    # synthetic key must never leak into spark-warehouse/joinorder_cache.json
+    monkeypatch.setenv("SKINNER_ORDER_CACHE_PERSIST", "0")
     path = str(tmp_path / "orders.json")
     key = (("a", "b"), ("file:/x",), (("a", "k", "b", "k"),), ("(a.k = 1)",))
     G._cache_put(key, ("a", "b"))
