@@ -603,3 +603,30 @@ def test_source_target_mix_respects_budget(spark, sf_dir):
         assert tok * n_sources <= total_all, f"{src} exceeds its token share"
         if totals[src] * n_sources <= total_all:
             assert docs == doc_counts[src], f"under-budget {src} must keep all docs"
+
+
+def test_merge_upsert_invariants(spark, sf_dir):
+    """MERGE semantics invariants: output keys = target keys ∪ insert keys;
+    matched rows carry the update's text (uppercased); inserted rows are
+    exactly the shifted-key set; pass-through rows are untouched."""
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.curation import docs_merge_upsert
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = docs_merge_upsert(spark, sf_dir)
+    n_target = d.count()
+    n_inserts = d.filter(F.col("doc_id") % 13 == 0).count()
+    assert out.count() == n_target + n_inserts
+    assert out.filter("was_inserted = 1").count() == n_inserts
+    assert out.filter("was_updated = 1").count() == d.filter("doc_id % 7 = 0").count()
+    # matched rows take the update (uppercased text differs unless no letters)
+    upd = out.filter("was_updated = 1").select("doc_id", "text")
+    src = d.filter("doc_id % 7 = 0").select("doc_id", F.upper("text").alias("text"))
+    assert upd.exceptAll(src).count() == 0
+    # pass-through rows byte-identical to the target
+    passthrough = out.filter("was_updated = 0 AND was_inserted = 0").select(
+        "doc_id", "text", "source"
+    )
+    orig = d.filter("doc_id % 7 != 0")
+    assert passthrough.exceptAll(orig).count() == 0
