@@ -357,6 +357,59 @@ WHERE l1.l_orderkey = o.o_orderkey AND l2.l_orderkey = o.o_orderkey
     )
 
 
+# ------------------------------------------------------------ T13: orchain
+# disjunction-heavy predicates (JOB's `mi.info like A or mi.info like B`
+# family, e.g. imdb/queries/29a.sql) — OR across columns AND across LIKEs,
+# which stresses predicate pushdown (no single-column pushdown possible).
+_T13 = [
+    ("%re%", "%an%", "ASIA", "EUROPE", 10),
+    ("%ol%", "%in%", "AMERICA", "AFRICA", 25),
+    ("%id%", "%ge%", "MIDDLE EAST", "ASIA", 40),
+    ("%ea%", "%ot%", "EUROPE", "AMERICA", 15),
+    ("%sm%", "%bo%", "AFRICA", "MIDDLE EAST", 30),
+    ("%ho%", "%re%", "ASIA", "AMERICA", 20),
+]
+for i, (l1, l2, r1, r2, qcap) in enumerate(_T13, 1):
+    add(
+        f"t13_orchain_{i:02d}",
+        f"""
+SELECT MIN(p_name) AS min_pname, MIN(r_name) AS min_rname, COUNT(*) AS n_rows
+FROM lineitem, part, supplier, nation, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND (p_name LIKE '{l1}' OR p_name LIKE '{l2}')
+  AND (r_name = '{r1}' OR r_name = '{r2}')
+  AND (l_quantity <= {qcap} OR l_discount >= 0.08)
+""",
+    )
+
+# ------------------------------------------------------------ T14: nullsem
+# three-valued-logic shapes: IS (NOT) NULL guards, NULL-safe comparisons, and
+# COALESCE in predicates — the semantics corner the reference's compiled
+# predicates handle via explicit null flags (SURVEY §2.8).
+_T14 = [
+    ("F", 5), ("O", 10), ("F", 20), ("O", 30),
+]
+for i, (status, qcap) in enumerate(_T14, 1):
+    add(
+        f"t14_nullsem_{i:02d}",
+        f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_comment_null IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_flag,
+       MIN(o_orderpriority) AS min_prio
+FROM (
+    SELECT o.o_orderpriority,
+           CASE WHEN o.o_totalprice > 100000 THEN NULL ELSE o.o_orderstatus END
+             AS o_comment_null
+    FROM lineitem l, orders o
+    WHERE l.l_orderkey = o.o_orderkey
+      AND o.o_orderstatus = '{status}'
+      AND COALESCE(l.l_quantity, 0) >= {qcap}) t
+""",
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, sql in sorted(queries.items()):
