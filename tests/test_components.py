@@ -630,3 +630,15 @@ def test_merge_upsert_invariants(spark, sf_dir):
     )
     orig = d.filter("doc_id % 7 != 0")
     assert passthrough.exceptAll(orig).count() == 0
+
+
+def test_compress_without_warehouse_raises_clearly(spark):
+    """compress before attach_warehouse must fail with a clear error, not an
+    AttributeError deep in path handling."""
+    import pytest as _pytest
+
+    from skinnerdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    with _pytest.raises(ValueError, match="warehouse"):
+        eng.compress_tables(["nation"])
