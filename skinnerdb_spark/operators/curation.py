@@ -599,3 +599,47 @@ def docs_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("was_updated"),
         F.when(F.col("t_id").isNull(), 1).otherwise(0).cast("int").alias("was_inserted"),
     )
+
+
+# --------------------------------------------------------------------------
+# skew-resistant aggregation, gate-verified: the salted two-phase aggregate
+# (plans/skew.py) produces bit-identical results to a plain GROUP BY — the
+# oracle IS the plain form, so the equivalence the skew machinery promises is
+# checked by the hash gate itself, not just a unit test.
+# --------------------------------------------------------------------------
+@register(
+    "ev_skew_salted_agg",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "skew", "curation"),
+)
+def ev_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals through the SALTED two-phase path: partials aggregate
+    on (user_id, salt) — spreading any single hot user over n_salts
+    partitions — then merge on user_id. COUNT merges by SUM; the value sum
+    stays in DECIMAL(30,6) through BOTH phases (decimal addition is
+    associative, so the salt split cannot change the result bit) and casts
+    to double only at the end, exactly like the plain-GROUP-BY oracle."""
+    from skinnerdb_spark.plans.skew import aggregate_two_phase
+
+    e = read_table(spark, sf_dir, "events")
+    out = aggregate_two_phase(
+        e,
+        keys=["user_id"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(30,6)")),
+        },
+        n_salts=8,
+        merge="sum",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
