@@ -12,7 +12,12 @@ import sys
 import pytest
 
 _SCRIPT = r"""
+import os
 import sys
+# static oracles that read persisted artifacts (sim_ivf_ann) resolve their
+# SF at registry import — pin to this script's warehouse BEFORE importing
+# __spark_entry__ (the real driver runs at the sf0.01 default)
+os.environ["SKINNER_ORACLE_SF_DIR"] = "/root/testdata/sf0.001"
 from pyspark.sql import SparkSession
 import duckdb
 
@@ -57,7 +62,16 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "dedup_clusters", "text_repetition", "outer_join_full",
              "outer_join_on_filter", "pivot_status_by_priority",
              "unpivot_part_attrs", "docs_length_quantiles",
-             "lateral_top1_order"]:
+             "lateral_top1_order",
+             # round-5 entries: timezone-sensitive event analytics
+             # (date_trunc/datediff under a non-UTC plain session), the
+             # persisted-index IVF oracle, the 15-way adaptive entry, and one
+             # representative of each new family
+             "ev_stream_dedup", "ev_funnel_conversion", "ev_retention_cohorts",
+             "ev_anomaly_hours", "ev_skew_salted_agg", "sim_ivf_ann",
+             "job_deep15", "text_tfidf_topk", "docs_vocab_stats",
+             "sample_source_target_mix", "docs_merge_upsert",
+             "name_edit_distance_pairs"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
