@@ -642,3 +642,36 @@ def test_compress_without_warehouse_raises_clearly(spark):
     eng = Engine(spark)
     with _pytest.raises(ValueError, match="warehouse"):
         eng.compress_tables(["nation"])
+
+
+def test_anomaly_hours_flags_known_spike(spark, tmp_path):
+    """Synthetic series: 30 calm hours of 10 events + one 300-event spike —
+    exactly the spike must be flagged; a perfectly flat series flags
+    nothing (variance 0 never divides — the cleared predicate handles it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.curation import ev_anomaly_hours
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(31):
+        n = 300 if h == 7 else 10
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1, "click", 1.0, "{}"))
+            eid += 1
+    # flat control series: constant 5/hour, must never flag
+    for h in range(31):
+        for i in range(5):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 2, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = ev_anomaly_hours(spark, str(tmp_path)).collect()
+    flagged = {(r["event_type"], r["hour"].hour) for r in out}
+    assert ("click", 7) in flagged, f"spike hour must be flagged: {flagged}"
+    assert all(t != "view" for t, _ in flagged), "flat series must never flag"
