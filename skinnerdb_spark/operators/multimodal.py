@@ -129,3 +129,113 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
     )
     return extract_features(media)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def fake_frame_count(content: bytes) -> int:
+    """Deterministic stand-in for container metadata: 1-4 frames derived
+    from payload length (a real decoder would read the stream header)."""
+    return 1 + (len(content) % 4)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """ROW-EXPANDING Arrow pipeline: each binary payload yields N frame rows
+    (the video frame-sampling shape — mapInPandas emitting more rows than it
+    consumes, batch-safe). Frame fingerprints are the deterministic fake for
+    the decoded frame bytes; a real build swaps in
+    :func:`sample_video_frames` (NotImplementedError here — no ffmpeg)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(c)
+                for i in range(fake_frame_count(raw)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(raw + b"#" + str(i).encode()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+_FRAME_ORACLE = """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      1 + OCTET_LENGTH(CAST(text AS BLOB)) % 4 AS n_frames
+               FROM documents)
+    SELECT media_id, CAST(g.i AS BIGINT) AS frame_idx,
+           md5(text || '#' || CAST(g.i AS VARCHAR)) AS frame_md5
+    FROM m, UNNEST(generate_series(0, n_frames - 1, 1)) AS g(i)
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE, tags=("multimodal", "pipeline"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end: binary payloads through the row-expanding
+    Arrow path (1-to-N mapInPandas), frame count + per-frame fingerprint
+    recomputed by the oracle in pure SQL — verifying the expansion logic,
+    batch iteration, and byte-level digest agreement."""
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("video").alias("media_type"),
+    )
+    return sample_frames(media)
+
+
+_RESIZE_ORACLE = f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CAST(64 + 16 * {_hexval_sql("SUBSTR(md5(text), 1, 1)")}
+                       + {_hexval_sql("SUBSTR(md5(text), 2, 1)")} AS BIGINT) AS w,
+               CAST(64 + 16 * {_hexval_sql("SUBSTR(md5(text), 3, 1)")}
+                       + {_hexval_sql("SUBSTR(md5(text), 4, 1)")} AS BIGINT) AS h
+        FROM documents)
+    SELECT media_id, w AS fake_width, h AS fake_height,
+           CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS BIGINT)
+             AS out_width,
+           CAST(CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS BIGINT)
+             AS out_height
+    FROM dims
+"""
+
+
+@register("multimodal_resize_plan", _RESIZE_ORACLE, tags=("multimodal", "pipeline"))
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: target 224 on the long side, aspect preserved with
+    INTEGER floor arithmetic (cross-engine exact — no float scale factors).
+    Runs entirely as column algebra over the fake-decoded dims; the real
+    pixel resample is the codec call a production build plugs into the same
+    schema."""
+    d = read_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text").cast("binary"))
+    hexv = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast(text as binary)), {i}, 1)) - 1"
+    )
+    w = (F.lit(64) + 16 * hexv(1) + hexv(2)).cast("bigint")
+    h = (F.lit(64) + 16 * hexv(3) + hexv(4)).cast("bigint")
+    dims = d.select(F.col("doc_id").alias("media_id"), w.alias("w"), h.alias("h"))
+    return dims.select(
+        "media_id",
+        F.col("w").alias("fake_width"),
+        F.col("h").alias("fake_height"),
+        F.when(F.col("w") >= F.col("h"), F.lit(224))
+        .otherwise(F.floor(F.col("w") * 224 / F.col("h")))
+        .cast("bigint")
+        .alias("out_width"),
+        F.when(F.col("w") >= F.col("h"), F.floor(F.col("h") * 224 / F.col("w")))
+        .otherwise(F.lit(224))
+        .cast("bigint")
+        .alias("out_height"),
+    )
