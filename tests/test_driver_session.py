@@ -71,7 +71,8 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "ev_anomaly_hours", "ev_skew_salted_agg", "sim_ivf_ann",
              "job_deep15", "text_tfidf_topk", "docs_vocab_stats",
              "sample_source_target_mix", "docs_merge_upsert",
-             "name_edit_distance_pairs"]:
+             "name_edit_distance_pairs", "multimodal_frame_sample",
+             "multimodal_resize_plan"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
