@@ -67,6 +67,8 @@ def all_specs() -> dict[str, QuerySpec]:
         ivf,
         multimodal,
         pipeline,
+        privacy,
+        segments,
         similarity,
         temporal,
         text,

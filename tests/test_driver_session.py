@@ -72,7 +72,10 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "job_deep15", "text_tfidf_topk", "docs_vocab_stats",
              "sample_source_target_mix", "docs_merge_upsert",
              "name_edit_distance_pairs", "multimodal_frame_sample",
-             "multimodal_resize_plan"]:
+             "multimodal_resize_plan",
+             # round-5 continuation: PII redaction (regex engines) and
+             # segment-level exact dedup
+             "text_pii_redact", "dedup_segments"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
