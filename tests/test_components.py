@@ -675,3 +675,45 @@ def test_anomaly_hours_flags_known_spike(spark, tmp_path):
     flagged = {(r["event_type"], r["hour"].hour) for r in out}
     assert ("click", 7) in flagged, f"spike hour must be flagged: {flagged}"
     assert all(t != "view" for t, _ in flagged), "flat series must never flag"
+
+
+def test_binaryfile_ingest_to_features(spark, tmp_path):
+    """binaryFile source -> canonical media records -> Arrow feature
+    extraction (fake decode): the full multimodal ingest path."""
+    from skinnerdb_spark.operators.multimodal import extract_features, fake_decode_meta
+    from skinnerdb_spark.sources.binaryfile import load_binary, to_media
+
+    payloads = {
+        "a.img": b"\x89PNGfake-a" * 40,
+        "b.img": b"\x89PNGfake-b" * 9,
+        "skip.txt": b"not media",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    files = load_binary(spark, str(tmp_path), glob="*.img")
+    assert set(files.columns) == {"path", "modificationTime", "length", "content"}
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in files.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["length"] == len(payloads["a.img"])
+
+    # length predicate prunes at listing time (no read of oversized files)
+    assert load_binary(spark, str(tmp_path), glob="*.img", max_bytes=100).count() == 1
+
+    media = to_media(files, "image")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "media_type"]
+    feats = {r["content_md5"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 2
+    import hashlib
+
+    for blob in (payloads["a.img"], payloads["b.img"]):
+        md5 = hashlib.md5(blob).hexdigest()
+        w, h, c = fake_decode_meta(blob)
+        got = feats[md5]
+        assert (got["byte_len"], got["fake_width"], got["fake_height"], got["channels"]) == (
+            len(blob), w, h, c,
+        )
+
+    # media_id is deterministic: same path -> same id across scans
+    again = to_media(load_binary(spark, str(tmp_path), glob="*.img"), "image")
+    assert {r["media_id"] for r in media.collect()} == {r["media_id"] for r in again.collect()}
