@@ -147,3 +147,70 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
             prev_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Range-sorted parquet layout = the Spark-native index (reference:
+    RAM-resident IntIndex, src/indexing/IntIndex.java): files cover
+    non-overlapping l_shipdate ranges, so a pushed-down date predicate can
+    skip every non-matching file via row-group min/max stats."""
+    import pyarrow.parquet as pq
+    from skinnerdb_spark.sources.layout import read_pruned, write_range_sorted
+
+    l = read_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "l_sorted")
+    write_range_sorted(l, path, ["l_shipdate"], n_files=8)
+
+    # physical check: per-file min/max ranges are pairwise non-overlapping
+    import pathlib
+
+    spans = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+    # logical check: the predicate reaches the scan as a pushed filter and
+    # results match the unsorted source
+    probe = spans[2][0]
+    q = read_pruned(spark, path).filter(F.col("l_shipdate") == probe)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    assert q.count() == l.filter(F.col("l_shipdate") == probe).count()
+
+
+def test_hive_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Directory-level partition pruning: a filter on the partition key shows
+    up as PartitionFilters and the scan plans only the matching directory;
+    high-cardinality keys are refused."""
+    import pytest as _pytest
+
+    from skinnerdb_spark.sources.layout import read_pruned, write_hive_partitioned
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "o_by_month")
+    write_hive_partitioned(o, path, "o_month")
+
+    month = o.select(F.min("o_month").alias("m")).collect()[0]["m"]
+    q = read_pruned(spark, path).filter(F.col("o_month") == month)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert q.count() == o.filter(F.col("o_month") == month).count()
+
+    with _pytest.raises(ValueError, match="distinct"):
+        write_hive_partitioned(o, str(tmp_path / "bad"), "o_orderkey", max_partitions=100)
