@@ -226,6 +226,81 @@ def ev_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "ev_attribution_join",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+        SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM purch p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.click_ts < p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE)
+    SELECT user_id, purchase_id, purchase_ts,
+           click_id AS attributed_click_id, click_ts AS attributed_click_ts,
+           CAST(date_diff('microsecond', click_ts, purchase_ts) // 1000000
+                AS BIGINT) AS gap_seconds
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("events", "join", "streaming"),
+)
+def ev_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent click by
+    the same user within the preceding 30 minutes — the batch twin of
+    :func:`stream_stream_join` (same equi-key + event-time-range condition
+    that bounds stream-state there) plus a per-purchase top-1.
+
+    Shape at scale: ONE equi-join shuffle on user_id with the range
+    predicate evaluated inside the sort-merge (never a cartesian), then a
+    per-purchase window for the top-1. Candidate fan-out is bounded by the
+    30-minute window, the same bound that keeps streaming state finite."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = purch.join(
+        clicks,
+        ["user_id"],
+    ).filter(
+        (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            F.col("click_id").alias("attributed_click_id"),
+            F.col("click_ts").alias("attributed_click_ts"),
+            # exact micro diff floored to seconds (gaps are positive, so
+            # truncating div == floor); DuckDB's date_diff('second') counts
+            # BOUNDARY crossings, which differs on sub-second parts
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts) div 1000000")
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+    )
+
+
 # real Structured Streaming entry points (no oracle — stream semantics; the
 # batch twins above are the value-verified forms)
 # --------------------------------------------------------------------------

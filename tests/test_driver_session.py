@@ -75,7 +75,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "multimodal_resize_plan",
              # round-5 continuation: PII redaction (regex engines) and
              # segment-level exact dedup
-             "text_pii_redact", "dedup_segments"]:
+             "text_pii_redact", "dedup_segments",
+             # NTZ interval arithmetic under non-UTC: attribution join
+             "ev_attribution_join"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
