@@ -155,7 +155,69 @@ def _phases_lsh_candidates(spark, sf_dir):
     return [("lsh_candidate_pairs", cand, sig)]
 
 
+def _phases_dedup_segments(spark, sf_dir):
+    """Segment-dedup intermediate phases: the map-side segment explode and
+    the shared-segment aggregation, before the per-doc rollup."""
+    from skinnerdb_spark.operators.segments import SEG_TOKENS
+
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(SEG_TOKENS))).cast("int")
+    seg_array = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * SEG_TOKENS + 1, SEG_TOKENS), " "),
+    )
+    segs = d.select("doc_id", F.posexplode(seg_array).alias("seg_no", "seg_text"))
+    shared = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    ).filter(F.col("n_docs") > 1)
+    segs_cte = f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE length(text) > 0),
+    segs AS (SELECT doc_id, seg_no,
+                    array_to_string(toks[(seg_no*{SEG_TOKENS}+1):(seg_no*{SEG_TOKENS}+{SEG_TOKENS})], ' ')
+                      AS seg_text
+             FROM base,
+                  LATERAL unnest(range(CAST(ceil(len(toks)/{SEG_TOKENS}.0) AS BIGINT)))
+                    AS t(seg_no))
+    """
+    return [
+        ("segment_explode", segs, segs_cte + "SELECT COUNT(*) FROM segs"),
+        ("shared_segments", shared,
+         segs_cte + """SELECT COUNT(*) FROM (
+             SELECT seg_text FROM segs GROUP BY seg_text
+             HAVING COUNT(DISTINCT doc_id) > 1)"""),
+    ]
+
+
+def _phases_attribution_join(spark, sf_dir):
+    """Interval-join phases: filtered sides, then candidate pairs BEFORE the
+    per-purchase top-1 (the fan-out the 30-minute bound is meant to cap)."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purch = e.filter(F.col("event_type") == "purchase")
+    pairs = purch.select("user_id", F.col("ts").alias("p_ts")).join(
+        clicks.select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")),
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    return [
+        ("filter_clicks", clicks,
+         "SELECT COUNT(*) FROM events WHERE event_type = 'click'"),
+        ("filter_purchases", purch,
+         "SELECT COUNT(*) FROM events WHERE event_type = 'purchase'"),
+        ("interval_pairs", pairs,
+         """SELECT COUNT(*) FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE"""),
+    ]
+
+
 PHASE_BUILDERS = {
+    "dedup_segments": _phases_dedup_segments,
+    "ev_attribution_join": _phases_attribution_join,
     "tpch_q03": _phases_tpch_q03,
     "tpch_q05": _phases_tpch_q05,
     "tpch_q10": _phases_tpch_q10,
