@@ -74,11 +74,18 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = d.select(
         "doc_id", F.posexplode(seg_array).alias("seg_no", "seg_text")
     )
-    shared = segs.groupBy("seg_text").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # keep only the shared segments for the join-back: the build side shrinks
+    # from the full distinct-segment dictionary to the (typically small)
+    # shared fraction — broadcastable far longer as data grows, and an
+    # equivalent LEFT join marks exactly the rows the inner-join+CASE oracle
+    # counts
+    shared = (
+        segs.groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
     )
-    joined = segs.join(shared, "seg_text")
-    is_shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    joined = segs.join(shared, "seg_text", "left")
+    is_shared = F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
     per_doc = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum(is_shared).cast("bigint").alias("n_shared"),
