@@ -63,6 +63,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # imports are deferred so `import skinnerdb_spark` stays light
     from skinnerdb_spark.operators import (  # noqa: F401
         curation,
+        curation_gate,
         dedup,
         ivf,
         multimodal,
