@@ -169,6 +169,52 @@ class Engine:
             lines.append("(single connected order — no episodes needed)")
         return "\n".join(lines)
 
+    def explain_adaptive_dot(self, text: str, **kw) -> str:
+        """Graphviz DOT rendering of the explored join-order prefix tree —
+        the file-output analogue of the reference's TreePlotter
+        (src/visualization/TreePlotter.java renders the UCT tree to PDF;
+        we emit .dot text so any graphviz install renders it, with no
+        plotting dependency in the engine). Node label = table joined at
+        that depth, visit count, mean episode reward; the winning path is
+        drawn bold."""
+        from skinnerdb_spark.plans.graph import adaptive_reorder
+
+        res = adaptive_reorder(self.spark.sql(text), use_cache=False, **kw)
+        self.last_adaptive = res
+        out = ["digraph uct {", '  rankdir=LR; node [shape=box, fontsize=10];']
+        if not res.best_order:
+            out.append(
+                f'  fallback [label="not adaptive: '
+                f'{getattr(res, "reason", "ineligible")}"];'
+            )
+            out.append("}")
+            return "\n".join(out)
+        tree: dict[tuple, list] = {}
+        for ep in res.episodes:
+            for d in range(1, len(ep.order) + 1):
+                node = tree.setdefault(tuple(ep.order[:d]), [0, 0.0])
+                node[0] += 1
+                node[1] += ep.reward
+        best = tuple(res.best_order)
+        ids = {p: f"n{i}" for i, p in enumerate(sorted(tree, key=lambda p: [str(x) for x in p]))}
+        for prefix, (n, rsum) in tree.items():
+            on_best = prefix == best[: len(prefix)]
+            style = ', style=bold, color=blue' if on_best else ""
+            out.append(
+                f'  {ids[prefix]} [label="{prefix[-1]}\\nn={n} '
+                f'r={rsum / n:+.3f}"{style}];'
+            )
+            if len(prefix) > 1:
+                parent = prefix[:-1]
+                estyle = " [style=bold, color=blue]" if on_best and parent == best[: len(parent)] else ""
+                out.append(f"  {ids[parent]} -> {ids[prefix]}{estyle};")
+        if not tree:
+            out.append(
+                f'  only [label="{" > ".join(best)}\\n(single connected order)"];'
+            )
+        out.append("}")
+        return "\n".join(out)
+
     def explain(self, text: str) -> str:
         return self.spark.sql(text)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
