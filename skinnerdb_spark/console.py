@@ -13,6 +13,7 @@ Command surface, mapped 1:1 onto the Engine facade:
     exec <file>               run each ';'-terminated statement in a file
     explain <sql>             formatted physical plan
     explain adaptive <sql>    bandit episode log + chosen join order
+    explain adaptive dot <sql>  graphviz DOT of the explored order tree
     adaptive on|off           route SQL through the join-order bandit
     <anything else>           SQL -> execute + print rows
 
@@ -40,6 +41,7 @@ bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 explain <sql>             show the physical plan
 explain adaptive <sql>    show bandit episodes + chosen join order
+explain adaptive dot <sql>  graphviz DOT of the explored order tree
 adaptive on|off           toggle adaptive join ordering for SQL input
 <sql>                     execute SQL and print the result"""
 
@@ -88,6 +90,10 @@ class Console:
         if cmd == "explain":
             sub, _, sql = rest.partition(" ")
             if sub.lower() == "adaptive":
+                sub2, _, sql2 = sql.partition(" ")
+                if sub2.lower() == "dot":
+                    # TreePlotter parity: graphviz text of the UCT order tree
+                    return self.engine.explain_adaptive_dot(sql2)
                 return self.engine.explain_adaptive(sql)
             return self.engine.explain(rest)
         if cmd == "adaptive":

@@ -87,3 +87,11 @@ def test_compress_rewrites_and_repoints(console, spark):
     assert after == before
     import os
     assert os.path.isdir(os.path.join("spark-warehouse", "compressed", "nation"))
+
+
+def test_explain_adaptive_dot(console):
+    out = console.handle(
+        "explain adaptive dot SELECT COUNT(*) AS n FROM lineitem, orders, supplier "
+        "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey"
+    )
+    assert out.startswith("digraph uct {")
