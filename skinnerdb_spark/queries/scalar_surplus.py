@@ -263,3 +263,51 @@ def outer_join_on_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cust_without_urgent"),
     )
+
+
+@register(
+    "scalar_higher_order",
+    """
+    WITH base AS (
+      SELECT c_custkey, CAST(c_custkey % 5 + 3 AS BIGINT) AS n,
+             list_transform(range(1, CAST(c_custkey % 5 + 3 AS BIGINT) + 1),
+                            x -> CAST(x AS BIGINT)) AS arr
+      FROM customer)
+    SELECT c_custkey,
+           array_to_string(list_transform(arr, x -> x * x), ',') AS sq_csv,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_evens,
+           CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+           len(list_filter(arr, x -> x > 4)) > 0 AS has_gt4,
+           array_to_string(
+             list_transform(range(1, n + 1),
+                            i -> arr[CAST(i AS INTEGER)]
+                               + list_reverse(arr)[CAST(i AS INTEGER)]), ',')
+             AS zip_csv,
+           array_to_string(list_sort(arr, 'DESC'), ',') AS desc_csv
+    FROM base
+    """,
+    tags=("scalar", "surplus", "higher-order"),
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function sweep: transform / filter / exists /
+    aggregate (fold) / zip_with / sort_array over per-row integer sequences —
+    the lambda surface Catalyst evaluates entirely JVM-side (no Python, no
+    shuffle; one codegen'd projection). Array-valued results are emitted as
+    joined strings (like embed_quantize's scalar summaries) so the driver's
+    hash compare stays array-free; integer arithmetic keeps it exact. DuckDB
+    mirrors with list_transform/list_filter/list_sum and an index-lambda
+    emulation of zip_with (no native zip_with there)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = (F.col("c_custkey") % 5 + 3).cast("bigint")
+    arr = F.sequence(F.lit(1).cast("bigint"), n)
+    base = c.select("c_custkey", arr.alias("arr"))
+    a = F.col("arr")
+    return base.select(
+        "c_custkey",
+        F.array_join(F.transform(a, lambda x: x * x), ",").alias("sq_csv"),
+        F.size(F.filter(a, lambda x: x % 2 == 0)).cast("bigint").alias("n_evens"),
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x).alias("sum_sq"),
+        F.exists(a, lambda x: x > 4).alias("has_gt4"),
+        F.array_join(F.zip_with(a, F.reverse(a), lambda x, y: x + y), ",").alias("zip_csv"),
+        F.array_join(F.sort_array(a, asc=False), ",").alias("desc_csv"),
+    )
