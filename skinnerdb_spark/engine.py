@@ -126,6 +126,59 @@ class Engine:
         repeated queries hit deserialized columnar batches."""
         self.spark.table(name).cache()
 
+    def cached_sql(self, text: str, refresh: bool = False) -> DataFrame:
+        """Persisted result cache: re-running the same SQL against an
+        unchanged warehouse reads the materialized parquet result instead of
+        recomputing — the third durable artifact alongside the persisted
+        join-order cache (plans/graph.py) and the IVF index (operators/
+        ivf.py), and the Spark-native upgrade of the reference's per-session
+        result reuse (its RAM-resident intermediate caching dies with the
+        JVM; this survives sessions and is shareable cluster-wide on DFS).
+
+        Cache key = normalized SQL + a fingerprint of every warehouse file's
+        (relpath, size, mtime_ns) — ANY table rewrite invalidates every
+        cached result (conservatively; per-query scan-lineage keying is the
+        refinement if invalidation granularity ever matters). Writes are
+        atomic (tmp dir + rename), so concurrent sessions never read a
+        half-written result. Non-deterministic SQL (rand(), now()) is the
+        caller's responsibility, exactly as with any materialized view.
+
+        ``self.last_cache_hit`` records whether the last call was served
+        from cache.
+        """
+        import hashlib
+        import os
+        import shutil
+
+        if self.sf_dir is None:
+            raise ValueError("cached_sql requires an attached warehouse")
+        parts: list[str] = []
+        for root, _, files in sorted(os.walk(self.sf_dir)):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, self.sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+        wh_fp = hashlib.md5("|".join(parts).encode()).hexdigest()
+        norm = " ".join(text.split())
+        key = hashlib.md5(f"{norm}|{wh_fp}".encode()).hexdigest()
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cache_dir = os.path.join(repo_root, "spark-warehouse", "result_cache", key)
+        if not refresh and os.path.isdir(cache_dir):
+            self.last_cache_hit = True
+            return self.spark.read.parquet(cache_dir)
+        self.last_cache_hit = False
+        tmp = f"{cache_dir}.tmp-{os.getpid()}"
+        self.spark.sql(text).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_cached_sql"), "w") as f:
+            f.write(norm + "\n")
+        if os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+        os.rename(tmp, cache_dir)
+        return self.spark.read.parquet(cache_dir)
+
     def explain_adaptive(self, text: str, **kw) -> str:
         """Text rendering of the adaptive join-ordering decision — the
         capability analogue of the reference's `explain` UCT-tree

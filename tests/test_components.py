@@ -740,3 +740,52 @@ def test_explain_adaptive_dot_renders_tree(spark, sf_dir):
         assert "not adaptive" in fallback
     finally:
         os.environ.pop("SKINNER_ORDER_CACHE_PERSIST", None)
+
+
+def test_cached_sql_roundtrip_and_staleness(spark, sf_dir, tmp_path):
+    """Persisted result cache: miss -> materialize, hit -> identical rows
+    from parquet; any warehouse file change flips the key (new fingerprint
+    = miss). Uses a COPY of the warehouse so staleness can be simulated
+    without touching the read-only testdata."""
+    import os
+    import shutil
+
+    wh = tmp_path / "wh"
+    shutil.copytree(sf_dir, wh)
+    eng = Engine(spark, str(wh))
+    sql = "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+
+    try:
+        _run_cached_sql_scenario(eng, wh, sql)
+    finally:
+        # the session-scoped fixture shares temp views across tests —
+        # re-point them at the canonical warehouse
+        Engine(spark, sf_dir)
+
+
+def _run_cached_sql_scenario(eng, wh, sql):
+    import os
+
+    first = eng.cached_sql(sql).collect()
+    assert eng.last_cache_hit is False
+    second = eng.cached_sql(sql).collect()
+    assert eng.last_cache_hit is True
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+    # different SQL -> different key
+    eng.cached_sql("SELECT COUNT(*) AS n FROM nation")
+    assert eng.last_cache_hit is False
+
+    # warehouse rewrite -> stale: touch a file's mtime
+    target = next(
+        os.path.join(r, f) for r, _, fs in os.walk(wh) for f in fs if f.endswith(".parquet")
+    )
+    os.utime(target, ns=(os.stat(target).st_mtime_ns + 10**9,) * 2)
+    eng.cached_sql(sql)
+    assert eng.last_cache_hit is False
+
+    # detached engine refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="warehouse"):
+        Engine(eng.spark).cached_sql("SELECT 1")
