@@ -161,3 +161,71 @@ def job_deep15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# job_deep17 — the full 29a.sql-class width (17 relations) as an
+# oracle-verified registry entry: three items of one order, each with its
+# part -> supplier -> nation chain, customer nation -> region, a
+# repeat-purchase orders alias, stacked LIKE/NOT LIKE and ordering thetas.
+# Byte-synced with queries_sql/t12_deep17_01.sql (which the bench drives
+# through Engine.adaptive_sql); this entry routes the same graph through the
+# bandit at the widest width the extractor handles (17 leaves).
+# ---------------------------------------------------------------------------
+_T12_FILE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "queries_sql",
+    "t12_deep17_01.sql",
+)
+with open(_T12_FILE) as _f:
+    _DEEP17_ORACLE = _f.read()
+
+
+@register("job_deep17", _DEEP17_ORACLE, tags=("job", "family", "deep", "adaptive"))
+def job_deep17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """17-way snowflake with triple self-join on lineitem — the widest shape
+    in the reference's corpus class (imdb/queries/29a.sql joins 17
+    relations). See PERFORMANCE.md 'Deep-join family': at this width the
+    learned order beats Catalyst's static choice ~2.2x."""
+    rt = read_table
+    l1, l2, l3 = (rt(spark, sf_dir, "lineitem") for _ in range(3))
+    o = rt(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    o2 = rt(spark, sf_dir, "orders")
+    c = rt(spark, sf_dir, "customer")
+    n1, n2, n3, n4 = (rt(spark, sf_dir, "nation") for _ in range(4))
+    r1 = rt(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p1 = rt(spark, sf_dir, "part").filter(F.col("p_name").like("%re%"))
+    p2 = rt(spark, sf_dir, "part").filter(~F.col("p_name").like("%blue%"))
+    p3 = rt(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    s1, s2, s3 = (rt(spark, sf_dir, "supplier") for _ in range(3))
+    return adaptive(
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .join(l2, l2["l_orderkey"] == o["o_orderkey"])
+        .join(l3, l3["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(o2, o2["o_custkey"] == c["c_custkey"])
+        .join(B(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(B(r1), n1["n_regionkey"] == r1["r_regionkey"])
+        .join(p1, l1["l_partkey"] == p1["p_partkey"])
+        .join(B(s1), l1["l_suppkey"] == s1["s_suppkey"])
+        .join(B(n2), s1["s_nationkey"] == n2["n_nationkey"])
+        .join(p2, l2["l_partkey"] == p2["p_partkey"])
+        .join(B(s2), l2["l_suppkey"] == s2["s_suppkey"])
+        .join(B(n3), s2["s_nationkey"] == n3["n_nationkey"])
+        .join(p3, l3["l_partkey"] == p3["p_partkey"])
+        .join(B(s3), l3["l_suppkey"] == s3["s_suppkey"])
+        .join(B(n4), s3["s_nationkey"] == n4["n_nationkey"])
+        .filter(l1["l_linenumber"] < l2["l_linenumber"])
+        .filter(l2["l_linenumber"] < l3["l_linenumber"])
+        .filter(o2["o_orderdate"] > o["o_orderdate"])
+        .agg(
+            F.min(p1["p_name"]).alias("min_p1"),
+            F.min(p2["p_name"]).alias("min_p2"),
+            F.min(p3["p_name"]).alias("min_p3"),
+            F.min(n2["n_name"]).alias("min_suppnation1"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
