@@ -214,3 +214,42 @@ def test_hive_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="distinct"):
         write_hive_partitioned(o, str(tmp_path / "bad"), "o_orderkey", max_partitions=100)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join — the runtime complement to plans/skew.py's manual
+    salting: a sort-merge join whose hot key dwarfs the median partition is
+    split at runtime (SortMergeJoin(skew=true) + AQEShuffleRead skewed),
+    results unchanged. Thresholds are lowered only because test data is
+    tiny; at warehouse scale the defaults (256 MB / 5x median) fire on any
+    power-law key. Incompressible payloads matter for the test: partition
+    sizes are judged on COMPRESSED shuffle bytes."""
+    from skinnerdb_spark.plans.metrics import run_and_count
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 101).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, "k")
+        n = run_and_count(j)
+        assert n == 200000  # every left row matches exactly one right row
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
