@@ -789,3 +789,35 @@ def _run_cached_sql_scenario(eng, wh, sql):
 
     with _pytest.raises(ValueError, match="warehouse"):
         Engine(eng.spark).cached_sql("SELECT 1")
+
+
+def test_stream_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: after draining the
+    source, the persisted rollup table equals the batch-twin aggregation
+    (ev_tumbling_hour), and a REPLAY from a fresh checkpoint is idempotent."""
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.streaming.windows import stream_incremental_rollup
+
+    src = f"{sf_dir}/events.parquet"
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        stream_incremental_rollup(spark, src, out, ckpt)
+
+        batch = all_specs()["ev_tumbling_hour"].spark(spark, sf_dir).toPandas()
+        got = (
+            spark.read.parquet(out)
+            .select("window_start", "event_type", "n_events")
+            .toPandas()
+        )
+        key = ["window_start", "event_type"]
+        batch = batch.sort_values(key, ignore_index=True)[batch.columns.sort_values()]
+        got = got.sort_values(key, ignore_index=True)[got.columns.sort_values()]
+        assert len(got) == len(batch) and (got["n_events"] == batch["n_events"]).all()
+
+        # replay with a new checkpoint: same partitions rewritten, same table
+        stream_incremental_rollup(spark, src, out, str(tmp_path / "ckpt2"))
+        again = spark.read.parquet(out)
+        assert again.count() == len(batch)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
