@@ -76,3 +76,83 @@ def test_shingles_expr_matches_python(spark, wordlists):
         for i, ws in rows
     }
     assert got == want
+
+
+def test_segment_dedup_invariants(spark, sf_dir):
+    """Structural invariants of dedup_segments: full corpus coverage,
+    n_shared <= n_segments, n_segments matches ceil(tokens/8) per doc, and
+    the 0.5-threshold decision is consistent with shared_frac."""
+    import math
+
+    from skinnerdb_spark.operators.segments import SEG_TOKENS, dedup_segments
+    from skinnerdb_spark.queries.util import read_table
+
+    res = {r.doc_id: r for r in dedup_segments(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if len(r.text) > 0
+    }
+    assert set(res) == set(docs)
+    for doc_id, text in docs.items():
+        r = res[doc_id]
+        assert r.n_segments == math.ceil(len(text.split(" ")) / SEG_TOKENS)
+        assert 0 <= r.n_shared <= r.n_segments
+        assert abs(r.shared_frac - r.n_shared / r.n_segments) < 1e-12
+        assert r.decision == ("drop" if r.shared_frac >= 0.5 else "keep")
+
+
+def test_attribution_join_invariants(spark, sf_dir):
+    """Every attributed pair: same user, click strictly before purchase,
+    gap within [0, 30min); at most one attribution per purchase; the
+    attributed click is the LATEST eligible one."""
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.queries.util import read_table
+
+    rows = all_specs()["ev_attribution_join"].spark(spark, sf_dir).collect()
+    purchases = {r.purchase_id for r in rows}
+    assert len(purchases) == len(rows)  # top-1 per purchase
+
+    import collections
+
+    events = collections.defaultdict(list)
+    for e in read_table(spark, sf_dir, "events").collect():
+        events[(e.user_id, e.event_type)].append(e)
+    for r in rows:
+        assert 0 <= r.gap_seconds < 1800
+        assert r.attributed_click_ts < r.purchase_ts
+        eligible = [
+            c
+            for c in events[(r.user_id, "click")]
+            if c.ts < r.purchase_ts
+            and (r.purchase_ts - c.ts).total_seconds() <= 1800
+        ]
+        best = max(eligible, key=lambda c: (c.ts, c.event_id))
+        assert (best.ts, best.event_id) == (
+            r.attributed_click_ts,
+            r.attributed_click_id,
+        )
+
+
+def test_curation_gate_reason_consistency(spark, sf_dir):
+    """The gate's verdict/reason pair must follow the documented rule order
+    and its inputs must agree with the standalone signal operators."""
+    from skinnerdb_spark.operators.curation_gate import docs_curation_gate
+    from skinnerdb_spark.operators.dedup import dedup_exact
+
+    gate = {r.doc_id: r for r in docs_curation_gate(spark, sf_dir).collect()}
+    dups = {r.doc_id: r.is_dup for r in dedup_exact(spark, sf_dir).collect()}
+    assert set(gate) == set(dups)
+    for doc_id, r in gate.items():
+        assert r.is_dup == dups[doc_id]
+        expected_reason = (
+            "exact_dup"
+            if r.is_dup == 1
+            else "low_quality"
+            if r.quality_score < 0.5
+            else "shared_passages"
+            if r.shared_frac >= 0.5
+            else "ok"
+        )
+        assert r.reason == expected_reason
+        assert r.verdict == ("keep" if expected_reason == "ok" else "drop")
