@@ -643,3 +643,51 @@ def ev_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# leakage-free train/valid split: near-dup clusters never straddle splits
+# --------------------------------------------------------------------------
+from skinnerdb_spark.operators.dedup import _CLUSTERS_ORACLE, dedup_clusters  # noqa: E402
+
+# the clusters oracle, re-targeted: keep every CTE up to lbl(doc_id,
+# cluster_id), swap the final projection for the split assignment
+_SPLIT_ORACLE = (
+    _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.rindex("SELECT l.doc_id")].rstrip().rstrip(",")
+    + """,
+    grp AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN lbl l USING (doc_id))
+    SELECT doc_id, group_key,
+           CASE WHEN md5(CAST(group_key AS VARCHAR)) < '3'
+                THEN 'valid' ELSE 'train' END AS split
+    FROM grp
+    """
+)
+
+
+@register("sample_leakage_free_split", _SPLIT_ORACLE, tags=("pipeline", "sampling", "dedup"))
+def sample_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid split that can't leak near-duplicates across the
+    boundary: the split unit is the near-dup CLUSTER (transitive closure of
+    verified >=0.5-Jaccard pairs, :func:`dedup_clusters`), not the document —
+    a doc and its paraphrase land on the same side by construction, the
+    failure mode naive random splits have on web corpora. Unclustered docs
+    are their own group. Assignment is the registry's standard deterministic
+    md5 rule (hex < '3' ~= 18.75% valid) — reproducible across engines,
+    reruns, and partitionings, no RNG.
+
+    Cost at scale: the cluster labels come from the pair-graph-only CC loop;
+    the split itself is one map-side hash per doc + a doc_id-co-partitioned
+    LEFT join of the (small) cluster label table."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    grp = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_key")
+    )
+    h = F.md5(F.col("group_key").cast("string").cast("binary"))
+    return grp.select(
+        "doc_id",
+        "group_key",
+        F.when(h < "3", "valid").otherwise("train").alias("split"),
+    )

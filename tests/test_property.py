@@ -156,3 +156,28 @@ def test_curation_gate_reason_consistency(spark, sf_dir):
         )
         assert r.reason == expected_reason
         assert r.verdict == ("keep" if expected_reason == "ok" else "drop")
+
+
+def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
+    """The property the op exists for: no near-dup cluster straddles the
+    train/valid boundary, every doc is assigned, and the valid share is in
+    the md5-rule's expected band."""
+    from skinnerdb_spark.operators.curation import sample_leakage_free_split
+    from skinnerdb_spark.operators.dedup import dedup_clusters
+    from skinnerdb_spark.queries.util import read_table
+
+    split = {r.doc_id: r for r in sample_leakage_free_split(spark, sf_dir).collect()}
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(split) == n_docs
+
+    clusters = {}
+    for r in dedup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert clusters, "test corpus must contain near-dup clusters"
+    for cid, members in clusters.items():
+        sides = {split[m].split for m in members}
+        assert len(sides) == 1, f"cluster {cid} straddles splits: {sides}"
+        assert all(split[m].group_key == cid for m in members)
+
+    frac = sum(1 for r in split.values() if r.split == "valid") / n_docs
+    assert 0.05 < frac < 0.4  # ~18.75% expected; wide band for small corpora
