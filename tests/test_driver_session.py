@@ -77,7 +77,8 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # segment-level exact dedup
              "text_pii_redact", "dedup_segments",
              # NTZ interval arithmetic under non-UTC: attribution join
-             "ev_attribution_join", "docs_curation_gate"]:
+             "ev_attribution_join", "docs_curation_gate",
+             "sample_leakage_free_split"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
