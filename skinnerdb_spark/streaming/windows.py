@@ -371,6 +371,14 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     The template for any custom stateful op the built-in aggregations can't
     express — state is a per-key tuple persisted in the state store, updated
     per micro-batch.
+
+    Spark 4's successor API (``transformWithStateInPandas`` +
+    ``StatefulProcessor``, RocksDB-backed typed state) was evaluated as the
+    upgrade path: its driver worker imports ``google.protobuf``, which this
+    container lacks (no package installs), so the processor crashes at
+    schema pre-init. The applyInPandasWithState form below is the covered,
+    tested path; swapping to a StatefulProcessor is mechanical where
+    protobuf exists.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
