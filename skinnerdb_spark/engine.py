@@ -165,7 +165,11 @@ class Engine:
         key = hashlib.md5(f"{norm}|{wh_fp}".encode()).hexdigest()
 
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        cache_dir = os.path.join(repo_root, "spark-warehouse", "result_cache", key)
+        cache_root = os.environ.get(
+            "SKINNER_RESULT_CACHE_DIR",
+            os.path.join(repo_root, "spark-warehouse", "result_cache"),
+        )
+        cache_dir = os.path.join(cache_root, key)
         if not refresh and os.path.isdir(cache_dir):
             self.last_cache_hit = True
             return self.spark.read.parquet(cache_dir)

@@ -755,9 +755,13 @@ def test_cached_sql_roundtrip_and_staleness(spark, sf_dir, tmp_path):
     eng = Engine(spark, str(wh))
     sql = "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
 
+    # fresh per-run cache root: the default repo-level cache persists across
+    # sessions BY DESIGN (copytree preserves mtimes, so a rerun would HIT)
+    os.environ["SKINNER_RESULT_CACHE_DIR"] = str(tmp_path / "result_cache")
     try:
         _run_cached_sql_scenario(eng, wh, sql)
     finally:
+        os.environ.pop("SKINNER_RESULT_CACHE_DIR", None)
         # the session-scoped fixture shares temp views across tests —
         # re-point them at the canonical warehouse
         Engine(spark, sf_dir)
