@@ -691,3 +691,74 @@ def sample_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_key",
         F.when(h < "3", "valid").otherwise("train").alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# cross-modal profile: documents joined to their embedding vectors
+# --------------------------------------------------------------------------
+from skinnerdb_spark.operators.similarity import DIM  # noqa: E402
+
+#: per-row squared L2 norm as DECIMAL(22,6): the zip_with products are exact
+#: at (28,12) (float*float fits), the fold accumulator stays (30,12)
+#: (below Spark's precision-38 rounding cliff), and the scale-6 recast keeps
+#: the CROSS-ROW sum's scaled integer far under 2^53 so the final
+#: decimal->double cast is bit-identical in both engines. The re-scale is an
+#: EXPLICIT ROUND(x, 6) on both sides: DuckDB's decimal->decimal downscale
+#: cast TRUNCATES where Spark's rounds (found by the hash gate); ROUND is
+#: half-away-from-zero in both engines.
+_NORM_SQ_DEC = (
+    "CAST(ROUND(aggregate(zip_with(embedding, embedding, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))), "
+    "CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"
+    ", 6) AS DECIMAL(22,6))"
+)
+
+_ORACLE_NORM_SQ = (
+    "(SELECT CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) * "
+    "CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))), 6) AS DECIMAL(22,6)) "
+    f"FROM generate_series(1, {DIM}) AS g(i))"
+)
+
+
+@register(
+    "docs_embedding_profile",
+    f"""
+    WITH joined AS (
+      SELECT d.source, e.label,
+             LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1 AS n_tokens,
+             {_ORACLE_NORM_SQ} AS norm_sq
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE LENGTH(d.text) > 0)
+    SELECT source, label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(norm_sq) AS DOUBLE) / COUNT(*) AS mean_norm_sq
+    FROM joined
+    GROUP BY source, label
+    """,
+    tags=("pipeline", "multimodal", "similarity"),
+)
+def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation profile: text stats joined to embedding-space
+    stats per (source, label) — the table a curation run consults to spot
+    sources whose embeddings collapse (low norm variance) or whose token
+    budgets skew. The doc_id = vec_id join is the canonical text<->vector
+    linkage; at scale both sides bucket on that id (sources/bucketing.py)
+    so the join is shuffle-free. Norms are decimal-exact in-row folds
+    (similarity.py's envelope); the per-group means are single exact-int /
+    exact-decimal double divisions — hash-stable across engines."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    e = read_table(spark, sf_dir, "embeddings")
+    text = F.col("text")
+    n_tokens = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    joined = d.select(F.col("doc_id"), "source", n_tokens.alias("n_tokens")).join(
+        e.select("vec_id", "label", F.expr(_NORM_SQ_DEC).alias("norm_sq")),
+        F.col("doc_id") == F.col("vec_id"),
+    )
+    return joined.groupBy("source", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("norm_sq").cast("double") / F.count(F.lit(1))).alias("mean_norm_sq"),
+    )
