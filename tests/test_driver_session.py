@@ -78,7 +78,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "text_pii_redact", "dedup_segments",
              # NTZ interval arithmetic under non-UTC: attribution join
              "ev_attribution_join", "docs_curation_gate",
-             "sample_leakage_free_split"]:
+             "sample_leakage_free_split",
+             # widest adaptive graph (py4j plan surface) + cross-modal join
+             "job_deep17", "docs_embedding_profile"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
