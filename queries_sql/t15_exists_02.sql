@@ -1,0 +1,12 @@
+SELECT COUNT(*) AS n_custs, MIN(c_name) AS min_name
+FROM customer c
+WHERE c.c_mktsegment = 'MACHINERY'
+  AND EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > 120000
+        AND o.o_orderdate >= TIMESTAMP '1995-06-01 00:00:00')
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        AND o2.o_totalprice < 5000)

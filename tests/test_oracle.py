@@ -74,3 +74,31 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = spec.spark(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def _corpus_files() -> list[str]:
+    import glob
+    import os
+
+    corpus = os.path.join(os.path.dirname(__file__), "..", "queries_sql")
+    return sorted(os.path.basename(p) for p in glob.glob(os.path.join(corpus, "*.sql")))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fname", _corpus_files())
+def test_corpus_sql_matches_oracle(spark, oracle_con, sf_dir, fname):
+    """EVERY committed corpus file (the reference's bench directory analogue)
+    is differential-tested against DuckDB, not just timed: same ANSI text,
+    both engines, exact compare. Complements the registry gate — the corpus
+    is the workload the bench's throughput claim rests on."""
+    import os
+
+    from skinnerdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    path = os.path.join(os.path.dirname(__file__), "..", "queries_sql", fname)
+    with open(path) as f:
+        q = f.read()
+    spark_pdf = spark.sql(q).toPandas()
+    oracle_pdf = oracle_con.execute(q).df()
+    assert_frames_match(spark_pdf, oracle_pdf, fname)

@@ -410,6 +410,39 @@ FROM (
     )
 
 
+# ------------------------------------------------------------ T15: exists
+# correlated EXISTS / NOT EXISTS (the reference's IN-subquery semi-join
+# surface, src/query/QueryInfo.java IN handling, generalized): semi/anti
+# shapes Catalyst plans as SemiJoin/AntiJoin — outside the adaptive
+# extractor's top-level-inner-chain scope, so bench_dir exercises the
+# documented fallback path on these.
+_T15 = [
+    ("BUILDING", 150000, "1996-01-01"),
+    ("MACHINERY", 120000, "1995-06-01"),
+    ("AUTOMOBILE", 180000, "1997-01-01"),
+    ("FURNITURE", 100000, "1996-06-01"),
+    ("HOUSEHOLD", 160000, "1995-01-01"),
+]
+for i, (seg, cap, d) in enumerate(_T15, 1):
+    add(
+        f"t15_exists_{i:02d}",
+        f"""
+SELECT COUNT(*) AS n_custs, MIN(c_name) AS min_name
+FROM customer c
+WHERE c.c_mktsegment = '{seg}'
+  AND EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > {cap}
+        AND o.o_orderdate >= TIMESTAMP '{d} 00:00:00')
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        AND o2.o_totalprice < 5000)
+""",
+    )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, sql in sorted(queries.items()):
