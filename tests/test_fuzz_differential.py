@@ -219,3 +219,75 @@ def run_join_both(spark, oracle_con, sf_dir, seed: int):
 def test_random_join_matches_oracle(spark, oracle_con, sf_dir, seed):
     spark_pdf, oracle_pdf, sql = run_join_both(spark, oracle_con, sf_dir, seed)
     _assert_equal(spark_pdf, oracle_pdf, sql)
+
+
+# --------------------------------------------------------------------------
+# scalar-expression fuzz: random integer expression trees, Spark vs DuckDB
+# --------------------------------------------------------------------------
+M = 1000003  # prime modulus keeps every node's magnitude < 1e12 (no overflow)
+
+
+def gen_int_expr(rng: random.Random, depth: int):
+    """Random integer expression AST built twice (Column, SQL). Integer-only
+    keeps cross-engine comparison exact; every arithmetic node reduces
+    mod M so bigint never overflows at any depth."""
+    if depth == 0:
+        if rng.random() < 0.3:
+            v = rng.randrange(1, 1000)
+            return (F.lit(v).cast("bigint"), f"CAST({v} AS BIGINT)")
+        col = rng.choice(INT_COLS)
+        return (F.col(col).cast("bigint"), f"CAST({col} AS BIGINT)")
+    kind = rng.choice(["add", "sub", "mul", "mod", "case", "coalesce"])
+    a_c, a_s = gen_int_expr(rng, depth - 1)
+    b_c, b_s = gen_int_expr(rng, depth - 1)
+    if kind in ("add", "sub", "mul"):
+        op = {"add": "+", "sub": "-", "mul": "*"}[kind]
+        c = {"add": a_c + b_c, "sub": a_c - b_c, "mul": a_c * b_c}[kind]
+        return ((c % M), f"(({a_s} {op} {b_s}) % {M})")
+    if kind == "mod":
+        d = rng.randrange(2, 97)
+        return (a_c % d, f"({a_s} % {d})")
+    if kind == "case":
+        t = rng.randrange(0, M)
+        return (
+            F.when(a_c < t, b_c).otherwise(a_c),
+            f"(CASE WHEN {a_s} < {t} THEN {b_s} ELSE {a_s} END)",
+        )
+    v = rng.randrange(0, 1000)
+    return (
+        F.coalesce(F.nullif(a_c, F.lit(v).cast("bigint")), b_c),
+        f"COALESCE(NULLIF({a_s}, {v}), {b_s})",
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_scalar_expressions(spark, oracle_con, sf_dir, seed):
+    """Random depth-3 integer expression trees (+, -, *, %, CASE, COALESCE/
+    NULLIF) evaluated per lineitem row must agree bit-for-bit across engines
+    — the scalar-compiler analogue of the reference's expression tests
+    (its ASM ExpressionCompiler is replaced by Catalyst codegen; this pins
+    the semantics the swap must preserve: % sign, CASE eval order,
+    NULLIF/COALESCE null propagation)."""
+    rng = random.Random(1000 + seed)
+    col_expr, sql_expr = gen_int_expr(rng, 3)
+    l = read_table(spark, sf_dir, "lineitem")
+    s = (
+        l.select("l_orderkey", "l_linenumber", col_expr.alias("e"))
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"], ignore_index=True)
+    )
+    o = (
+        oracle_con.execute(
+            f"SELECT l_orderkey, l_linenumber, {sql_expr} AS e FROM lineitem"
+        )
+        .df()
+        .sort_values(["l_orderkey", "l_linenumber"], ignore_index=True)
+    )
+    assert len(s) == len(o)
+    se, oe = s["e"], o["e"]
+    mism = [
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(se, oe))
+        if not (pd.isna(a) and pd.isna(b)) and a != b
+    ]
+    assert not mism, f"seed {seed}: {sql_expr}\nfirst mismatches: {mism[:3]}"
