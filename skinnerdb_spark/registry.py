@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         temporal,
         text,
     )
+    from skinnerdb_spark.sources import binaryfile  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401
     from skinnerdb_spark.queries import (  # noqa: F401
         tpch_surplus,

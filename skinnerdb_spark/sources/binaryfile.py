@@ -73,3 +73,43 @@ def to_media(files: DataFrame, media_type: str) -> DataFrame:
         F.col("content"),
         F.lit(media_type).alias("media_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# registry entry: the ingestion manifest, oracle-verified byte-for-byte
+# --------------------------------------------------------------------------
+import os as _os
+
+from skinnerdb_spark.registry import register
+
+#: static oracle resolves its warehouse at import, like the IVF index oracle
+#: (operators/ivf.py): the driver gate runs at sf0.01; tests/conftest.py pins
+#: this env var to the local test SF before the registry is populated.
+_ORACLE_SF = _os.environ.get("SKINNER_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@register(
+    "binary_ingest_manifest",
+    f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS length,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{_ORACLE_SF}/*.parquet')
+    """,
+    tags=("sources", "multimodal", "binary"),
+)
+def binary_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion manifest: every warehouse file's name,
+    byte length, and content hash via the binaryFile source — the checksum
+    table a multimodal ingest job writes first (dedup by content_md5,
+    re-ingest detection by (name, length, md5) deltas). The md5 runs over
+    the HEX of the payload because DuckDB's md5 only accepts VARCHAR —
+    hex() is byte-identical uppercase in both engines, so the digest is a
+    faithful cross-engine content fingerprint. One file = one row = one
+    task; no shuffle."""
+    files = load_binary(spark, sf_dir, glob="*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )
