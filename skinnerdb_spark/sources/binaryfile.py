@@ -106,7 +106,13 @@ def binary_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HEX of the payload because DuckDB's md5 only accepts VARCHAR —
     hex() is byte-identical uppercase in both engines, so the digest is a
     faithful cross-engine content fingerprint. One file = one row = one
-    task; no shuffle."""
+    task; no shuffle.
+
+    At-scale note: hex() doubles the payload and a >1 GB file would
+    overflow the JVM's max string length — in production swap the digest
+    for ``xxhash64(content)`` (no expansion, still collision-safe for
+    dedup) or a chunked hasher; md5-of-hex is the cross-engine-verifiable
+    form, and the warehouse files here are MBs."""
     files = load_binary(spark, sf_dir, glob="*.parquet")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
