@@ -825,3 +825,18 @@ def test_stream_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         assert again.count() == len(batch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_corpus_generator_matches_committed_files(tmp_path):
+    """tools/gen_job_corpus.py is deterministic and the committed
+    queries_sql/ files are exactly its output — no hand-edited drift between
+    the generator (what the docs describe) and the corpus (what bench and
+    the differential gate actually run)."""
+    import pathlib
+    import runpy
+
+    mod = runpy.run_path("tools/gen_job_corpus.py", run_name="corpusgen")
+    mod["main"](str(tmp_path))
+    committed = {p.name: p.read_bytes() for p in pathlib.Path("queries_sql").glob("*.sql")}
+    generated = {p.name: p.read_bytes() for p in tmp_path.glob("*.sql")}
+    assert generated == committed

@@ -443,12 +443,13 @@ WHERE c.c_mktsegment = '{seg}'
     )
 
 
-def main() -> None:
-    os.makedirs(OUT, exist_ok=True)
+def main(out: str | None = None) -> None:
+    out = out or OUT
+    os.makedirs(out, exist_ok=True)
     for name, sql in sorted(queries.items()):
-        with open(os.path.join(OUT, f"{name}.sql"), "w") as f:
+        with open(os.path.join(out, f"{name}.sql"), "w") as f:
             f.write(sql)
-    print(f"wrote {len(queries)} queries to {os.path.abspath(OUT)}")
+    print(f"wrote {len(queries)} queries to {os.path.abspath(out)}")
 
 
 if __name__ == "__main__":
