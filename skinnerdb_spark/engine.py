@@ -181,6 +181,20 @@ class Engine:
         if os.path.isdir(cache_dir):
             shutil.rmtree(cache_dir)
         os.rename(tmp, cache_dir)
+        # bounded cache: evict oldest entries beyond the cap so a long-lived
+        # warehouse session can't grow the cache without limit (every stale
+        # fingerprint generation leaves dead entries behind otherwise)
+        cap = int(os.environ.get("SKINNER_RESULT_CACHE_MAX", "64"))
+        entries = sorted(
+            (
+                os.path.join(cache_root, d)
+                for d in os.listdir(cache_root)
+                if os.path.isdir(os.path.join(cache_root, d)) and ".tmp-" not in d
+            ),
+            key=os.path.getmtime,
+        )
+        for stale in entries[: max(0, len(entries) - cap)]:
+            shutil.rmtree(stale, ignore_errors=True)
         return self.spark.read.parquet(cache_dir)
 
     def explain_adaptive(self, text: str, **kw) -> str:

@@ -788,6 +788,16 @@ def _run_cached_sql_scenario(eng, wh, sql):
     eng.cached_sql(sql)
     assert eng.last_cache_hit is False
 
+    # bounded cache: with cap=2, a third distinct result evicts the oldest
+    os.environ["SKINNER_RESULT_CACHE_MAX"] = "2"
+    try:
+        eng.cached_sql("SELECT COUNT(*) AS n FROM region")
+        root = os.environ["SKINNER_RESULT_CACHE_DIR"]
+        live = [d for d in os.listdir(root) if ".tmp-" not in d]
+        assert len(live) <= 2
+    finally:
+        os.environ.pop("SKINNER_RESULT_CACHE_MAX", None)
+
     # detached engine refuses
     import pytest as _pytest
 
