@@ -850,3 +850,30 @@ def test_corpus_generator_matches_committed_files(tmp_path):
     committed = {p.name: p.read_bytes() for p in pathlib.Path("queries_sql").glob("*.sql")}
     generated = {p.name: p.read_bytes() for p in tmp_path.glob("*.sql")}
     assert generated == committed
+
+
+def test_recursive_cte_support_and_limits(spark):
+    """Spark 4 recursive CTEs: linear UNION ALL recursion works (date-spine /
+    sequence generation without explode); UNION-distinct recursion — what a
+    cyclic-graph closure needs — is rejected, which is WHY dedup_clusters
+    uses the iterative min-label / star-contraction loops instead (the
+    DuckDB oracle side does use a recursive CTE, where UNION is allowed)."""
+    rows = spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '2024-01-10')
+        SELECT COUNT(*) AS n, MIN(d) AS lo, MAX(d) AS hi FROM spine
+        """
+    ).collect()
+    assert rows[0].n == 10 and str(rows[0].hi) == "2024-01-10"
+
+    with pytest.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """
+            WITH RECURSIVE r(n) AS (
+              SELECT 1 UNION SELECT n + 1 FROM r WHERE n < 5)
+            SELECT * FROM r
+            """
+        ).collect()
