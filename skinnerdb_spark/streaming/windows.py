@@ -494,3 +494,46 @@ def stream_incremental_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "ev_value_histogram",
+    """
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 19)
+                 AS bucket
+        FROM events),
+    counts AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b GROUP BY bucket)
+    SELECT bucket, bucket * 25.0 AS lo, (bucket + 1) * 25.0 AS hi, n_events,
+           CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS frac
+    FROM counts
+    """,
+    tags=("events", "agg", "histogram"),
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of event values (20 buckets of 25 over
+    [0, 500), edges clamped): one map-side bucket projection + one tiny
+    aggregation — the profiling primitive behind range-partition planning
+    and skew detection. floor-of-division bucketing is identical IEEE
+    arithmetic in both engines; frac is one exact-int double division per
+    bucket (the window total is a 20-row frame, not a corpus shuffle)."""
+    e = read_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0).cast("bigint"), F.lit(0)),
+        F.lit(19),
+    )
+    counts = (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    wall = Window.partitionBy()
+    return counts.select(
+        "bucket",
+        (F.col("bucket") * 25.0).alias("lo"),
+        ((F.col("bucket") + 1) * 25.0).alias("hi"),
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(wall)).alias("frac"),
+    )
