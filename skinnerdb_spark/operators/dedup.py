@@ -681,3 +681,78 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment over the LSH candidate set: quote/subsumption
+# detection (doc A ⊂ doc B), which symmetric Jaccard under-scores
+# --------------------------------------------------------------------------
+_CONTAINMENT_ORACLE = f"""
+    WITH {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+    SELECT c.doc_a, c.doc_b,
+           CAST(i.both_n AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+           CASE WHEN sa.n <= sb.n THEN c.doc_a ELSE c.doc_b END AS contained_doc,
+           CASE WHEN CAST(i.both_n AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+                THEN 1 ELSE 0 END AS is_near_subset
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / min(|A|, |B|) for the LSH
+    candidate pairs: a short doc quoted whole inside a long one scores ~1.0
+    here while its Jaccard stays low — the subsumption case symmetric dedup
+    passes over. ``contained_doc`` is the smaller (candidate-for-drop) side;
+    ``is_near_subset`` applies the standard 0.8 cut.
+
+    Same candidate-bounded shape as :func:`dedup_ngram_jaccard` (in-row
+    array_intersect, never an all-pairs join). HONEST CAVEAT, also in the
+    oracle: candidates come from the minhash bands, which approximate
+    JACCARD — a containment-complete candidate generator would band the
+    smaller doc's shingles only (prefix-LSH); pairs with high containment
+    but near-zero Jaccard can be missed. The measure itself is exact on
+    every proposed pair."""
+    cand = lsh_candidates(spark, sf_dir)
+    sets = shared_shingle_sets(spark, sf_dir)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"), F.col("n").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n").alias("nb")
+    )
+    both_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = both_n.cast("double") / F.least("na", "nb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            both_n.alias("both_n"),
+            containment.alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(containment >= 0.8, 1).otherwise(0).alias("is_near_subset"),
+        )
+        .filter(F.col("both_n") > 0)
+        .drop("both_n")
+    )
