@@ -756,3 +756,82 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("both_n") > 0)
         .drop("both_n")
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash PAIRS: 4x8-bit banded blocking over the 32-bit signatures + exact
+# Hamming verify — completes the simhash path from signature to decisions
+# --------------------------------------------------------------------------
+SIMHASH_BAND_LEN = SIMHASH_BITS // 4  # 4 bands; Hamming<=3 pairs share >=1
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH wt AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+    bits AS (SELECT doc_id, i,
+                    CASE WHEN SUM(CASE WHEN {hex_high_sql("SUBSTR(md5(w), i, 1)")}
+                                       THEN 1 ELSE -1 END) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM wt, generate_series(1, {SIMHASH_BITS}) AS g(i)
+             GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+            FROM bits GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, b.b AS band,
+                     SUBSTR(simhash, (b.b - 1) * {SIMHASH_BAND_LEN} + 1,
+                            {SIMHASH_BAND_LEN}) AS band_key
+              FROM sig, generate_series(1, 4) AS b(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                    b.doc_id AS doc_b, b.simhash AS sig_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST((SELECT SUM(CASE WHEN SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1)
+                                 THEN 1 ELSE 0 END)
+                 FROM generate_series(1, {SIMHASH_BITS}) AS h(i)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE (SELECT SUM(CASE WHEN SUBSTR(sig_a, i, 1) <> SUBSTR(sig_b, i, 1)
+                           THEN 1 ELSE 0 END)
+           FROM generate_series(1, {SIMHASH_BITS}) AS h(i)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= 3: the 32-bit signature
+    splits into 4 bands of 8 bits, and by pigeonhole any pair within
+    distance 3 agrees EXACTLY on at least one band — so candidates meet only
+    inside (band, band_key) buckets (one shuffle, same skeleton + cap
+    semantics as the minhash family) and the exact Hamming count runs
+    in-row on candidates only. This is the Google-crawl dedup formulation
+    (Manku et al., WWW'07) on the already-verified signature column."""
+    sig = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, 4), b -> "
+                f"substring(simhash, (b - 1) * {SIMHASH_BAND_LEN} + 1, {SIMHASH_BAND_LEN}))"
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(split(sig_a, ''), split(sig_b, ''), "
+        "(x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)"
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
