@@ -803,7 +803,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside (band, band_key) buckets (one shuffle, same skeleton + cap
     semantics as the minhash family) and the exact Hamming count runs
     in-row on candidates only. This is the Google-crawl dedup formulation
-    (Manku et al., WWW'07) on the already-verified signature column."""
+    (Manku et al., WWW'07) on the already-verified signature column.
+
+    The minhash family's hot-bucket cap applies here too
+    (``skinnerdb.lsh.maxBucket``): a degenerate band value shared by b docs
+    contributes b^2 candidates, so production runs bound b and observe the
+    drops. Same oracle-parity caveat as the minhash entries: the DuckDB
+    mirror assumes the cap is not hit at gate SF (largest bucket at sf0.01
+    is 343 vs the 100k default)."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     sig = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
     bands = sig.select(
         "doc_id",
@@ -815,6 +823,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
+    bands = cap_buckets(bands, ["band", "band_key"], cap)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "band_key"
     )
