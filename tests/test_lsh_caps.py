@@ -151,3 +151,23 @@ def test_contamination_eval_cap_bounds_array_and_reports(spark, sf_dir):
             spark.conf.unset(CONTAM_MAX_EVAL)
         else:
             spark.conf.set(CONTAM_MAX_EVAL, prev)
+
+
+def test_simhash_pairs_respect_bucket_cap(spark, sf_dir):
+    """The hot-bucket cap bounds simhash-pair candidate generation exactly
+    like the minhash family: a tiny cap excludes the dominant band bucket
+    and strictly shrinks the pair set; restoring the conf restores it."""
+    from skinnerdb_spark.operators.dedup import LSH_MAX_BUCKET, dedup_simhash_pairs
+
+    uncapped = dedup_simhash_pairs(spark, sf_dir).count()
+    prev = spark.conf.get(LSH_MAX_BUCKET, None)
+    spark.conf.set(LSH_MAX_BUCKET, "5")
+    try:
+        capped = dedup_simhash_pairs(spark, sf_dir).count()
+        assert capped < uncapped
+    finally:
+        if prev is None:
+            spark.conf.unset(LSH_MAX_BUCKET)
+        else:
+            spark.conf.set(LSH_MAX_BUCKET, prev)
+    assert dedup_simhash_pairs(spark, sf_dir).count() == uncapped
