@@ -135,3 +135,33 @@ def test_round5_entries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, "ev_retention_cohorts", sf_dir)
     assert plan.count("hashpartitioning") <= 4, plan[:800]
     assert "CartesianProduct" not in plan
+
+
+def test_round5_continuation_plan_shapes(spark, sf_dir):
+    """Scale claims of the round-5 continuation entries, pinned:
+
+    - text_pii_redact: ZERO exchanges, scan pruned to (doc_id, text) — the
+      redaction stack must stay a single map-side projection;
+    - ev_attribution_join: the per-purchase top-1 compiles to
+      WindowGroupLimit (rank-limit pushdown), never a full candidate sort
+      feeding a bare Window; no cartesian;
+    - dedup_segments: the segment explode (Generate) is map-side and the
+      plan carries no cartesian product;
+    - docs_embedding_profile: the doc<->vec equi-join never degenerates to
+      a cartesian and the norm fold adds no Python workers (no
+      ArrowEvalPython / BatchEvalPython node)."""
+    plan = plan_of(spark, "text_pii_redact", sf_dir)
+    assert "Exchange" not in plan, plan[:600]
+    read = plan.split("ReadSchema", 1)[1][:120]
+    assert "doc_id" in read and "text" in read and "lang" not in read, read
+
+    plan = plan_of(spark, "ev_attribution_join", sf_dir)
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "dedup_segments", sf_dir)
+    assert "Generate" in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "docs_embedding_profile", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan, "norm fold must stay JVM-side"
