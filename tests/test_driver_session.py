@@ -80,7 +80,10 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "ev_attribution_join", "docs_curation_gate",
              "sample_leakage_free_split",
              # widest adaptive graph (py4j plan surface) + cross-modal join
-             "job_deep17", "docs_embedding_profile"]:
+             "job_deep17", "docs_embedding_profile",
+             # final round-5 additions
+             "dedup_containment", "dedup_simhash_pairs", "ev_value_histogram",
+             "binary_ingest_manifest"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
