@@ -39,6 +39,33 @@ class Engine:
         self.sf_dir = sf_dir
         register_views(self.spark, sf_dir)
 
+    def attach_operators(self, names: list[str] | None = None, prefix: str = "op_") -> list[str]:
+        """Expose registry operators as SQL-addressable temp views: every
+        entry's (lazy) DataFrame registers as ``op_<name>``, so the whole
+        pipeline tier composes in plain SQL —
+
+            SELECT g.doc_id FROM op_docs_curation_gate g
+            JOIN op_text_langid l USING (doc_id)
+            WHERE g.verdict = 'keep' AND l.lang_pred <> 'unknown'
+
+        View creation is plan registration only (nothing executes until
+        queried), and Catalyst optimizes ACROSS the view boundary — a
+        composed query prunes columns and pushes filters into the underlying
+        operator plans, which per-operator APIs can't do. Requires an
+        attached warehouse. Returns the created view names."""
+        from skinnerdb_spark.registry import all_specs
+
+        if self.sf_dir is None:
+            raise ValueError("attach_operators requires an attached warehouse")
+        specs = all_specs()
+        chosen = names if names is not None else sorted(specs)
+        created = []
+        for name in chosen:
+            view = f"{prefix}{name}"
+            specs[name].spark(self.spark, self.sf_dir).createOrReplaceTempView(view)
+            created.append(view)
+        return created
+
     def compress_tables(self, names: list[str] | None = None) -> list[dict]:
         """Rewrite warehouse tables as dictionary+zstd parquet and re-point
         their views at the compressed copies — the Spark-native form of the

@@ -877,3 +877,38 @@ def test_recursive_cte_support_and_limits(spark):
             SELECT * FROM r
             """
         ).collect()
+
+
+def test_attach_operators_sql_composition(spark, sf_dir):
+    """Registry operators exposed as SQL views compose declaratively: a
+    cross-operator join runs through spark.sql, Catalyst prunes through the
+    view boundary, and results agree with the operator APIs."""
+    from skinnerdb_spark.operators.curation_gate import docs_curation_gate
+
+    eng = Engine(spark, sf_dir)
+    created = eng.attach_operators(["docs_curation_gate", "text_langid"])
+    assert created == ["op_docs_curation_gate", "op_text_langid"]
+
+    composed = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM op_docs_curation_gate g
+        JOIN op_text_langid l USING (doc_id)
+        WHERE g.verdict = 'keep'
+        """
+    ).collect()[0].n
+    direct = docs_curation_gate(spark, sf_dir).filter(F.col("verdict") == "keep").count()
+    assert composed == direct > 0
+
+    # column pruning crosses the view boundary: selecting one column from
+    # the gate view must not scan embeddings-irrelevant signal branches'
+    # unused columns (smoke: the plan parses and prunes text from langid)
+    plan = spark.sql(
+        "SELECT doc_id FROM op_text_langid WHERE lang_pred = 'en'"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    read = plan.split("ReadSchema", 1)[1][:160]
+    assert "n_chars" not in read
+
+    with pytest.raises(ValueError, match="warehouse"):
+        Engine(spark).attach_operators(["text_langid"])
