@@ -14,6 +14,7 @@ Command surface, mapped 1:1 onto the Engine facade:
     explain <sql>             formatted physical plan
     explain adaptive <sql>    bandit episode log + chosen join order
     explain adaptive dot <sql>  graphviz DOT of the explored order tree
+ops [name ...]            register operator results as op_<name> SQL views
     adaptive on|off           route SQL through the join-order bandit
     <anything else>           SQL -> execute + print rows
 
@@ -79,6 +80,12 @@ class Console:
                 for r in rep
             ]
             return "\n".join(lines)
+        if cmd == "ops":
+            # extension: expose registry operators as op_<name> SQL views
+            names = rest.split() or None
+            created = self.engine.attach_operators(names)
+            return f"registered {len(created)} operator views: " + ", ".join(
+                created[:5]) + (" ..." if len(created) > 5 else "")
         if cmd == "index":
             return self._index(rest.strip())
         if cmd == "load":

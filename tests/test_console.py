@@ -95,3 +95,9 @@ def test_explain_adaptive_dot(console):
         "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey"
     )
     assert out.startswith("digraph uct {")
+
+
+def test_ops_command_registers_views(console):
+    out = console.handle("ops text_langid")
+    assert "1 operator views" in out and "op_text_langid" in out
+    assert "500" in console.handle("SELECT COUNT(*) AS n FROM op_text_langid")
