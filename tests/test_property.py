@@ -181,3 +181,45 @@ def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
 
     frac = sum(1 for r in split.values() if r.split == "valid") / n_docs
     assert 0.05 < frac < 0.4  # ~18.75% expected; wide band for small corpora
+
+
+def test_simhash_banding_is_complete_for_hamming3(spark, sf_dir):
+    """Pigeonhole guarantee, verified exhaustively: 4-band blocking over
+    32-bit signatures must find EVERY pair at Hamming distance <= 3 (4 bands
+    can't all differ with only 3 differing bits) — banded recall is exactly
+    1.0, unlike the probabilistic minhash bands."""
+    from skinnerdb_spark.operators.dedup import dedup_simhash, dedup_simhash_pairs
+
+    sigs = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf_dir).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+            if d <= 3:
+                want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == want, (
+        f"banding missed {len(want - set(got))} pairs / "
+        f"overproduced {len(set(got) - want)}"
+    )
+    for (a, b), h in got.items():
+        assert h == sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always; equality iff one set
+    contains the other — checked on every candidate pair both measures
+    score."""
+    from skinnerdb_spark.operators.dedup import dedup_containment, dedup_ngram_jaccard
+
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    con = {(r.doc_a, r.doc_b): r.containment for r in dedup_containment(spark, sf_dir).collect()}
+    assert set(jac) == set(con)
+    assert all(con[p] >= jac[p] - 1e-12 for p in jac)
+    assert any(con[p] > jac[p] + 1e-9 for p in jac), (
+        "corpus should contain at least one non-subset overlap"
+    )
