@@ -1,0 +1,550 @@
+"""Sequence / graph / profiling analytics (beyond-reference tier).
+
+Six operators a production analytics + training-data stack runs that the
+rest of the registry doesn't cover yet, each a distinct plan shape:
+
+- ev_event_transitions : first-order Markov transition matrix over per-user
+  event sequences (lag window + two-level aggregation) — the "what happens
+  next" table behind funnel diagnostics and synthetic-sequence generation
+- ev_session_paths     : top session-opening paths (first 3 events of each
+  30-min-gap session) — navigation-path mining on the same session
+  definition as ev_sessionization
+- stats_linear_fit     : per-group OLS trend line (slope/intercept) in
+  EXACT integer arithmetic with one final IEEE division per coefficient —
+  regression pushed into the engine instead of pandas
+- profile_table        : one-pass per-column data profile (nulls, distinct,
+  min/max) of `orders` — the data-quality summary every ingestion pipeline
+  emits; 18 aggregates in a single scan, unpivoted with stack()
+- graph_triangles      : triangle count + global clustering coefficient of
+  the part co-purchase graph — distributed graph analytics as three
+  id-ordered self-joins (degree-oriented variant documented for scale)
+- docs_bm25_topk       : per-term BM25 top-5 retrieval over documents with
+  a RATIONAL (log-free) idf/tf saturation so the score is one exact-integer
+  ratio -> hash-stable across engines
+
+The reference has no sequence/graph/IR operators (its surface is SPJ+agg,
+SURVEY §2); these extend the engine toward the workloads a 100 TB corpus
+actually runs. All six are pure DataFrame algebra — no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+#: session gap reused from streaming.windows (30 min); re-declared to avoid
+#: an import cycle — test_components pins the two constants equal.
+SESSION_GAP_MIN = 30
+PATH_STEPS = 3  # session-opening path length
+PATH_TOP = 15  # paths reported
+BM25_TERMS = ("join", "scan", "filter")  # fixed query terms (corpus vocab)
+BM25_TOP = 5
+
+
+@register(
+    "ev_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    big AS (
+        SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+    FROM big
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix: P(next event type | previous)
+    per user-ordered event stream. Lag ordering is total (ts, event_id).
+
+    Scale shape: ONE shuffle on user_id serves the lag window; the bigram
+    counts then aggregate map-side into |types|^2 rows (25 here), and the
+    row-total is a window over that tiny aggregate — no second data-sized
+    exchange. prob is a single bigint/bigint IEEE division (correctly
+    rounded in both engines — hash-stable)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    big = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("prev_type")
+    return big.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wtot).cast("bigint").alias("row_total"),
+        (F.col("n").cast("double") / F.sum("n").over(wtot).cast("double")).alias("prob"),
+    )
+
+
+@register(
+    "ev_session_paths",
+    f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts > LAG(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps),
+    steps AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS step
+        FROM sess),
+    heads AS (
+        SELECT user_id, session_id,
+               MAX(CASE WHEN step = 1 THEN event_type END) AS s1,
+               MAX(CASE WHEN step = 2 THEN event_type END) AS s2,
+               MAX(CASE WHEN step = 3 THEN event_type END) AS s3
+        FROM steps WHERE step <= {PATH_STEPS}
+        GROUP BY user_id, session_id),
+    paths AS (
+        SELECT CONCAT(s1, '>', COALESCE(s2, '(end)'), '>',
+                      COALESCE(s3, '(end)')) AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM heads GROUP BY 1)
+    SELECT path, n_sessions,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT path, n_sessions,
+                 ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk
+          FROM paths)
+    WHERE rnk <= {PATH_TOP}
+    """,
+    tags=("events", "sequence", "session"),
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first {PATH_STEPS} event types of every
+    30-min-gap session (same session definition as ev_sessionization),
+    concatenated 'a>b>c' ('(end)' pads short sessions), ranked by frequency.
+
+    Scale shape: the user_id shuffle from sessionization is REUSED by the
+    per-session row_number (both windows key on user_id; the finer
+    (user_id, session_id) partitioning is a subpartition, so Catalyst keeps
+    one exchange). The step pivot is MAX(CASE) — deterministic, unlike
+    collect_list whose order is partition-dependent. Path counts then fold
+    to |paths| rows; the final rank is a single-partition window over that
+    tiny aggregate (~155 rows max here: 5^3 + short-session variants)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE"), 1
+    ).otherwise(0)
+    sess = e.withColumn("new_session", gap).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    wstep = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = sess.withColumn("step", F.row_number().over(wstep)).filter(
+        F.col("step") <= PATH_STEPS
+    )
+    heads = steps.groupBy("user_id", "session_id").agg(
+        *[
+            F.max(F.when(F.col("step") == i, F.col("event_type"))).alias(f"s{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    paths = heads.select(
+        F.concat(
+            F.col("s1"),
+            F.lit(">"),
+            F.coalesce(F.col("s2"), F.lit("(end)")),
+            F.lit(">"),
+            F.coalesce(F.col("s3"), F.lit("(end)")),
+        ).alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= PATH_TOP)
+    )
+
+
+# OLS in exact arithmetic: y is scaled once to an exact integer y6 = round(y,
+# 6 decimals) * 1e6 (DECIMAL cast — no FP rounding), x is the integer month
+# index. All moment sums (Sx, Sy6, Sxx, Sxy6, n) are then exact integers, and
+#   slope     = (n*Sxy6 - Sx*Sy6) / (1e6 * (n*Sxx - Sx^2))
+#   intercept = (Sxx*Sy6 - Sx*Sxy6) / (1e6 * (n*Sxx - Sx^2))
+# are each ONE IEEE division of two exactly-computed integers — both engines
+# round each int->double conversion and the division identically.
+@register(
+    "stats_linear_fit",
+    """
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 1000000
+                    AS DECIMAL(38,0)) AS y6
+        FROM orders),
+    m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y6) AS DECIMAL(38,0)) AS sy6,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(x * y6) AS DECIMAL(38,0)) AS sxy6
+        FROM pts GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CAST(CAST(n * sxy6 - sx * sy6 AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST((n * sxx - sx * sx) * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+               AS slope,
+           CAST(CAST(sxx * sy6 - sx * sxy6 AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST((n * sxx - sx * sx) * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+               AS intercept
+    FROM m
+    """,
+    tags=("stats", "regression"),
+)
+def stats_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time (x = month index since
+    1992-01, y = o_totalprice): slope + intercept via the normal equations,
+    computed as exact integer moments with one final IEEE division per
+    coefficient (see module comment) — cross-engine hash-stable without
+    giving up distributed partial aggregation.
+
+    Scale shape: the moment sums are classic map-side-combinable aggregates
+    (one shuffle of 5 groups x 5 numbers); this is how you run a million
+    per-segment regressions on 100 TB without ever leaving the engine. The
+    decimal moments stay within DECIMAL(38) up to ~1e9 rows per group at
+    this value scale; beyond that, center x first (subtract the group month
+    midpoint) — same algebra, ~6 fewer digits."""
+    o = read_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+        ).cast("bigint").alias("x"),
+        (F.col("o_totalprice").cast("decimal(30,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("y6"),
+    )
+    m = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy6"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y6")).cast("decimal(38,0)").alias("sxy6"),
+    )
+    den6 = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1000000).cast(
+        "decimal(38,0)"
+    )
+    slope_num = (F.col("n") * F.col("sxy6") - F.col("sx") * F.col("sy6")).cast(
+        "decimal(38,0)"
+    )
+    icept_num = (F.col("sxx") * F.col("sy6") - F.col("sx") * F.col("sxy6")).cast(
+        "decimal(38,0)"
+    )
+    return m.select(
+        "o_orderpriority",
+        "n",
+        (slope_num.cast("double") / den6.cast("double")).alias("slope"),
+        (icept_num.cast("double") / den6.cast("double")).alias("intercept"),
+    )
+
+
+# Per-column profile of `orders`. Value rendering is type-aware so the
+# cross-engine string forms agree: ints print canonically in both engines;
+# doubles go through DECIMAL(18,2) (identical decimal->string rendering);
+# timestamps through DATE (ISO date in both).
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dec2"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    def render(col: str, kind: str, agg: str) -> str:
+        if kind == "dec2":
+            return f"CAST(CAST({agg}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        if kind == "date":
+            return f"CAST(CAST({agg}({col}) AS DATE) AS VARCHAR)"
+        return f"CAST({agg}({col}) AS VARCHAR)"
+
+    parts = [
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {render(c, k, 'MIN')} AS min_val,
+           {render(c, k, 'MAX')} AS max_val
+    FROM orders"""
+        for c, k in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_table",
+    _profile_oracle(),
+    tags=("profiling", "quality"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of `orders` — row count, null count, distinct
+    count, min/max (rendered type-aware so both engines agree on strings).
+    The summary every ingestion/data-quality gate emits before a table is
+    admitted to the warehouse.
+
+    Scale shape: unlike the oracle's 6-scan UNION ALL, the Spark plan is a
+    SINGLE pass — all 24 aggregates (4 per column) evaluate in one
+    partial+final aggregation over one scan, then 6 rows are unpivoted
+    driver-free with stack(). COUNT(DISTINCT) over multiple columns expands
+    to Spark's standard expand-operator plan (6x row expansion map-side,
+    one shuffle); at 100 TB swap n_distinct for approx_count_distinct and
+    the expand disappears — noted, exactness chosen here for the oracle."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def render(col: str, kind: str, agg) -> F.Column:
+        c = agg(F.col(col))
+        if kind == "dec2":
+            return c.cast("decimal(18,2)").cast("string")
+        if kind == "date":
+            return c.cast("date").cast("string")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"{c}__cnt"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            render(c, k, F.min).alias(f"{c}__min"),
+            render(c, k, F.max).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - {c}__cnt, {c}__nd, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# Co-purchase graph: nodes = parts, undirected edge (p1, p2) iff both appear
+# in the same order within the 2-month window. The window bounds the graph,
+# not the algorithm — the joins below are the standard distributed triangle
+# count and run on the full graph at scale (with the degree-based edge
+# orientation noted in the docstring).
+_GRAPH_WINDOW = "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'"
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE {_GRAPH_WINDOW}),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           tri.n_triangles,
+           CAST(3 * tri.n_triangles AS DOUBLE)
+             / CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS DOUBLE)
+               AS clustering
+    FROM tri
+    """,
+    tags=("graph", "join"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts co-occurring in an order, 2-month window).
+    Distributed graph analytics expressed as relational self-joins — no
+    graph library: edges are id-ordered (u < v), so each triangle matches
+    the 3-edge join pattern exactly once.
+
+    Scale shape: edge building shuffles lineitem once on l_orderkey (the
+    per-order pair explosion is bounded by lines-per-order ~ 7); the
+    triangle join shuffles edges on their endpoints. At web scale the
+    id-ordering is replaced by DEGREE ordering (orient each edge toward the
+    higher-degree endpoint, join on the <=sqrt(2E)-out-degree side) — same
+    three joins, provably O(E^1.5) intermediate size; id-ordering is used
+    here because it is oracle-identical and the windowed graph is small.
+    Wedge count is pure per-node algebra on the degree table. clustering =
+    3T / wedges is one bigint/bigint IEEE division."""
+    o = read_table(spark, sf_dir, "orders").filter(F.expr(_GRAPH_WINDOW))
+    l = read_table(spark, sf_dir, "lineitem")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        tri.join(F.broadcast(stats))
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering"),
+        )
+    )
+
+
+# BM25 with rational (log-free) idf, k1 = 1.2, b = 0.75. With SD = total
+# token count, N = doc count, dl = doc length, the standard formula
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# clears to the single exact-integer ratio
+#   (2N - 2df + 1) * 22 * tf * SD
+#   ---------------------------------------------
+#   (2df + 1) * (10*tf*SD + 3*SD + 9*dl*N)
+# (idf = (N - df + 0.5)/(df + 0.5), avgdl = SD/N, k1+1 = 2.2 = 22/10,
+# k1*(1-b) = 0.3 = 3/10, k1*b = 0.9 = 9/10). One IEEE division -> the score
+# is bit-identical across engines, and the ranking equals log-idf BM25's
+# for df < N because x -> log((x+?)/?) is monotone.
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (SELECT doc_id, t.term
+             FROM d, UNNEST(string_split(text, ' ')) AS t(term)
+             WHERE t.term <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS sd,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    q(term) AS (VALUES {_BM25_TERMS_SQL}),
+    tf AS (SELECT toks.doc_id, toks.term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks JOIN q ON toks.term = q.term
+           GROUP BY toks.doc_id, toks.term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+               CAST((2 * c.n - 2 * dfreq.df + 1) * 22 * tf.tf * c.sd AS DOUBLE)
+                 / CAST((2 * dfreq.df + 1)
+                        * (10 * tf.tf * c.sd + 3 * c.sd + 9 * dl.dl * c.n)
+                        AS DOUBLE) AS score
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN corpus c)
+    SELECT term, doc_id, tf, dl, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {BM25_TOP}
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 top-{BM25_TOP} retrieval (k1=1.2, b=0.75) for a fixed
+    query-term set — full-text relevance ranking inside the engine. The idf
+    and length-saturation terms are cleared to ONE exact-integer ratio per
+    (term, doc) so the score hashes identically across engines (see module
+    comment); at true corpus scale the numerator outgrows int64 and the
+    standard log-idf double form takes over (ranking-only, no oracle).
+
+    Scale shape: tokenize/explode is map-side; tf is a (doc, term) hash agg
+    PRE-FILTERED to the query terms by an inner join with the 3-row term
+    list (broadcast — the corpus-sized token stream never shuffles for
+    non-query terms); df and corpus stats are vocabulary- and single-row
+    aggregates that broadcast back into the scoring join. Final top-k is a
+    per-term window over |q| * matched-docs rows."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("sd"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    q = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
+    tf = (
+        toks.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            (
+                ((2 * F.col("n") - 2 * F.col("df") + 1) * 22 * F.col("tf") * F.col("sd"))
+                .cast("double")
+                / (
+                    (2 * F.col("df") + 1)
+                    * (10 * F.col("tf") * F.col("sd") + 3 * F.col("sd") + 9 * F.col("dl") * F.col("n"))
+                ).cast("double")
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("term", "doc_id", "tf", "dl", "score", "rnk")
+    )

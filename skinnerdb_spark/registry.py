@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
     (they remain fully covered by tests/test_oracle.py locally)."""
     # imports are deferred so `import skinnerdb_spark` stays light
     from skinnerdb_spark.operators import (  # noqa: F401
+        analytics,
         curation,
         curation_gate,
         dedup,

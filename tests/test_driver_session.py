@@ -83,7 +83,12 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "job_deep17", "docs_embedding_profile",
              # final round-5 additions
              "dedup_containment", "dedup_simhash_pairs", "ev_value_histogram",
-             "binary_ingest_manifest"]:
+             "binary_ingest_manifest",
+             # round-5 analytics module: sequence windows + month extraction +
+             # timestamp->date rendering + a timestamp-window graph filter,
+             # all timezone-sensitive under a non-UTC plain session
+             "ev_event_transitions", "ev_session_paths", "stats_linear_fit",
+             "profile_table", "graph_triangles", "docs_bm25_topk"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
