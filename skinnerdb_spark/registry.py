@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         ivf,
         multimodal,
         pipeline,
+        pq,
         privacy,
         segments,
         similarity,

@@ -912,3 +912,43 @@ def test_attach_operators_sql_composition(spark, sf_dir):
 
     with pytest.raises(ValueError, match="warehouse"):
         Engine(spark).attach_operators(["text_langid"])
+
+
+# --------------------------------------------------------------------------
+# operators/pq — product-quantization index
+# --------------------------------------------------------------------------
+def test_pq_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted codes equal recomputed ones, every vector gets exactly
+    M_SUBS codes, and codes stay within the 4-bit codebook range."""
+    from skinnerdb_spark.operators.pq import (
+        K_CODES,
+        M_SUBS,
+        build_pq_index,
+        encode,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(spark, e, path)
+    cb = spark.read.parquet(f"{path}/codebooks")
+    assert cb.count() == M_SUBS * K_CODES
+    persisted = {
+        (r.vec_id, r.sub): r.code
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    fresh = {(r.vec_id, r.sub): r.code for r in encode(e, cb).collect()}
+    assert persisted == fresh, "persisted codes must equal recomputed ones"
+    n_vec = e.count()
+    assert len(persisted) == n_vec * M_SUBS
+    assert all(0 <= c < K_CODES for c in persisted.values())
+
+
+def test_pq_fingerprint_tracks_ivf_source_and_version(sf_dir):
+    """PQ staleness keys on the same source fingerprint as IVF but under its
+    own format-version prefix — a PQ algorithm bump must not invalidate IVF
+    indexes (and vice versa)."""
+    from skinnerdb_spark.operators import ivf, pq
+
+    fp = pq.source_fingerprint(sf_dir)
+    assert fp.startswith(f"pq{pq.INDEX_VERSION}.m{pq.M_SUBS}k{pq.K_CODES}:")
+    assert fp.endswith(ivf.source_fingerprint(sf_dir))

@@ -88,7 +88,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # timestamp->date rendering + a timestamp-window graph filter,
              # all timezone-sensitive under a non-UTC plain session
              "ev_event_transitions", "ev_session_paths", "stats_linear_fit",
-             "profile_table", "graph_triangles", "docs_bm25_topk"]:
+             "profile_table", "graph_triangles", "docs_bm25_topk",
+             # PQ: second persisted-index oracle (codebooks parquet)
+             "sim_pq_ann"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
