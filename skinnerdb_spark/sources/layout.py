@@ -16,13 +16,26 @@ equivalent is *layout*: make the parquet files themselves the index.
   thousands, never per-high-cardinality-key (millions of tiny directories
   destroy listing and small-file performance).
 
+- :func:`write_zorder` — multi-column locality via a Morton (Z-order) key:
+  each hot column is min-max-scaled to ``bits`` bits and the bits are
+  interleaved, so sorting by the single key clusters BOTH columns at once.
+  Range-sorting can make only its leading column's per-file min/max tight;
+  Z-order makes every participating column's stats tight (~sqrt sharing of
+  the selectivity), which is what lets two independent single-column
+  predicates both skip files — the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+  layout, built from plain bit algebra.
+
 Composed, these are the standard warehouse layout: partition by coarse time,
-range-sort by the secondary filter key inside each partition.
+range-sort by the secondary filter key inside each partition (or Z-order
+when two secondary keys are hot).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_range_sorted(
@@ -58,6 +71,55 @@ def write_hive_partitioned(
             "(e.g. month, source bucket) and range-sort within partitions"
         )
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def morton_key(scaled: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of pre-scaled non-negative longs —
+    pure shift/mask/or column algebra, whole-stage-codegen'd JVM-side."""
+    m = len(scaled)
+    terms = [
+        F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * m + (m - 1 - j))
+        for b in range(bits)
+        for j, c in enumerate(scaled)
+    ]
+    return reduce(lambda a, t: a.bitwiseOR(t), terms, F.lit(0)).cast("bigint")
+
+
+def write_zorder(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 32, bits: int = 16
+) -> None:
+    """Persist parquet clustered on the Morton interleave of ``cols``.
+
+    Each column is min-max scaled to ``bits`` bits (one tiny bounds
+    aggregate, driver-collected — 2 numbers per column), the keys are
+    interleaved, and files are range-partitioned + sorted on the single
+    Z key. The key column is dropped before write: the layout IS the
+    index, the schema stays unchanged. NULLs scale to 0 (first file).
+
+    At 100 TB the bounds pass is a metadata-only min/max over footers if the
+    source is already parquet; the rewrite itself is the same one-shuffle
+    ``repartitionByRange`` as :func:`write_range_sorted`."""
+    lo_hi = df.agg(
+        *[F.min(c).alias(f"{c}__lo") for c in cols],
+        *[F.max(c).alias(f"{c}__hi") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = lo_hi[f"{c}__lo"], lo_hi[f"{c}__hi"]
+        span = (hi - lo) or 1
+        scaled.append(
+            F.floor((F.coalesce(F.col(c), F.lit(lo)) - F.lit(lo)) * top / F.lit(span))
+            .cast("bigint")
+        )
+    keyed = df.withColumn("__zkey", morton_key(scaled, bits))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .select(*df.columns)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def read_pruned(spark: SparkSession, path: str) -> DataFrame:

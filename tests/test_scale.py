@@ -253,3 +253,105 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: after clustering on the Morton interleave of
+    (l_partkey, l_suppkey), EVERY file's min/max span on BOTH columns is a
+    small fraction of the global range — so single-column predicates on
+    either column skip files. Contrast: range-sorting on l_partkey alone
+    leaves l_suppkey spanning ~the full range in every file."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from skinnerdb_spark.sources.layout import write_range_sorted, write_zorder
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, rpath = str(tmp_path / "l_z"), str(tmp_path / "l_r")
+    write_zorder(l, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    write_range_sorted(l, rpath, ["l_partkey"], n_files=16)
+
+    bounds = l.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    p_span = bounds[1] - bounds[0]
+    s_span = bounds[3] - bounds[2]
+
+    def mean_span_frac(path: str, col: str, global_span: int) -> float:
+        fracs = []
+        for f in sorted(pathlib.Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fracs.append((max(maxs) - min(mins)) / global_span)
+        assert len(fracs) >= 8
+        return sum(fracs) / len(fracs)
+
+    # z-order: both dimensions tight (16 files ~ 2 bits/dim -> ~0.25 spans)
+    assert mean_span_frac(zpath, "l_partkey", p_span) < 0.5
+    assert mean_span_frac(zpath, "l_suppkey", s_span) < 0.5
+    # range-sort: leading column tight, second column unclustered
+    assert mean_span_frac(rpath, "l_partkey", p_span) < 0.2
+    assert mean_span_frac(rpath, "l_suppkey", s_span) > 0.8
+
+    # schema unchanged: the Z key is layout, not data
+    first = sorted(pathlib.Path(zpath).glob("*.parquet"))[0]
+    names = set(pq.ParquetFile(str(first)).schema_arrow.names)
+    assert names == {"l_partkey", "l_suppkey", "l_quantity"}
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the at-scale lever when the dim
+    side is selective but too big to broadcast): Catalyst injects a
+    bloom_filter_agg on the filtered build side and a might_contain guard
+    on the fact side's scan, so fact rows that cannot join are dropped
+    BEFORE the shuffle. Thresholds are lowered to toy scale to engage the
+    mechanism; at 100 TB the defaults (10 GB probe-side scan) fire on their
+    own. Broadcast is disabled so the join genuinely shuffles."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        l = read_table(spark, sf_dir, "lineitem")
+        p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+        j = l.join(p, l.l_partkey == p.p_partkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        # and the guard sits on the FACT side's l_partkey, pre-shuffle
+        assert "might_contain" in plan and "xxhash64(l_partkey" in plan
+        # results are unchanged by the rewrite
+        n_bloom = j.collect()[0][0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_plain = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(
+            read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .count()
+    )
+    assert n_bloom == n_plain > 0
