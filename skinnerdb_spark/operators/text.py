@@ -458,3 +458,76 @@ def name_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b")
         .distinct()
     )
+
+
+# Model weights for the linear quality classifier, published as exact
+# rationals over a COMMON denominator so inference is cross-engine exact:
+# score = (3*stop_frac + 4*uniq_frac + 2*long_frac) - 1, every *_frac sharing
+# denominator n_tokens -> score = num/n_tokens for the exact integer
+#   num = 3*n_stop + 4*n_uniq + 2*n_long - n_tokens,
+# ONE IEEE division; the class test score >= 1.5 (the corpus-median margin,
+# so both classes actually fire) clears to 2*num >= 3*n_tokens (pure integer
+# comparison — no float in the decision path at all).
+_QLR_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+@register(
+    "text_quality_lr",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, t -> list_contains(
+                   [{", ".join(repr(w) for w in _QLR_STOPWORDS)}], t))) AS n_stop,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, t -> length(t) >= 6)) AS n_long
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND LENGTH(text) > 0))
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(3 * n_stop + 4 * n_uniq + 2 * n_long - n_tokens AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS score,
+           CASE WHEN 2 * (3 * n_stop + 4 * n_uniq + 2 * n_long - n_tokens)
+                     >= 3 * n_tokens
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM feats WHERE n_tokens > 0
+    """,
+    tags=("text", "pipeline", "classifier"),
+)
+def text_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE in-engine (the fastText-style
+    keep/drop filter every corpus pipeline runs, with the trained weights
+    baked in as literals): engineered features (stopword fraction, lexical
+    diversity, long-token fraction) dotted with a fixed weight vector, one
+    margin score + hard label per document. Weights are exact rationals
+    over the shared denominator n_tokens, so the margin is a single IEEE
+    division and the decision threshold is a pure integer comparison —
+    bit-identical across engines (see weight comment above).
+
+    Scale shape: everything is ONE in-row projection over the token array
+    (size/filter/array_distinct lambdas, whole-stage codegen) — zero
+    shuffles, zero UDFs; inference throughput is scan throughput. Swapping
+    real trained weights in changes the literals, not the plan."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    stops = ", ".join(repr(w) for w in _QLR_STOPWORDS)
+    toks = "filter(split(text, ' '), x -> x != '')"
+    feats = d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"size(filter({toks}, t -> array_contains(array({stops}), t)))"
+        ).alias("n_stop"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_uniq"),
+        F.expr(f"size(filter({toks}, t -> length(t) >= 6))").alias("n_long"),
+    ).filter(F.col("n_tokens") > 0)
+    num = 3 * F.col("n_stop") + 4 * F.col("n_uniq") + 2 * F.col("n_long") - F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        (num.cast("double") / F.col("n_tokens").cast("double")).alias("score"),
+        F.when(2 * num >= 3 * F.col("n_tokens"), "keep").otherwise("drop").alias("label"),
+    )
