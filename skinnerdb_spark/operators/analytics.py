@@ -465,8 +465,10 @@ _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
     toks AS (SELECT doc_id, t.term
              FROM d, UNNEST(string_split(text, ' ')) AS t(term)
              WHERE t.term <> ''),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-           FROM toks GROUP BY doc_id),
+    dl AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS BIGINT) AS dl
+           FROM d),
     corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS sd,
                       CAST(COUNT(*) AS BIGINT) AS n FROM dl),
     q(term) AS (VALUES {_BM25_TERMS_SQL}),
@@ -500,19 +502,27 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment); at true corpus scale the numerator outgrows int64 and the
     standard log-idf double form takes over (ranking-only, no oracle).
 
-    Scale shape: tokenize/explode is map-side; tf is a (doc, term) hash agg
+    Scale shape: doc length is an IN-ROW token count (no second tokenize
+    pass — corpus stats are one map-side aggregate of that projection, the
+    corpus never shuffles for lengths); tf is a (doc, term) hash agg
     PRE-FILTERED to the query terms by an inner join with the 3-row term
     list (broadcast — the corpus-sized token stream never shuffles for
     non-query terms); df and corpus stats are vocabulary- and single-row
-    aggregates that broadcast back into the scoring join. Final top-k is a
-    per-term window over |q| * matched-docs rows."""
+    aggregates, and the query-hit-bounded tf side broadcasts back onto the
+    corpus's (doc_id, dl) projection so lengths never shuffle either (at a
+    scale where query hits outgrow a broadcast, co-partition both by
+    doc_id). Final top-k is a per-term window over |q| * matched-docs
+    rows."""
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    dl = d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("dl"),
     )
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     corpus = dl.agg(
         F.sum("dl").cast("bigint").alias("sd"), F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -524,7 +534,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (
-        tf.join(dl, "doc_id")
+        dl.join(F.broadcast(tf), "doc_id")
         .join(F.broadcast(dfreq), "term")
         .join(F.broadcast(corpus))
         .select(
