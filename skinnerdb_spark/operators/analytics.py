@@ -348,22 +348,40 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Co-purchase graph: nodes = parts, undirected edge (p1, p2) iff both appear
 # in the same order within the 2-month window. The window bounds the graph,
 # not the algorithm — the joins below are the standard distributed triangle
-# count and run on the full graph at scale (with the degree-based edge
-# orientation noted in the docstring).
+# count / PageRank and run on the full graph at scale (with the degree-based
+# edge orientation noted in the triangle docstring). Edge derivation is
+# shared by every graph entry (Spark: _co_edges, SQL: _EDGE_CTES).
 _GRAPH_WINDOW = "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'"
 
-
-@register(
-    "graph_triangles",
-    f"""
-    WITH li AS (
+_EDGE_CTES = f"""
+    li AS (
         SELECT l.l_orderkey, l.l_partkey
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE {_GRAPH_WINDOW}),
     edges AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_partkey < b.l_partkey),
+        WHERE a.l_partkey < b.l_partkey)"""
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edge list (u < v), one row per distinct pair."""
+    o = read_table(spark, sf_dir, "orders").filter(F.expr(_GRAPH_WINDOW))
+    l = read_table(spark, sf_dir, "lineitem")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH {_EDGE_CTES},
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS d
         FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -400,16 +418,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because it is oracle-identical and the windowed graph is small.
     Wedge count is pure per-node algebra on the degree table. clustering =
     3T / wedges is one bigint/bigint IEEE division."""
-    o = read_table(spark, sf_dir, "orders").filter(F.expr(_GRAPH_WINDOW))
-    l = read_table(spark, sf_dir, "lineitem")
-    li = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = _co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -557,4 +566,107 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rnk") <= BM25_TOP)
         .select("term", "doc_id", "tf", "dl", "score", "rnk")
+    )
+
+
+# PageRank, 3 unrolled damped iterations (d = 0.85) over the co-purchase
+# graph, CROSS-ENGINE EXACT: per-node inflow is summed in DECIMAL space
+# (contributions are rounded once to 12 decimals — ROUND(double, 12) is
+# half-away-from-zero in both engines — then decimal addition is exact and
+# associative, so Spark's partial-aggregate tree and DuckDB's serial sum
+# agree bitwise), and every scalar step (1/N init, rank/deg split, 0.15/N +
+# 0.85*s update) is the same IEEE-double expression shape evaluated on
+# identical inputs. Iterations are UNROLLED — each is a join + aggregate —
+# which is exactly how Pregel-style ranking runs on a relational engine.
+PAGERANK_ITERS = 3
+PAGERANK_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    body = f"""
+    WITH {_EDGE_CTES},
+    directed AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+    nd AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+               CAST((SELECT COUNT(DISTINCT src) FROM directed) AS BIGINT) AS n
+        FROM directed GROUP BY src),
+    r0 AS (SELECT node, deg, n, 1.0 / n AS rank FROM nd)"""
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        body += f""",
+    c{i} AS (SELECT node, CAST(ROUND(rank / deg, 12) AS DECIMAL(28,12)) AS c
+             FROM {prev}),
+    s{i} AS (SELECT d.dst AS node, SUM(c.c) AS s
+             FROM directed d JOIN c{i} c ON d.src = c.node
+             GROUP BY d.dst),
+    r{i} AS (SELECT nd.node, nd.deg, nd.n,
+                    0.15 / nd.n + 0.85 * CAST(COALESCE(s{i}.s, 0) AS DOUBLE)
+                        AS rank
+             FROM nd LEFT JOIN s{i} ON nd.node = s{i}.node)"""
+        prev = f"r{i}"
+    body += f"""
+    SELECT node, deg, rank, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT node, deg, rank,
+                 ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+          FROM {prev})
+    WHERE rnk <= {PAGERANK_TOP}
+    """
+    return body
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PAGERANK_TOP} PageRank nodes after {PAGERANK_ITERS} damped
+    iterations on the co-purchase graph — iterative graph ranking as plain
+    relational algebra, with a FULL DuckDB oracle (the iterations are
+    unrolled in SQL; exactness contract in the module comment above: IEEE
+    scalar steps + decimal-exact inflow sums).
+
+    Scale shape: each iteration is one join of the directed edge list
+    against the |V|-sized rank table plus a dst-keyed aggregate — the
+    standard Pregel-on-a-relational-engine loop. The edge list partitioning
+    on src is REUSED across all iterations (same key every round;
+    at cluster scale pre-bucket edges by src and only the |V|-row rank
+    updates move), and the rank/degree/n columns ride one broadcast-sized
+    node table. No collects, no UDFs, no floating-point order dependence."""
+    edges = _co_edges(spark, sf_dir)
+    directed = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nd = deg.join(F.broadcast(n1))
+    r = nd.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = r.select(
+            F.col("node").alias("src"),
+            F.expr("CAST(ROUND(rank / deg, 12) AS DECIMAL(28,12))").alias("c"),
+        )
+        inflow = (
+            directed.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nd.join(inflow, "node", "left").select(
+            "node",
+            "deg",
+            "n",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+            ).alias("rank"),
+        )
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        r.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PAGERANK_TOP)
+        .select("node", "deg", "rank", "rnk")
     )

@@ -90,7 +90,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "ev_event_transitions", "ev_session_paths", "stats_linear_fit",
              "profile_table", "graph_triangles", "docs_bm25_topk",
              # PQ: second persisted-index oracle (codebooks parquet)
-             "sim_pq_ann", "text_quality_lr"]:
+             "sim_pq_ann", "text_quality_lr",
+             # iterative decimal-exact ranking + a timestamp graph window
+             "graph_pagerank"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
