@@ -38,6 +38,7 @@ list                      list tables
 load <tbl> <csv> [sep]    register a CSV file as table <tbl>
 compress [tbl]            rewrite table(s) as dictionary+zstd parquet, re-point views
 index all | index <tbl>   cache table(s) in memory
+profile <tbl>             per-column nulls/distinct/min/max (one scan)
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 explain <sql>             show the physical plan
@@ -88,6 +89,12 @@ class Console:
                 created[:5]) + (" ..." if len(created) > 5 else "")
         if cmd == "index":
             return self._index(rest.strip())
+        if cmd == "profile":
+            # extension: the data-quality summary (operators/analytics
+            # profile_frame) for any registered table, one scan
+            return self.engine.profile(rest.strip())._show_string(
+                self.max_rows, 60, False
+            )
         if cmd == "load":
             return self._load(rest.split())
         if cmd == "bench":

@@ -142,6 +142,13 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def profile(self, name: str) -> DataFrame:
+        """Per-column data-quality profile (nulls/distinct/min/max, one
+        scan) of any registered table — operators/analytics.profile_frame."""
+        from skinnerdb_spark.operators.analytics import profile_frame
+
+        return profile_frame(self.table(name))
+
     def load_csv(self, name: str, path: str, schema: T.StructType | str, **opts) -> DataFrame:
         df = load_csv(self.spark, path, schema, **opts)
         df.createOrReplaceTempView(name)

@@ -298,25 +298,25 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register(
-    "profile_table",
-    _profile_oracle(),
-    tags=("profiling", "quality"),
-)
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column data profile of `orders` — row count, null count, distinct
-    count, min/max (rendered type-aware so both engines agree on strings).
-    The summary every ingestion/data-quality gate emits before a table is
-    admitted to the warehouse.
+def _render_kind(dtype: str) -> str:
+    """Map a Spark simpleString dtype to a cross-engine string rendering."""
+    if dtype in ("double", "float"):
+        return "dec2"
+    if dtype.startswith("timestamp"):
+        return "date"
+    return "str"
 
-    Scale shape: unlike the oracle's 6-scan UNION ALL, the Spark plan is a
-    SINGLE pass — all 24 aggregates (4 per column) evaluate in one
-    partial+final aggregation over one scan, then 6 rows are unpivoted
-    driver-free with stack(). COUNT(DISTINCT) over multiple columns expands
-    to Spark's standard expand-operator plan (6x row expansion map-side,
-    one shuffle); at 100 TB swap n_distinct for approx_count_distinct and
-    the expand disappears — noted, exactness chosen here for the oracle."""
-    o = read_table(spark, sf_dir, "orders")
+
+def profile_frame(df: DataFrame, cols: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Generic per-column profile of ANY DataFrame: (col_name, n_rows,
+    n_nulls, n_distinct, min_val, max_val), one row per column, min/max
+    rendered type-aware (doubles via DECIMAL(18,2), timestamps via DATE) so
+    the strings are engine-portable. ``cols`` defaults to every column with
+    the kind inferred from its dtype. Single pass — see
+    :func:`profile_table` for the plan-shape notes. Also exposed as the
+    console's ``profile <table>`` command."""
+    if cols is None:
+        cols = [(c, _render_kind(t)) for c, t in df.dtypes]
 
     def render(col: str, kind: str, agg) -> F.Column:
         c = agg(F.col(col))
@@ -327,22 +327,44 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return c.cast("string")
 
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c, k in _PROFILE_COLS:
+    for c, k in cols:
         aggs += [
             F.count(F.col(c)).cast("bigint").alias(f"{c}__cnt"),
             F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
             render(c, k, F.min).alias(f"{c}__min"),
             render(c, k, F.max).alias(f"{c}__max"),
         ]
-    one = o.agg(*aggs)
+    one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', n_rows - {c}__cnt, {c}__nd, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+        f"'{c}', n_rows - {c}__cnt, {c}__nd, {c}__min, {c}__max" for c, _ in cols
     )
     return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        f"stack({len(cols)}, {stack_args}) "
         "AS (col_name, n_nulls, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "profile_table",
+    _profile_oracle(),
+    tags=("profiling", "quality"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of `orders` — row count, null count, distinct
+    count, min/max (rendered type-aware so both engines agree on strings).
+    The summary every ingestion/data-quality gate emits before a table is
+    admitted to the warehouse; the generic machinery is
+    :func:`profile_frame` (any DataFrame, console ``profile`` command).
+
+    Scale shape: unlike the oracle's 6-scan UNION ALL, the Spark plan is a
+    SINGLE pass — all 24 aggregates (4 per column) evaluate in one
+    partial+final aggregation over one scan, then 6 rows are unpivoted
+    driver-free with stack(). COUNT(DISTINCT) over multiple columns expands
+    to Spark's standard expand-operator plan (6x row expansion map-side,
+    one shuffle); at 100 TB swap n_distinct for approx_count_distinct and
+    the expand disappears — noted, exactness chosen here for the oracle."""
+    return profile_frame(read_table(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
 # Co-purchase graph: nodes = parts, undirected edge (p1, p2) iff both appear

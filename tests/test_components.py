@@ -952,3 +952,13 @@ def test_pq_fingerprint_tracks_ivf_source_and_version(sf_dir):
     fp = pq.source_fingerprint(sf_dir)
     assert fp.startswith(f"pq{pq.INDEX_VERSION}.m{pq.M_SUBS}k{pq.K_CODES}:")
     assert fp.endswith(ivf.source_fingerprint(sf_dir))
+
+
+def test_analytics_session_gap_matches_streaming():
+    """analytics re-declares SESSION_GAP_MIN (import-cycle avoidance);
+    ev_session_paths promises the SAME session definition as
+    ev_sessionization, so the two constants must not drift apart."""
+    from skinnerdb_spark.operators import analytics
+    from skinnerdb_spark.streaming import windows
+
+    assert analytics.SESSION_GAP_MIN == windows.SESSION_GAP_MIN

@@ -101,3 +101,16 @@ def test_ops_command_registers_views(console):
     out = console.handle("ops text_langid")
     assert "1 operator views" in out and "op_text_langid" in out
     assert "500" in console.handle("SELECT COUNT(*) AS n FROM op_text_langid")
+
+
+def test_profile_command(console):
+    """`profile <tbl>` renders the one-scan per-column quality summary for
+    any registered table (generic profile_frame, kinds inferred from
+    dtypes — timestamps render as dates, doubles as 2-decimal strings)."""
+    out = console.handle("profile orders")
+    assert "o_orderkey" in out and "o_orderdate" in out
+    assert "n_nulls" in out and "n_distinct" in out
+    # the timestamp column's min renders as an ISO date, not a raw timestamp
+    import re
+
+    assert re.search(r"199\d-\d\d-\d\d", out)
