@@ -39,6 +39,7 @@ load <tbl> <csv> [sep]    register a CSV file as table <tbl>
 compress [tbl]            rewrite table(s) as dictionary+zstd parquet, re-point views
 index all | index <tbl>   cache table(s) in memory
 profile <tbl>             per-column nulls/distinct/min/max (one scan)
+layout zorder|range <tbl> <cols...>  rewrite with a pruning layout, re-point view
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 explain <sql>             show the physical plan
@@ -89,6 +90,16 @@ class Console:
                 created[:5]) + (" ..." if len(created) > 5 else "")
         if cmd == "index":
             return self._index(rest.strip())
+        if cmd == "layout":
+            # extension: physical-layout rewrite (zorder|range) + re-point
+            args = rest.split()
+            if len(args) < 3:
+                return "usage: layout zorder|range <tbl> <col> [col...]"
+            rep = self.engine.relayout_table(args[1], args[2:], mode=args[0])
+            return (
+                f"{rep['table']}: {rep['mode']} on {','.join(rep['cols'])} "
+                f"-> {rep['n_files']} files at {rep['path']}"
+            )
         if cmd == "profile":
             # extension: the data-quality summary (operators/analytics
             # profile_frame) for any registered table, one scan

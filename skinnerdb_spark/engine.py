@@ -118,6 +118,35 @@ class Engine:
             )
         return report
 
+    def relayout_table(
+        self, name: str, cols: list[str], mode: str = "zorder", n_files: int = 32
+    ) -> dict:
+        """Rewrite a registered table with a pruning-friendly physical layout
+        and re-point its view — `compress` for I/O-elision instead of bytes:
+        ``mode='range'`` range-sorts on ``cols`` (tight file min/max on the
+        leading column), ``mode='zorder'`` clusters on the Morton interleave
+        (tight min/max on EVERY listed column; numeric columns only).
+        Returns {table, mode, cols, n_files, path}; subsequent session
+        queries scan the re-laid-out copy and prune files via footer stats."""
+        import os
+
+        from skinnerdb_spark.sources.layout import write_range_sorted, write_zorder
+
+        if mode not in ("zorder", "range"):
+            raise ValueError(f"unknown layout mode {mode!r} (zorder|range)")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(repo_root, "spark-warehouse", "layout", f"{name}_{mode}")
+        df = self.table(name)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"unknown column(s) {missing} in table {name!r}")
+        if mode == "zorder":
+            write_zorder(df, dst, cols, n_files=n_files)
+        else:
+            write_range_sorted(df, dst, cols, n_files=n_files)
+        self.spark.read.parquet(dst).createOrReplaceTempView(name)
+        return {"table": name, "mode": mode, "cols": cols, "n_files": n_files, "path": dst}
+
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
 

@@ -114,3 +114,17 @@ def test_profile_command(console):
     import re
 
     assert re.search(r"199\d-\d\d-\d\d", out)
+
+
+def test_layout_command_rewrites_and_repoints(console, spark):
+    """`layout zorder <tbl> <cols>` rewrites the table clustered on the
+    Morton key and re-points the session view; queries keep answering
+    identically off the re-laid-out copy."""
+    before = console.handle("SELECT COUNT(*) AS n FROM lineitem")
+    out = console.handle("layout zorder lineitem l_partkey l_suppkey")
+    assert "zorder on l_partkey,l_suppkey" in out
+    after = console.handle("SELECT COUNT(*) AS n FROM lineitem")
+    assert before == after
+    assert "usage:" in console.handle("layout zorder lineitem")
+    with pytest.raises(ValueError, match="unknown column"):
+        console.handle("layout range lineitem nope")
