@@ -355,3 +355,61 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         .count()
     )
     assert n_bloom == n_plain > 0
+
+
+def test_cbo_stats_drive_join_reorder(spark, sf_dir):
+    """Cost-based join reordering — the STATIC-statistics counterpart of
+    plans/joinorder's runtime UCT bandit (reference theme: join order is
+    the problem; SkinnerDB learns it at runtime, classic optimizers derive
+    it from stats): with ANALYZE'd tables and CBO on, Catalyst rewrites a
+    badly-written join order to start from the selectively-filtered small
+    dimension; with CBO off the written order stands. Results unchanged."""
+    import os
+    import re
+    import shutil
+
+    tables = ["lineitem", "orders", "nation"]
+    for t in tables:  # stale-dir-safe setup (the r4 lesson)
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        p = os.path.join("spark-warehouse", f"cbo_{t}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    try:
+        for t in tables:
+            read_table(spark, sf_dir, t).write.saveAsTable(f"cbo_{t}")
+            spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
+            spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        q = """
+        SELECT count(*) AS n FROM cbo_lineitem l
+        JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN cbo_nation n ON o.o_custkey % 25 = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        """
+
+        def leaf_order(cbo: bool) -> list[str]:
+            spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            seen = []
+            for m in re.findall(r"cbo_\w+", plan):
+                if m not in seen:
+                    seen.append(m)
+            return seen
+
+        written = leaf_order(False)
+        reordered = leaf_order(True)
+        assert written == ["cbo_lineitem", "cbo_orders", "cbo_nation"]
+        assert reordered != written, "stats must change the join order"
+        # the selective dimension moves ahead of the fact table
+        assert reordered.index("cbo_nation") < reordered.index("cbo_lineitem")
+        # and the rewrite is semantics-preserving
+        n_on = spark.sql(q).collect()[0].n
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        n_off = spark.sql(q).collect()[0].n
+        assert n_on == n_off > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
