@@ -692,3 +692,120 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PAGERANK_TOP)
         .select("node", "deg", "rank", "rnk")
     )
+
+
+@register(
+    "ev_state_history",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM seq
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+    hist AS (
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id)
+                   AS next_from
+        FROM changes)
+    SELECT user_id, state, valid_from,
+           COALESCE(next_from, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM hist
+    """,
+    tags=("events", "temporal", "scd2"),
+)
+def ev_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) state history from the event
+    stream: consecutive runs of the same event_type per user collapse into
+    [valid_from, valid_to) intervals, a far-future 2200-01-01 sentinel (ns-epoch-safe, unlike 9999-12-31)
+    closing the current state — the standard dimension-history build every
+    warehouse maintains.
+
+    Scale shape: ONE user_id shuffle serves both windows (the change-point
+    lag and the interval-closing lead — same partitioning, Catalyst keeps
+    one exchange); run-collapse happens via the change-point filter, never
+    a groupBy over the raw stream. Interval semantics are half-open, so
+    downstream as-of lookups (temporal.py) can join
+    ts >= valid_from AND ts < valid_to with no NULL branch."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"), "event_id",
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    hist = changes.withColumn("next_from", F.lead("valid_from").over(wl))
+    return hist.select(
+        "user_id", "state", "valid_from",
+        F.coalesce(
+            F.col("next_from"), F.expr("TIMESTAMP '2200-01-01 00:00:00'")
+        ).alias("valid_to"),
+        F.when(F.col("next_from").isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "stats_join_size",
+    """
+    WITH c1 AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_orderkey),
+    c2 AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_orderkey),
+    pred AS (SELECT CAST(SUM(c1.n * c2.n) AS BIGINT) AS predicted
+             FROM c1 JOIN c2 ON c1.k = c2.k),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT pred.predicted, act.actual,
+           CASE WHEN pred.predicted = act.actual THEN 1 ELSE 0 END AS exact_match
+    FROM pred, act
+    """,
+    tags=("stats", "planner"),
+)
+def stats_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size WITHOUT the join: |A join B on k| = sum over matching keys
+    of count_A(k) * count_B(k) — the exact form of the histogram-product
+    cardinality estimate every cost-based optimizer runs (the reference
+    derives the same number at runtime through its reward signal;
+    BenchAndVerify.java checks per-join cardinalities the same way). The
+    entry emits predicted vs actual plus their equality so the driver's
+    hash gate itself re-proves the identity.
+
+    Scale shape: two key-count aggregations (map-side partial) + a join of
+    AGGREGATES (one row per distinct key, not per data row) — at 100 TB
+    this costs two shuffles of key-cardinality size while the actual join
+    shuffles every data row; that asymmetry is exactly why planners
+    estimate from key histograms. The `actual` branch exists only to prove
+    the identity at test scale."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c1 = l.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    c2 = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2")
+    )
+    pred = c1.join(c2, "k").agg(
+        F.sum(F.col("n1") * F.col("n2")).cast("bigint").alias("predicted")
+    )
+    act = l.join(o, l.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual")
+    )
+    return (
+        pred.join(F.broadcast(act))
+        .select(
+            "predicted",
+            "actual",
+            F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0).alias("exact_match"),
+        )
+    )

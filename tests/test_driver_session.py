@@ -92,7 +92,10 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # PQ: second persisted-index oracle (codebooks parquet)
              "sim_pq_ann", "text_quality_lr",
              # iterative decimal-exact ranking + a timestamp graph window
-             "graph_pagerank"]:
+             "graph_pagerank",
+             # SCD2 intervals (timestamp sentinel under non-UTC) + key-count
+             # join-size identity
+             "ev_state_history", "stats_join_size"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
