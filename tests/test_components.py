@@ -962,3 +962,33 @@ def test_analytics_session_gap_matches_streaming():
     from skinnerdb_spark.streaming import windows
 
     assert analytics.SESSION_GAP_MIN == windows.SESSION_GAP_MIN
+
+
+def test_prefix_filter_complete_vs_brute_force(spark, sf_dir):
+    """The prefix-filter join's pruning guarantee, checked pair-for-pair:
+    its output must EQUAL the all-pairs brute-force Jaccard >= 0.5 set —
+    recall 1.0 by construction, unlike the minhash family."""
+    from skinnerdb_spark.operators.dedup import (
+        dedup_prefix_filter,
+        shared_shingle_sets,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    sh = shared_shingle_sets(spark, sf_dir)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"), F.col("n").alias("nb")
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("i", F.expr("size(array_intersect(sa, sb))"))
+        .filter(3 * F.col("i") >= F.col("na") + F.col("nb"))
+    )
+    expect = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert got == expect
+    assert len(expect) > 0, "corpus must exercise the threshold"

@@ -95,7 +95,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "graph_pagerank",
              # SCD2 intervals (timestamp sentinel under non-UTC) + key-count
              # join-size identity
-             "ev_state_history", "stats_join_size"]:
+             "ev_state_history", "stats_join_size",
+             # exact-threshold prefix-filter similarity join
+             "dedup_prefix_filter"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
