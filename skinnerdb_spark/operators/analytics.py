@@ -1,7 +1,7 @@
 """Sequence / graph / profiling analytics (beyond-reference tier).
 
-Six operators a production analytics + training-data stack runs that the
-rest of the registry doesn't cover yet, each a distinct plan shape:
+Operators a production analytics + training-data stack runs that the rest
+of the registry doesn't cover, each a distinct plan shape:
 
 - ev_event_transitions : first-order Markov transition matrix over per-user
   event sequences (lag window + two-level aggregation) — the "what happens
@@ -9,22 +9,29 @@ rest of the registry doesn't cover yet, each a distinct plan shape:
 - ev_session_paths     : top session-opening paths (first 3 events of each
   30-min-gap session) — navigation-path mining on the same session
   definition as ev_sessionization
+- ev_state_history     : SCD type-2 state intervals from the event stream
+  (change-point lag + closing lead on one exchange)
 - stats_linear_fit     : per-group OLS trend line (slope/intercept) in
   EXACT integer arithmetic with one final IEEE division per coefficient —
   regression pushed into the engine instead of pandas
+- stats_join_size      : exact join cardinality WITHOUT the join (matched
+  key-count products) — the planner's histogram-product estimate in exact
+  form, identity-checked against the actual join
 - profile_table        : one-pass per-column data profile (nulls, distinct,
-  min/max) of `orders` — the data-quality summary every ingestion pipeline
-  emits; 18 aggregates in a single scan, unpivoted with stack()
+  min/max) of `orders`; generic machinery in :func:`profile_frame`
+  (console `profile` command)
 - graph_triangles      : triangle count + global clustering coefficient of
   the part co-purchase graph — distributed graph analytics as three
   id-ordered self-joins (degree-oriented variant documented for scale)
+- graph_pagerank       : 3 damped iterations unrolled as join+aggregate
+  rounds, bit-exact across engines (decimal-exact inflow sums)
 - docs_bm25_topk       : per-term BM25 top-5 retrieval over documents with
   a RATIONAL (log-free) idf/tf saturation so the score is one exact-integer
   ratio -> hash-stable across engines
 
 The reference has no sequence/graph/IR operators (its surface is SPJ+agg,
 SURVEY §2); these extend the engine toward the workloads a 100 TB corpus
-actually runs. All six are pure DataFrame algebra — no UDFs, no collects.
+actually runs. All pure DataFrame algebra — no UDFs, no collects.
 """
 
 from __future__ import annotations
