@@ -42,6 +42,7 @@ profile <tbl>             per-column nulls/distinct/min/max (one scan)
 layout zorder|range <tbl> <cols...>  rewrite with a pruning layout, re-point view
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
+analyze <sql>             run the statement, report executed-plan metrics
 explain <sql>             show the physical plan
 explain adaptive <sql>    show bandit episodes + chosen join order
 explain adaptive dot <sql>  graphviz DOT of the explored order tree
@@ -90,6 +91,25 @@ class Console:
                 created[:5]) + (" ..." if len(created) > 5 else "")
         if cmd == "index":
             return self._index(rest.strip())
+        if cmd == "analyze":
+            # extension: EXPLAIN ANALYZE — run the statement and report the
+            # EXECUTED plan's metrics (rows, wall time, shuffle/spill/peak
+            # memory via SQLMetrics), not the static estimate
+            import time
+
+            from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
+
+            df = self.engine.adaptive_sql(rest) if self.adaptive else self.engine.sql(rest)
+            t0 = time.time()
+            n = run_and_count(df)
+            secs = time.time() - t0
+            m = plan_metrics(df)
+            return (
+                f"rows={n} time={secs:.3f}s shuffles={m['shuffle_count']} "
+                f"shuffle_rw={m['shuffle_write_bytes']}/{m['shuffle_read_bytes']}B "
+                f"spill={m['spill_bytes']}B peak_mem={m['peak_mem_bytes']}B "
+                f"aqe={m['adaptive']}"
+            )
         if cmd == "layout":
             # extension: physical-layout rewrite (zorder|range) + re-point
             args = rest.split()

@@ -98,19 +98,36 @@ def write_zorder(
 
     At 100 TB the bounds pass is a metadata-only min/max over footers if the
     source is already parquet; the rewrite itself is the same one-shuffle
-    ``repartitionByRange`` as :func:`write_range_sorted`."""
+    ``repartitionByRange`` as :func:`write_range_sorted`. Timestamp/date
+    columns participate via their epoch representation (cast once before
+    scaling) — time x key Z-orders are the common warehouse case."""
+    dtypes = dict(df.dtypes)
+
+    def numeric(c: str) -> F.Column:
+        t = dtypes[c]
+        if t.startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("bigint")
+        return F.col(c)
+
     lo_hi = df.agg(
-        *[F.min(c).alias(f"{c}__lo") for c in cols],
-        *[F.max(c).alias(f"{c}__hi") for c in cols],
+        *[F.min(numeric(c)).alias(f"{c}__lo") for c in cols],
+        *[F.max(numeric(c)).alias(f"{c}__hi") for c in cols],
     ).collect()[0]
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
         lo, hi = lo_hi[f"{c}__lo"], lo_hi[f"{c}__hi"]
         span = (hi - lo) or 1
+        # scale in DOUBLE: integer (v-lo)*top overflows long for epoch-micros
+        # spans, and a <=2^-37 relative FP error cannot matter for bucketing
         scaled.append(
-            F.floor((F.coalesce(F.col(c), F.lit(lo)) - F.lit(lo)) * top / F.lit(span))
-            .cast("bigint")
+            F.floor(
+                (F.coalesce(numeric(c), F.lit(lo)) - F.lit(lo)).cast("double")
+                * F.lit(float(top))
+                / F.lit(float(span))
+            ).cast("bigint")
         )
     keyed = df.withColumn("__zkey", morton_key(scaled, bits))
     (

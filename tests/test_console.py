@@ -128,3 +128,10 @@ def test_layout_command_rewrites_and_repoints(console, spark):
     assert "usage:" in console.handle("layout zorder lineitem")
     with pytest.raises(ValueError, match="unknown column"):
         console.handle("layout range lineitem nope")
+
+
+def test_analyze_command_reports_executed_metrics(console):
+    out = console.handle(
+        "analyze SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1"
+    )
+    assert "rows=5" in out and "shuffles=" in out and "spill=0B" in out

@@ -413,3 +413,36 @@ def test_cbo_stats_drive_join_reorder(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+def test_zorder_accepts_timestamp_columns(spark, sf_dir, tmp_path):
+    """Time x key Z-orders (the common warehouse case): timestamp columns
+    scale via their epoch representation; both the date and the key get
+    tight per-file spans."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from skinnerdb_spark.sources.layout import write_zorder
+
+    l = read_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_partkey")
+    zpath = str(tmp_path / "l_tz")
+    write_zorder(l, zpath, ["l_shipdate", "l_partkey"], n_files=16)
+    files = sorted(pathlib.Path(zpath).glob("*.parquet"))
+    assert len(files) >= 8
+
+    def spans(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            st = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    date_spans = spans("l_shipdate")
+    glo = min(s[0] for s in date_spans)
+    ghi = max(s[1] for s in date_spans)
+    full = (ghi - glo).total_seconds()
+    mean_frac = sum((hi - lo).total_seconds() for lo, hi in date_spans) / len(date_spans) / full
+    assert mean_frac < 0.5
