@@ -443,6 +443,38 @@ WHERE c.c_mktsegment = '{seg}'
     )
 
 
+# ------------------------------------------------------------ T16: outer
+# LEFT JOIN with the filter in the ON clause (null-extends non-matching
+# customers) — the semantics corner where moving the predicate to WHERE
+# silently turns the join inner; the unmatched-count column makes any such
+# planner/translation slip hash-visible. Reference context: outer joins are
+# rejected by the reference parser (SURVEY §2.3 surplus tier here).
+_T16 = [
+    ("BUILDING", "O", 150000),
+    ("MACHINERY", "F", 120000),
+    ("AUTOMOBILE", "O", 180000),
+    ("FURNITURE", "F", 100000),
+    ("HOUSEHOLD", "O", 50000),
+]
+for i, (seg, st, cap) in enumerate(_T16, 1):
+    add(
+        f"t16_outer_{i:02d}",
+        f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_order,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_matched,
+       MIN(c.c_name) AS min_name
+FROM customer c
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey
+ AND o.o_orderstatus = '{st}'
+ AND o.o_totalprice > {cap}
+WHERE c.c_mktsegment = '{seg}'
+""",
+    )
+
+
 def main(out: str | None = None) -> None:
     out = out or OUT
     os.makedirs(out, exist_ok=True)
