@@ -63,12 +63,19 @@ _R1234_SAMPLED = frozenset(
 #: fresh driver row upgrades it to a full hash check.
 _REVERIFY = ["sim_ivf_ann"]
 
+#: pinned to the very FRONT of the gate window: the 8 TPC-H entries that
+#: were never driver-sampled in r1-r4 (VERDICT r4 item 2). Listing them
+#: first makes their r5 rows immune to how many new entries later register
+#: ahead of them in module order.
+_PRIORITY = [f"tpch_q{i}" for i in (10, 11, 12, 14, 17, 18, 19, 20)]
+
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
-    fresh = [n for n in specs if n not in _R1234_SAMPLED and n not in _REVERIFY]
-    rest = [n for n in specs if n in _R1234_SAMPLED and n not in _REVERIFY]
-    return fresh + _REVERIFY + rest
+    front = _PRIORITY + _REVERIFY
+    fresh = [n for n in specs if n not in _R1234_SAMPLED and n not in front]
+    rest = [n for n in specs if n in _R1234_SAMPLED and n not in front]
+    return front + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

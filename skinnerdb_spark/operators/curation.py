@@ -762,3 +762,76 @@ def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         (F.sum("norm_sq").cast("double") / F.count(F.lit(1))).alias("mean_norm_sq"),
     )
+
+
+@register(
+    "docs_snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN md5(CONCAT(text, ' [rev2]'))
+                    ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(CONCAT('new:', text)) AS h
+        FROM documents WHERE doc_id % 13 = 0),
+    d AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM d GROUP BY status
+    """,
+    tags=("curation", "cdc", "diff"),
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (the CDC table an
+    incremental ingestion pipeline derives before merging): FULL OUTER
+    JOIN on doc_id + content-hash compare classifies every document as
+    added / removed / changed / unchanged. The second snapshot is
+    simulated deterministically from the first (mod-rules for deletes /
+    edits / inserts) so both engines derive identical inputs.
+
+    Scale shape: one doc_id-keyed full outer join of hash projections
+    (md5 computed map-side, text never shuffles — only (doc_id, hash)
+    pairs move), then a 4-row aggregate. Bucketing both snapshots on
+    doc_id elides the shuffle entirely, the same co-location contract as
+    docs_merge_upsert — diff and merge are the two halves of incremental
+    corpus refresh."""
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit(" [rev2]")))
+            ).otherwise(F.md5(F.col("text"))).alias("h"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

@@ -97,7 +97,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # join-size identity
              "ev_state_history", "stats_join_size",
              # exact-threshold prefix-filter similarity join
-             "dedup_prefix_filter"]:
+             "dedup_prefix_filter",
+             # CDC snapshot diff (full outer join + hash classify)
+             "docs_snapshot_diff"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
