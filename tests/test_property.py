@@ -223,3 +223,77 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert any(con[p] > jac[p] + 1e-9 for p in jac), (
         "corpus should contain at least one non-subset overlap"
     )
+
+
+# --------------------------------------------------------------------------
+# Morton (Z-order) key: bit-interleave invariants vs a Python reference
+# --------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_morton_key_matches_python_interleave(spark, pts):
+    """morton_key == the textbook bit interleave, and same-cell locality:
+    points sharing their high bits in BOTH dims map into one contiguous
+    key range (the property file skipping relies on)."""
+    from skinnerdb_spark.sources.layout import morton_key
+    from pyspark.sql import functions as F
+
+    bits = 8
+
+    def py_morton(x, y):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b + 1)
+            out |= ((y >> b) & 1) << (2 * b)
+        return out
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.k
+        for r in df.withColumn(
+            "k", morton_key([F.col("x"), F.col("y")], bits)
+        ).collect()
+    }
+    for (x, y), k in got.items():
+        assert k == py_morton(x, y), (x, y, k)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    sets=st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_candidates_complete(sets):
+    """Pure-python check of the prefix-filter completeness theorem on
+    random small set families: every Jaccard >= 0.5 pair must share a
+    token within both rarity-ordered prefixes of length n - ceil(n/2) + 1
+    (the guarantee dedup_prefix_filter's pruning rests on)."""
+    import collections
+    import math
+
+    freq = collections.Counter()
+    for s in sets:
+        freq.update(s)
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda t: (freq[t], t))
+        keep = len(s) - math.ceil(0.5 * len(s)) + 1
+        return set(ordered[:keep])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            jac = inter / len(a | b)
+            if jac >= 0.5:
+                assert prefix(a) & prefix(b), (
+                    f"qualifying pair pruned: {a} {b} J={jac}"
+                )
