@@ -165,3 +165,46 @@ def test_round5_continuation_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, "docs_embedding_profile", sf_dir)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan, "norm fold must stay JVM-side"
+
+
+def test_round5_third_phase_plan_shapes(spark, sf_dir):
+    """Scale claims of this phase's entries, pinned:
+
+    - text_quality_lr: classifier inference is ONE map-side projection —
+      zero exchanges, no Python workers;
+    - ev_event_transitions / ev_state_history: every exchange keys on
+      user_id or on the tiny post-aggregate (no corpus-wide re-sort), and
+      the SCD build stays at ONE data-sized exchange;
+    - docs_bm25_topk: the query-term list and the tf side broadcast — the
+      corpus (doc_id, dl) projection must not reshuffle through the
+      scoring join; no cartesian anywhere;
+    - sim_pq_ann (warm index): the LUT side broadcasts into the codes
+      join; no Python workers in the search path;
+    - docs_snapshot_diff: the full outer join carries hash projections
+      only (text is pruned out of both scan branches)."""
+    plan = plan_of(spark, "text_quality_lr", sf_dir)
+    assert "Exchange" not in plan, plan[:600]
+    assert "EvalPython" not in plan
+
+    plan = plan_of(spark, "ev_event_transitions", sf_dir)
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith(("user_id", "prev_type")) for k in keys), keys
+
+    plan = plan_of(spark, "ev_state_history", sf_dir)
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert all(k.startswith("user_id") for k in keys), keys
+    assert plan.count("hashpartitioning") <= 2, plan[:800]
+
+    plan = plan_of(spark, "docs_bm25_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "sim_pq_ann", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "EvalPython" not in plan
+
+    plan = plan_of(spark, "docs_snapshot_diff", sf_dir)
+    for branch in plan.split("ReadSchema")[1:]:
+        assert "text" in branch[:160], "hash is computed from text at scan"
+    assert "CartesianProduct" not in plan
