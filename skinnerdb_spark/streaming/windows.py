@@ -537,3 +537,70 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events").cast("double") / F.sum("n_events").over(wall)).alias("frac"),
     )
+
+
+def stream_transition_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator #2: per-user event-type TRANSITION
+    counts (the streaming twin of ev_event_transitions' bigram stage) via
+    applyInPandasWithState. State = (last event time, last event type) per
+    user, persisted across micro-batches, so a transition spanning two
+    batches is still counted.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    micro-batch; an arrival older than the persisted last-event time is
+    out-of-order ACROSS batches and is dropped and counted in the
+    `n_late_dropped` column — the same late-data honesty as a watermark
+    (silently mis-ordering the chain would corrupt every downstream
+    transition probability). State is 2 small scalars per user — bounded by
+    |users|, not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import collections
+
+        last_us, last_type = state.get if state.exists else (None, None)
+        counts: collections.Counter = collections.Counter()
+        late = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and us < last_us:
+                    late += 1
+                    continue
+                if last_type is not None:
+                    counts[(last_type, etype)] += 1
+                last_us, last_type = us, etype
+        state.update((last_us if last_us is not None else 0, last_type or ""))
+        out = pd.DataFrame(
+            {
+                "user_id": key[0],
+                "prev_type": [p for p, _ in counts],
+                "next_type": [n for _, n in counts],
+                "n": [int(v) for v in counts.values()],
+                "n_late_dropped": late,
+            }
+        )
+        if out.empty:
+            out = pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "prev_type": pd.Series([], dtype="object"),
+                    "next_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "n_late_dropped": pd.Series([], dtype="int64"),
+                }
+            )
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, prev_type string, next_type string, n long, "
+            "n_late_dropped long"
+        ),
+        stateStructType="last_us long, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -992,3 +992,42 @@ def test_prefix_filter_complete_vs_brute_force(spark, sf_dir):
     expect = {(r.doc_a, r.doc_b) for r in brute.collect()}
     assert got == expect
     assert len(expect) > 0, "corpus must exercise the threshold"
+
+
+def test_stream_transition_counts_matches_batch(spark, sf_dir):
+    """The stateful transition stream drains to exactly the batch bigram
+    counts (single availableNow batch -> all arrivals in order, zero late
+    drops), keyed (prev_type, next_type) summed over users."""
+    import collections
+
+    from skinnerdb_spark.streaming.windows import (
+        run_stream_once,
+        stream_events,
+        stream_transition_counts,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stream = stream_events(spark, src)
+    except Exception as e:
+        pytest.skip(f"stream source unavailable: {e}")
+    rows = run_stream_once(
+        stream_transition_counts(stream), "t_stream_trans", output_mode="update"
+    )
+    got: collections.Counter = collections.Counter()
+    for r in rows:
+        got[(r.prev_type, r.next_type)] += r.n
+        assert r.n_late_dropped == 0
+    e = read_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .count()
+        .collect()
+    )
+    expect = {(r.prev, r.event_type): r["count"] for r in batch}
+    assert dict(got) == expect
