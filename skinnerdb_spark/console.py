@@ -43,6 +43,7 @@ layout zorder|range <tbl> <cols...>  rewrite with a pruning layout, re-point vie
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 analyze <sql>             run the statement, report executed-plan metrics
+vacuum [apply]            inventory (apply: reclaim) persisted artifacts
 explain <sql>             show the physical plan
 explain adaptive <sql>    show bandit episodes + chosen join order
 explain adaptive dot <sql>  graphviz DOT of the explored order tree
@@ -91,6 +92,17 @@ class Console:
                 created[:5]) + (" ..." if len(created) > 5 else "")
         if cmd == "index":
             return self._index(rest.strip())
+        if cmd == "vacuum":
+            # extension: persisted-artifact inventory / reclamation
+            rep = self.engine.vacuum(apply=rest.strip() == "apply")
+            if not rep:
+                return "no persisted artifacts"
+            return "\n".join(
+                f"{r['path']}: {r['kind']} {r['bytes']}B"
+                + (f" stale={r['stale']}" if r["stale"] is not None else "")
+                + (" REMOVED" if r["removed"] else "")
+                for r in rep
+            )
         if cmd == "analyze":
             # extension: EXPLAIN ANALYZE — run the statement and report the
             # EXECUTED plan's metrics (rows, wall time, shuffle/spill/peak

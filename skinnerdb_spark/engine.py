@@ -118,6 +118,69 @@ class Engine:
             )
         return report
 
+    def vacuum(self, apply: bool = False) -> list[dict]:
+        """Inventory (and with ``apply=True`` delete) the engine's persisted
+        warehouse artifacts: compressed/layout table copies (re-derivable —
+        always deletable), ANN indexes (deletable only when STALE per their
+        source fingerprint), and the result cache (self-evicting — reported,
+        never vacuumed here). Returns [{path, kind, bytes, stale, removed}].
+
+        The ops counterpart of the artifact lifecycle: fingerprints already
+        prevent *serving* stale indexes; vacuum reclaims their disk."""
+        import os
+        import shutil
+
+        from skinnerdb_spark.operators import ivf, pq
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        wh = os.path.join(repo_root, "spark-warehouse")
+
+        def du(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+
+        report: list[dict] = []
+        if not os.path.isdir(wh):
+            return report
+        for name in sorted(os.listdir(wh)):
+            path = os.path.join(wh, name)
+            if not os.path.isdir(path):
+                continue
+            stale = None
+            if name in ("compressed", "layout"):
+                kind = "rewrite-copy"
+                deletable = True
+            elif name.startswith(("ivf_index_", "pq_index_")):
+                kind = "ann-index"
+                mod = ivf if name.startswith("ivf") else pq
+                sf_name = name.split("index_", 1)[1]
+                # index freshness is checked against the warehouse it was
+                # built from; without an attached sf_dir of the same name we
+                # can only report, not judge
+                if self.sf_dir and os.path.basename(self.sf_dir.rstrip("/")) == sf_name:
+                    stale = not mod.index_is_fresh(path, self.sf_dir)
+                deletable = stale is True
+            elif name == "result_cache":
+                kind = "result-cache (self-evicting)"
+                deletable = False
+            else:
+                continue  # managed tables / unrelated dirs are not ours
+            entry = {
+                "path": path,
+                "kind": kind,
+                "bytes": du(path),
+                "stale": stale,
+                "removed": False,
+            }
+            if apply and deletable:
+                shutil.rmtree(path, ignore_errors=True)
+                entry["removed"] = True
+            report.append(entry)
+        return report
+
     def relayout_table(
         self, name: str, cols: list[str], mode: str = "zorder", n_files: int = 32
     ) -> dict:

@@ -135,3 +135,29 @@ def test_analyze_command_reports_executed_metrics(console):
         "analyze SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1"
     )
     assert "rows=5" in out and "shuffles=" in out and "spill=0B" in out
+
+
+def test_vacuum_inventories_and_reclaims(console, spark, sf_dir):
+    """`vacuum` lists persisted artifacts; `vacuum apply` reclaims the
+    re-derivable rewrite copies but never a FRESH ANN index (fingerprint
+    says it still matches its source)."""
+    import os
+
+    # ensure artifacts of both classes exist: a layout copy + a fresh index
+    console.handle("layout range nation n_nationkey")
+    from skinnerdb_spark.operators.ivf import sim_ivf_ann
+
+    sim_ivf_ann(spark, sf_dir).collect()
+    out = console.handle("vacuum")
+    assert "rewrite-copy" in out and "ann-index" in out
+    out2 = console.handle("vacuum apply")
+    assert "REMOVED" in out2
+    assert not os.path.isdir(os.path.join("spark-warehouse", "layout"))
+    # the fresh index survived (stale=False -> not deletable)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    assert os.path.isdir(os.path.join("spark-warehouse", f"ivf_index_{sf_name}"))
+    # session views may point at the reclaimed copies (compress/layout
+    # re-pointed them) — restore the canonical warehouse views for any test
+    # running after this one in the shared session
+    console.engine.attach_warehouse(sf_dir)
+    assert "25" in console.handle("SELECT COUNT(*) AS n FROM nation")
