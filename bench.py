@@ -116,7 +116,13 @@ def main() -> None:
             return out
 
         truth = topk_sets("sim_bruteforce_topk")
-        for name in ("sim_lsh_ann", "sim_lsh_multiprobe", "sim_ivf_ann", "sim_pq_ann"):
+        for name in (
+            "sim_lsh_ann",
+            "sim_lsh_multiprobe",
+            "sim_ivf_ann",
+            "sim_pq_ann",
+            "sim_ivfpq_ann",
+        ):
             got = topk_sets(name)
             hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
             total = sum(len(t) for t in truth.values())

@@ -99,7 +99,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # exact-threshold prefix-filter similarity join
              "dedup_prefix_filter",
              # CDC snapshot diff (full outer join + hash classify)
-             "docs_snapshot_diff"]:
+             "docs_snapshot_diff",
+             # composed two-index search (both persisted-index oracles)
+             "sim_ivfpq_ann"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
