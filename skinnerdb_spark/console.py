@@ -43,6 +43,7 @@ layout zorder|range <tbl> <cols...>  rewrite with a pruning layout, re-point vie
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
 analyze <sql>             run the statement, report executed-plan metrics
+analyze dot <sql>         executed-plan profile graph (graphviz, SQLMetrics)
 vacuum [apply]            inventory (apply: reclaim) persisted artifacts
 explain <sql>             show the physical plan
 explain adaptive <sql>    show bandit episodes + chosen join order
@@ -106,11 +107,26 @@ class Console:
         if cmd == "analyze":
             # extension: EXPLAIN ANALYZE — run the statement and report the
             # EXECUTED plan's metrics (rows, wall time, shuffle/spill/peak
-            # memory via SQLMetrics), not the static estimate
+            # memory via SQLMetrics), not the static estimate. `analyze dot
+            # <sql>` renders the executed plan as a metric-annotated
+            # graphviz profile graph instead.
             import time
 
-            from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
+            from skinnerdb_spark.plans.metrics import (
+                plan_dot,
+                plan_metrics,
+                run_and_count,
+            )
 
+            sub, _, sql2 = rest.partition(" ")
+            if sub.lower() == "dot":
+                df = (
+                    self.engine.adaptive_sql(sql2)
+                    if self.adaptive
+                    else self.engine.sql(sql2)
+                )
+                run_and_count(df)
+                return plan_dot(df)
             df = self.engine.adaptive_sql(rest) if self.adaptive else self.engine.sql(rest)
             t0 = time.time()
             n = run_and_count(df)

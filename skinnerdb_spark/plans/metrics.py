@@ -97,3 +97,72 @@ def plan_metrics(df: DataFrame) -> dict[str, int]:
                     if v > 0:
                         out[key] += v
     return out
+
+
+def plan_dot(df: DataFrame) -> str:
+    """Graphviz DOT of the EXECUTED physical plan, each operator annotated
+    with its output-row and timing SQLMetrics — the query-profile graph a
+    production UI renders, as a text artifact (file-output parity with the
+    UCT tree's explain_adaptive_dot). Run the plan first (e.g. via
+    run_and_count) or the metric labels read 0.
+
+    AQE / query-stage shells are unwrapped so the graph shows the plan that
+    actually ran; edges point in DATA-FLOW direction (child -> parent)."""
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+    except Exception:
+        return "digraph plan {}"
+    lines = ["digraph plan {", "  rankdir=BT;", '  node [shape=box, fontsize=10];']
+    counter = [0]
+
+    def unwrap(node: Any) -> Any:
+        cls = node.getClass().getSimpleName()
+        try:
+            if cls == "AdaptiveSparkPlanExec":
+                return unwrap(node.executedPlan())
+            if cls.endswith("QueryStageExec"):
+                return unwrap(node.plan())
+        except Exception:
+            pass
+        return node
+
+    def node_label(node: Any) -> str:
+        cls = node.getClass().getSimpleName().replace("Exec", "")
+        rows = time_ms = None
+        try:
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                t = mit.next()
+                metric = t._2()
+                name = str(
+                    metric.name().isDefined() and metric.name().get() or t._1()
+                )
+                if name == "number of output rows":
+                    rows = int(metric.value())
+                elif "total time" in name or name.endswith("time in scan"):
+                    time_ms = int(metric.value())
+        except Exception:
+            pass
+        parts = [cls]
+        if rows is not None:
+            parts.append(f"rows={rows}")
+        if time_ms is not None and time_ms > 0:
+            parts.append(f"t={time_ms}ms")
+        return "\\n".join(parts)
+
+    def walk(node: Any) -> int:
+        node = unwrap(node)
+        counter[0] += 1
+        nid = counter[0]
+        lines.append(f'  n{nid} [label="{node_label(node)}"];')
+        kids = node.children()
+        # walk by size()/apply(i): iterating a py4j collection to exhaustion
+        # costs a converted JVM exception per collection (see verify notes)
+        for i in range(kids.size()):
+            cid = walk(kids.apply(i))
+            lines.append(f"  n{cid} -> n{nid};")
+        return nid
+
+    walk(root)
+    lines.append("}")
+    return "\n".join(lines)

@@ -161,3 +161,15 @@ def test_vacuum_inventories_and_reclaims(console, spark, sf_dir):
     # running after this one in the shared session
     console.engine.attach_warehouse(sf_dir)
     assert "25" in console.handle("SELECT COUNT(*) AS n FROM nation")
+
+
+def test_analyze_dot_renders_executed_profile(console):
+    """`analyze dot <sql>` emits a graphviz profile of the EXECUTED plan:
+    operator nodes carry real output-row metrics (the scan saw 25 nation
+    rows), edges flow data-upward."""
+    out = console.handle(
+        "analyze dot SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1"
+    )
+    assert out.startswith("digraph plan {")
+    assert "HashAggregate" in out and "->" in out
+    assert "rows=25" in out  # the scan's executed output-row metric
