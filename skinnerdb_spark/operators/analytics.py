@@ -816,3 +816,73 @@ def stats_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0).alias("exact_match"),
         )
     )
+
+
+@register(
+    "orders_equidepth_hist",
+    """
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+               quantile_cont(o_totalprice, 0.2) AS b2,
+               quantile_cont(o_totalprice, 0.3) AS b3,
+               quantile_cont(o_totalprice, 0.4) AS b4,
+               quantile_cont(o_totalprice, 0.5) AS b5,
+               quantile_cont(o_totalprice, 0.6) AS b6,
+               quantile_cont(o_totalprice, 0.7) AS b7,
+               quantile_cont(o_totalprice, 0.8) AS b8,
+               quantile_cont(o_totalprice, 0.9) AS b9
+        FROM orders),
+    assigned AS (
+        SELECT CAST((CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bucket,
+               o_totalprice
+        FROM orders CROSS JOIN b)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+    tags=("stats", "histogram"),
+)
+def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile-bucketed) histogram of order value — the
+    optimizer-statistics/table-skew view that equi-width histograms
+    (ev_value_histogram) miss on long-tailed measures: each bucket holds
+    ~10% of rows whatever the value distribution.
+
+    Scale shape: deliberately NOT the NTILE formulation (a corpus-wide
+    single-partition sort); boundaries come from one exact `percentile`
+    aggregate (map-side partials, bit-equal to DuckDB's quantile_cont —
+    the docs_length_quantiles precedent), broadcast back as a 1-row frame,
+    and bucket assignment + counts are pure map-side algebra plus one tiny
+    aggregation. At extreme scale swap in approx_percentile boundaries —
+    same plan, documented drop-in."""
+    o = read_table(spark, sf_dir, "orders")
+    pcts = [i / 10 for i in range(1, 10)]
+    b = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"b{i}")
+            for i, p in enumerate(pcts, 1)
+        ]
+    )
+    assigned = o.crossJoin(F.broadcast(b)).select(
+        sum(
+            [F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0) for i in range(1, 10)],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

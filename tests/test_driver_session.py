@@ -101,7 +101,9 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # CDC snapshot diff (full outer join + hash classify)
              "docs_snapshot_diff",
              # composed two-index search (both persisted-index oracles)
-             "sim_ivfpq_ann"]:
+             "sim_ivfpq_ann",
+             # exact-percentile equi-depth histogram
+             "orders_equidepth_hist"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
