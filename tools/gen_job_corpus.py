@@ -475,6 +475,44 @@ WHERE c.c_mktsegment = '{seg}'
     )
 
 
+# ------------------------------------------------------------ T17: window
+# analytic functions over a join — rank-in-group, running totals and lag
+# deltas in one statement. Outside the adaptive extractor's inner-chain
+# scope (documented fallback), and a dialect surface the corpus didn't
+# exercise: per-file differential proves window semantics end to end.
+_T17 = [
+    ("O", 3, "1995-01-01"),
+    ("F", 2, "1994-01-01"),
+    ("O", 5, "1996-01-01"),
+    ("F", 4, "1993-06-01"),
+    ("O", 2, "1997-01-01"),
+]
+for i, (st, topn, d) in enumerate(_T17, 1):
+    add(
+        f"t17_window_{i:02d}",
+        f"""
+SELECT c_custkey, o_orderkey, rnk,
+       CAST(run_cnt AS BIGINT) AS run_cnt, prio_delta
+FROM (
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rnk,
+           COUNT(*) OVER (PARTITION BY c.c_custkey
+                ORDER BY o.o_orderdate, o.o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS run_cnt,
+           CASE WHEN LAG(o.o_orderpriority) OVER (PARTITION BY c.c_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey)
+                     = o.o_orderpriority
+                THEN 0 ELSE 1 END AS prio_delta
+    FROM customer c, orders o
+    WHERE c.c_custkey = o.o_custkey
+      AND o.o_orderstatus = '{st}'
+      AND o.o_orderdate >= TIMESTAMP '{d} 00:00:00') t
+WHERE rnk <= {topn}
+""",
+    )
+
+
 def main(out: str | None = None) -> None:
     out = out or OUT
     os.makedirs(out, exist_ok=True)
