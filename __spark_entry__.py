@@ -22,13 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
-#: everything the driver's correctness gate sampled in rounds 1-4 (the union
-#: of CORRECTNESS_r01..r04 keys — disjoint 50-entry samples, 100 distinct).
-#: The gate takes the FIRST 50 queries() entries, so already-green entries
-#: rotate to the back and the never-sampled remainder (tpch q10,q11,q12,q14,
-#: q17,q18,q19,q20 as of r5) plus any newly added entries get hard driver
+#: everything the driver's correctness gate sampled in rounds 1-5 (the union
+#: of CORRECTNESS_r01..r05 keys — 148/148 registry entries green cumulatively
+#: as of r5). The gate takes the FIRST 50 queries() entries, so already-green
+#: entries rotate to the back and any newly added entries get hard driver
 #: rows. The staples keep full local coverage in tests/test_oracle.py.
-_R1234_SAMPLED = frozenset(
+_R12345_SAMPLED = frozenset(
     ["adaptive_star_join", "setop_union", "setop_intersect_except",
      "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
      "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
@@ -56,31 +55,49 @@ _R1234_SAMPLED = frozenset(
      "outer_join_full", "outer_join_on_filter", "lateral_top1_order"]
     + [f"job_v{i:02d}" for i in range(1, 10)]
     + [f"tpch_q{i:02d}" for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 13, 15, 16, 21, 22)]
+    # r5 sample (CORRECTNESS_r05: 50/50 hash-green)
+    + ["binary_ingest_manifest", "dedup_containment", "dedup_prefix_filter",
+       "dedup_segments", "dedup_simhash_pairs", "docs_bm25_topk",
+       "docs_curation_gate", "docs_embedding_profile", "docs_merge_upsert",
+       "docs_snapshot_diff", "docs_vocab_stats", "ev_anomaly_hours",
+       "ev_attribution_join", "ev_event_transitions", "ev_funnel_conversion",
+       "ev_retention_cohorts", "ev_session_paths", "ev_skew_salted_agg",
+       "ev_state_history", "ev_stream_dedup", "ev_value_histogram",
+       "graph_pagerank", "graph_triangles", "job_deep15", "job_deep17",
+       "multimodal_frame_sample", "multimodal_resize_plan",
+       "name_edit_distance_pairs", "orders_equidepth_hist", "profile_table",
+       "sample_leakage_free_split", "sample_source_target_mix",
+       "scalar_higher_order", "sim_ivf_ann", "sim_ivfpq_ann", "sim_pq_ann",
+       "stats_join_size", "stats_linear_fit", "text_pii_redact",
+       "text_quality_lr", "text_tfidf_topk",
+       "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q17",
+       "tpch_q18", "tpch_q19", "tpch_q20"]
 )
 
-#: sampled before, but rotate forward again for re-verification: sim_ivf_ann
-#: gained a real DuckDB oracle in r5 (was rows-only `no_oracle` in r4), so a
-#: fresh driver row upgrades it to a full hash check.
-_REVERIFY = ["sim_ivf_ann"]
+#: sampled before, but rotate forward again for re-verification in r6:
+#: entries whose implementation changed materially this round (conf-gated
+#: approx switches keep the exact path default — these rows prove it).
+_REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
+             "docs_length_quantiles"]
 
-#: pinned to the very FRONT of the gate window: the 8 TPC-H entries that
-#: were never driver-sampled in r1-r4 (VERDICT r4 item 2). Listing them
-#: first makes their r5 rows immune to how many new entries later register
-#: ahead of them in module order.
-_PRIORITY = [f"tpch_q{i}" for i in (10, 11, 12, 14, 17, 18, 19, 20)]
+#: pinned to the very FRONT of the gate window: new r6 registry entries,
+#: listed explicitly so their first driver rows are immune to registration
+#: order. (r5's 8 never-sampled TPC-H entries all went green — see
+#: CORRECTNESS_r05.json — so the priority slot now serves new entries.)
+_PRIORITY: list[str] = []
 
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
-    front = _PRIORITY + _REVERIFY
-    fresh = [n for n in specs if n not in _R1234_SAMPLED and n not in front]
-    rest = [n for n in specs if n in _R1234_SAMPLED and n not in front]
+    front = [n for n in _PRIORITY + _REVERIFY if n in specs]
+    fresh = [n for n in specs if n not in _R12345_SAMPLED and n not in front]
+    rest = [n for n in specs if n in _R12345_SAMPLED and n not in front]
     return front + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _R1234_SAMPLED)."""
+    never-driver-sampled entries first (see _R12345_SAMPLED)."""
     specs = all_specs()
     return {name: specs[name].spark for name in _driver_ordered()}
 

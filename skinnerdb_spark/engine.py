@@ -126,7 +126,14 @@ class Engine:
         never vacuumed here). Returns [{path, kind, bytes, stale, removed}].
 
         The ops counterpart of the artifact lifecycle: fingerprints already
-        prevent *serving* stale indexes; vacuum reclaims their disk."""
+        prevent *serving* stale indexes; vacuum reclaims their disk.
+
+        Deleting a rewrite copy that a temp view still resolves to would
+        leave the session broken (every later query on that table fails on
+        the missing files), so before rmtree any view serving the artifact
+        is re-pointed at the canonical warehouse parquet; if no warehouse is
+        attached to re-point to, the copy is left in place and the report
+        row carries a ``note`` instead of ``removed``."""
         import os
         import shutil
 
@@ -176,10 +183,45 @@ class Engine:
                 "removed": False,
             }
             if apply and deletable:
+                if kind == "rewrite-copy":
+                    unsafe = self._repoint_views_off(path)
+                    if unsafe:
+                        entry["note"] = (
+                            f"still serving view(s) {unsafe}; "
+                            "attach_warehouse() first to re-point them"
+                        )
+                        report.append(entry)
+                        continue
                 shutil.rmtree(path, ignore_errors=True)
                 entry["removed"] = True
             report.append(entry)
         return report
+
+    def _repoint_views_off(self, artifact_path: str) -> list[str]:
+        """Re-point any temp view whose plan scans files under
+        ``artifact_path`` back at the canonical warehouse parquet.
+        Returns the names of views that could NOT be re-pointed (no
+        attached warehouse, or the view is not a warehouse table) — the
+        caller must not delete the artifact while those exist."""
+        from skinnerdb_spark.catalog import TABLES, read_table
+
+        unsafe: list[str] = []
+        for tbl in self.spark.catalog.listTables():
+            if not tbl.isTemporary:
+                continue
+            name = tbl.name
+            try:
+                files = self.spark.table(name).inputFiles()
+            except Exception:
+                continue
+            marker = artifact_path.rstrip("/") + "/"
+            if not any(marker in f for f in files):
+                continue
+            if self.sf_dir and name in TABLES:
+                read_table(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+            else:
+                unsafe.append(name)
+        return unsafe
 
     def relayout_table(
         self, name: str, cols: list[str], mode: str = "zorder", n_files: int = 32

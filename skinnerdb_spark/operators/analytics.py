@@ -517,9 +517,12 @@ _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
               FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
-               CAST((2 * c.n - 2 * dfreq.df + 1) * 22 * tf.tf * c.sd AS DOUBLE)
-                 / CAST((2 * dfreq.df + 1)
-                        * (10 * tf.tf * c.sd + 3 * c.sd + 9 * dl.dl * c.n)
+               CAST(CAST(2 * c.n - 2 * dfreq.df + 1 AS HUGEINT)
+                    * 22 * tf.tf * c.sd AS DOUBLE)
+                 / CAST(CAST(2 * dfreq.df + 1 AS HUGEINT)
+                        * (10 * CAST(tf.tf AS HUGEINT) * c.sd
+                           + 3 * CAST(c.sd AS HUGEINT)
+                           + 9 * CAST(dl.dl AS HUGEINT) * c.n)
                         AS DOUBLE) AS score
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id
         JOIN dfreq ON tf.term = dfreq.term
@@ -537,8 +540,12 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term set — full-text relevance ranking inside the engine. The idf
     and length-saturation terms are cleared to ONE exact-integer ratio per
     (term, doc) so the score hashes identically across engines (see module
-    comment); at true corpus scale the numerator outgrows int64 and the
-    standard log-idf double form takes over (ranking-only, no oracle).
+    comment). The ratio is computed in 128-bit integer space on BOTH sides
+    (Spark DECIMAL(38,0), DuckDB HUGEINT -- each an exact integer converted
+    once to double, so the IEEE values match bitwise): int64 would wrap
+    silently in Spark at ~1e19 while DuckDB raises, diverging in failure
+    mode; the 128-bit bound (~1.7e38) is beyond any physical corpus
+    (N * SD * tf would need to exceed ~1e36).
 
     Scale shape: doc length is an IN-ROW token count (no second tokenize
     pass — corpus stats are one map-side aggregate of that projection, the
@@ -546,11 +553,13 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRE-FILTERED to the query terms by an inner join with the 3-row term
     list (broadcast — the corpus-sized token stream never shuffles for
     non-query terms); df and corpus stats are vocabulary- and single-row
-    aggregates, and the query-hit-bounded tf side broadcasts back onto the
-    corpus's (doc_id, dl) projection so lengths never shuffle either (at a
-    scale where query hits outgrow a broadcast, co-partition both by
-    doc_id). Final top-k is a per-term window over |q| * matched-docs
-    rows."""
+    aggregates. The tf-side join back onto the corpus's (doc_id, dl)
+    projection carries NO broadcast hint: AQE broadcasts it when the
+    runtime query-hit size is under the threshold and otherwise falls back
+    to a doc_id-co-partitioned shuffle join -- an unguarded hint would OOM
+    the driver on a high-df query term at corpus scale (forced-fallback
+    equivalence asserted in tests/test_scale.py). Final top-k is a
+    per-term window over |q| * matched-docs rows."""
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -571,8 +580,19 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    def dec(c):  # 128-bit-wide exact integer lane (see docstring)
+        return c.cast("decimal(38,0)")
+
+    num = dec(2 * F.col("n") - 2 * F.col("df") + 1) * 22 * dec(F.col("tf")) * dec(F.col("sd"))
+    den = dec(2 * F.col("df") + 1) * (
+        10 * dec(F.col("tf")) * dec(F.col("sd"))
+        + 3 * dec(F.col("sd"))
+        + 9 * dec(F.col("dl")) * dec(F.col("n"))
+    )
     scored = (
-        dl.join(F.broadcast(tf), "doc_id")
+        # no broadcast hint on tf: AQE broadcasts iff the runtime query-hit
+        # size allows, else co-partitions on doc_id (see docstring)
+        dl.join(tf, "doc_id")
         .join(F.broadcast(dfreq), "term")
         .join(F.broadcast(corpus))
         .select(
@@ -580,14 +600,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "tf",
             "dl",
-            (
-                ((2 * F.col("n") - 2 * F.col("df") + 1) * 22 * F.col("tf") * F.col("sd"))
-                .cast("double")
-                / (
-                    (2 * F.col("df") + 1)
-                    * (10 * F.col("tf") * F.col("sd") + 3 * F.col("sd") + 9 * F.col("dl") * F.col("n"))
-                ).cast("double")
-            ).alias("score"),
+            (num.cast("double") / den.cast("double")).alias("score"),
         )
     )
     wr = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))

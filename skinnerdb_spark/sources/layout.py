@@ -100,8 +100,23 @@ def write_zorder(
     source is already parquet; the rewrite itself is the same one-shuffle
     ``repartitionByRange`` as :func:`write_range_sorted`. Timestamp/date
     columns participate via their epoch representation (cast once before
-    scaling) — time x key Z-orders are the common warehouse case."""
+    scaling) — time x key Z-orders are the common warehouse case.
+
+    ``bits`` is clamped so the interleaved key fits 63 bits: 4+ columns at
+    the default 16 bits would shift into the bigint sign bit, flipping key
+    signs and silently INVERTING the clustering order."""
     dtypes = dict(df.dtypes)
+    if not cols:
+        raise ValueError("write_zorder needs at least one cluster column")
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
+    for c in cols:
+        t = dtypes[c]
+        if not (t.startswith(("decimal", "timestamp")) or t in _NUMERIC):
+            raise ValueError(
+                f"z-order column {c!r} has non-orderable-numeric type {t}; "
+                "use mode='range' for string keys (lexicographic sort)"
+            )
+    bits = min(bits, 63 // len(cols))
 
     def numeric(c: str) -> F.Column:
         t = dtypes[c]
@@ -119,6 +134,8 @@ def write_zorder(
     scaled = []
     for c in cols:
         lo, hi = lo_hi[f"{c}__lo"], lo_hi[f"{c}__hi"]
+        if lo is None or hi is None:  # empty table / all-NULL column
+            lo, hi = 0, 0
         span = (hi - lo) or 1
         # scale in DOUBLE: integer (v-lo)*top overflows long for epoch-micros
         # spans, and a <=2^-37 relative FP error cannot matter for bucketing

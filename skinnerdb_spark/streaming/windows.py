@@ -553,49 +553,10 @@ def stream_transition_counts(events: DataFrame) -> DataFrame:
     (silently mis-ordering the chain would corrupt every downstream
     transition probability). State is 2 small scalars per user — bounded by
     |users|, not stream length."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def update(key, pdfs, state):
-        import collections
-
-        last_us, last_type = state.get if state.exists else (None, None)
-        counts: collections.Counter = collections.Counter()
-        late = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-                us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is not None and us < last_us:
-                    late += 1
-                    continue
-                if last_type is not None:
-                    counts[(last_type, etype)] += 1
-                last_us, last_type = us, etype
-        state.update((last_us if last_us is not None else 0, last_type or ""))
-        out = pd.DataFrame(
-            {
-                "user_id": key[0],
-                "prev_type": [p for p, _ in counts],
-                "next_type": [n for _, n in counts],
-                "n": [int(v) for v in counts.values()],
-                "n_late_dropped": late,
-            }
-        )
-        if out.empty:
-            out = pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "prev_type": pd.Series([], dtype="object"),
-                    "next_type": pd.Series([], dtype="object"),
-                    "n": pd.Series([], dtype="int64"),
-                    "n_late_dropped": pd.Series([], dtype="int64"),
-                }
-            )
-        yield out
-
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        _transition_update,
         outputStructType=(
             "user_id long, prev_type string, next_type string, n long, "
             "n_late_dropped long"
@@ -604,3 +565,60 @@ def stream_transition_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _transition_update(key, pdfs, state):
+    """Per-group update function of :func:`stream_transition_counts` —
+    module-level so the only-late-rows batch contract is unit-testable
+    without the stateful-streaming runtime (``state`` needs just
+    ``.exists`` / ``.get`` / ``.update``)."""
+    import collections
+
+    import pandas as pd
+
+    last_us, last_type = state.get if state.exists else (None, None)
+    counts: collections.Counter = collections.Counter()
+    late = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and us < last_us:
+                late += 1
+                continue
+            if last_type is not None:
+                counts[(last_type, etype)] += 1
+            last_us, last_type = us, etype
+    state.update((last_us if last_us is not None else 0, last_type or ""))
+    out = pd.DataFrame(
+        {
+            "user_id": key[0],
+            "prev_type": [p for p, _ in counts],
+            "next_type": [n for _, n in counts],
+            "n": [int(v) for v in counts.values()],
+            "n_late_dropped": late,
+        }
+    )
+    if out.empty and late > 0:
+        # a batch of ONLY late rows still owes the late-data count:
+        # emit one transition-less row (null prev/next, n=0) carrying it
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "prev_type": pd.Series([None], dtype="object"),
+                "next_type": pd.Series([None], dtype="object"),
+                "n": pd.Series([0], dtype="int64"),
+                "n_late_dropped": pd.Series([late], dtype="int64"),
+            }
+        )
+    elif out.empty:
+        out = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "prev_type": pd.Series([], dtype="object"),
+                "next_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "n_late_dropped": pd.Series([], dtype="int64"),
+            }
+        )
+    yield out

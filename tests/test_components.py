@@ -1031,3 +1031,49 @@ def test_stream_transition_counts_matches_batch(spark, sf_dir):
     )
     expect = {(r.prev, r.event_type): r["count"] for r in batch}
     assert dict(got) == expect
+
+
+def test_transition_update_emits_late_count_for_late_only_batch():
+    """ADVICE r5: a micro-batch containing ONLY late rows must still surface
+    n_late_dropped (one transition-less row), not drop it with the empty
+    counts frame — driven directly against the update function with a fake
+    state (the stateful-streaming runtime is env-blocked)."""
+    import pandas as pd
+
+    from skinnerdb_spark.streaming.windows import _transition_update
+
+    class FakeState:
+        def __init__(self, tup):
+            self.tup = tup
+
+        @property
+        def exists(self):
+            return self.tup is not None
+
+        @property
+        def get(self):
+            return self.tup
+
+        def update(self, tup):
+            self.tup = tup
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    state = FakeState((int(t0.value // 1000), "click"))
+    late_batch = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "event_id": [1, 2],
+            "ts": [t0 - pd.Timedelta(hours=2), t0 - pd.Timedelta(hours=1)],
+            "event_type": ["view", "view"],
+        }
+    )
+    (out,) = list(_transition_update((7,), [late_batch], state))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_late_dropped"] == 2 and row["n"] == 0
+    assert pd.isna(row["prev_type"]) and pd.isna(row["next_type"])
+    # state unchanged by late rows
+    assert state.tup == (int(t0.value // 1000), "click")
+    # and a genuinely empty batch still yields the typed-empty frame
+    (empty,) = list(_transition_update((7,), [late_batch.iloc[:0]], state))
+    assert empty.empty and list(empty.columns) == list(out.columns)

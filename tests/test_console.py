@@ -156,11 +156,31 @@ def test_vacuum_inventories_and_reclaims(console, spark, sf_dir):
     # the fresh index survived (stale=False -> not deletable)
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     assert os.path.isdir(os.path.join("spark-warehouse", f"ivf_index_{sf_name}"))
-    # session views may point at the reclaimed copies (compress/layout
-    # re-pointed them) — restore the canonical warehouse views for any test
-    # running after this one in the shared session
-    console.engine.attach_warehouse(sf_dir)
+    # vacuum re-pointed the serving view at the canonical warehouse parquet
+    # BEFORE deleting the copy, so the session keeps working with no manual
+    # attach_warehouse() — the engine must not break itself (ADVICE r5)
     assert "25" in console.handle("SELECT COUNT(*) AS n FROM nation")
+
+
+def test_vacuum_refuses_to_orphan_unrepointable_view(console, spark, sf_dir):
+    """A rewrite copy serving a view that is NOT a warehouse table cannot be
+    re-pointed, so `vacuum apply` must leave it on disk and say why."""
+    import os
+
+    # a layout copy of a non-warehouse temp view: deletable only by orphaning
+    spark.table("nation").createOrReplaceTempView("nation_alias")
+    console.engine.relayout_table("nation_alias", ["n_nationkey"], mode="range")
+    rep = console.engine.vacuum(apply=True)
+    row = next(r for r in rep if r["path"].endswith("layout"))
+    assert row["removed"] is False and "nation_alias" in row.get("note", "")
+    assert os.path.isdir(row["path"]), "artifact must survive while serving"
+    # the view still works (files intact)
+    assert spark.table("nation_alias").count() == 25
+    # dropping the alias view clears the obstacle; vacuum then reclaims
+    spark.catalog.dropTempView("nation_alias")
+    rep2 = console.engine.vacuum(apply=True)
+    row2 = next(r for r in rep2 if r["path"].endswith("layout"))
+    assert row2["removed"] is True and not os.path.isdir(row2["path"])
 
 
 def test_analyze_dot_renders_executed_profile(console):

@@ -255,6 +255,80 @@ def test_aqe_splits_skewed_join_partition(spark):
             spark.conf.set(k, v)
 
 
+def test_bm25_broadcast_fallback_is_equivalent(spark, sf_dir):
+    """VERDICT r5 item 3: docs_bm25_topk's tf-side join carries no broadcast
+    hint, so it degrades to a doc_id-co-partitioned shuffle join when the
+    query-hit side outgrows the threshold (instead of OOMing the driver).
+    Force the fallback and assert (a) the join really is a shuffle join and
+    (b) the results are identical to the broadcast plan's."""
+    from skinnerdb_spark.operators.analytics import docs_bm25_topk
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = docs_bm25_topk(spark, sf_dir)
+    expect = rows(base)
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in base_plan, "small query-hit side should broadcast"
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        forced = docs_bm25_topk(spark, sf_dir)
+        got = rows(forced)
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+        assert got == expect, "fallback plan must produce identical results"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zorder_guards_bits_types_and_empty(spark, sf_dir, tmp_path):
+    """Guards from ADVICE r5: (a) 4 columns at default bits=16 would shift
+    into the bigint sign bit and invert the clustering — bits must clamp to
+    63//n_cols and keys stay non-negative; (b) string columns are rejected
+    loudly (not an opaque TypeError in the bounds pass); (c) an empty input
+    writes an empty layout instead of raising on None bounds."""
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.sources.layout import morton_key, write_zorder
+
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    four = str(tmp_path / "l_z4")
+    write_zorder(l, four, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+    assert spark.read.parquet(four).count() == l.count()
+    # the un-clamped key WOULD go negative on top-bucket values: prove the
+    # hazard is real at bits=16 x 4 cols, and absent at the clamped 15
+    hot = spark.range(1).select(
+        *[F.lit((1 << 16) - 1).cast("bigint").alias(f"c{i}") for i in range(4)]
+    )
+    raw = hot.select(morton_key([F.col(f"c{i}") for i in range(4)], 16).alias("k"))
+    assert raw.collect()[0]["k"] < 0, "bits=16 x 4 cols must overflow the sign bit"
+    clamped = hot.select(morton_key([F.col(f"c{i}") for i in range(4)], 15).alias("k"))
+    assert clamped.collect()[0]["k"] > 0
+
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        write_zorder(
+            read_table(spark, sf_dir, "nation"), str(tmp_path / "n_z"), ["n_name"]
+        )
+
+    empty = l.filter(F.lit(False))
+    epath = str(tmp_path / "l_z_empty")
+    write_zorder(empty, epath, ["l_orderkey", "l_partkey"])
+    assert spark.read.parquet(epath).count() == 0
+
+
 def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
     """Z-order layout: after clustering on the Morton interleave of
     (l_partkey, l_suppkey), EVERY file's min/max span on BOTH columns is a
