@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.queries.util import read_table, stats_exact
 from skinnerdb_spark.registry import register
 
 #: session gap reused from streaming.windows (30 min); re-declared to avoid
@@ -321,9 +321,21 @@ def profile_frame(df: DataFrame, cols: list[tuple[str, str]] | None = None) -> D
     the strings are engine-portable. ``cols`` defaults to every column with
     the kind inferred from its dtype. Single pass — see
     :func:`profile_table` for the plan-shape notes. Also exposed as the
-    console's ``profile <table>`` command."""
+    console's ``profile <table>`` command.
+
+    ``spark.skinnerdb.stats.exact=false`` swaps the multi-column exact
+    COUNT(DISTINCT) (a 100 TB hazard: the expand operator multiplies the
+    scan's rows by the distinct-agg count before the shuffle) for
+    approx_count_distinct — HLL++ partials, no expand, one ordinary
+    shuffle. Oracle divergence is warned; error is the sketch's standard
+    ~2.3% rsd."""
     if cols is None:
         cols = [(c, _render_kind(t)) for c, t in df.dtypes]
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if stats_exact(df.sparkSession)
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
 
     def render(col: str, kind: str, agg) -> F.Column:
         c = agg(F.col(col))
@@ -337,7 +349,7 @@ def profile_frame(df: DataFrame, cols: list[tuple[str, str]] | None = None) -> D
     for c, k in cols:
         aggs += [
             F.count(F.col(c)).cast("bigint").alias(f"{c}__cnt"),
-            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            nd(c).cast("bigint").alias(f"{c}__nd"),
             render(c, k, F.min).alias(f"{c}__min"),
             render(c, k, F.max).alias(f"{c}__max"),
         ]
@@ -369,8 +381,9 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregation over one scan, then 6 rows are unpivoted
     driver-free with stack(). COUNT(DISTINCT) over multiple columns expands
     to Spark's standard expand-operator plan (6x row expansion map-side,
-    one shuffle); at 100 TB swap n_distinct for approx_count_distinct and
-    the expand disappears — noted, exactness chosen here for the oracle."""
+    one shuffle); ``spark.skinnerdb.stats.exact=false`` swaps n_distinct
+    for approx_count_distinct and the expand disappears (exact is the
+    default so the entry stays oracle-matched)."""
     return profile_frame(read_table(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
@@ -875,13 +888,18 @@ def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partials, bit-equal to DuckDB's quantile_cont —
     the docs_length_quantiles precedent), broadcast back as a 1-row frame,
     and bucket assignment + counts are pure map-side algebra plus one tiny
-    aggregation. At extreme scale swap in approx_percentile boundaries —
-    same plan, documented drop-in."""
+    aggregation. The exact percentile buffers the full column on one
+    executor — the scale hazard — so ``spark.skinnerdb.stats.exact=false``
+    swaps in approx_percentile boundaries: identical plan shape, one-pass
+    bounded-memory sketch, oracle divergence warned (bucket DEPTHS stay
+    ~10% by construction; tests/test_components.py asserts the approx
+    path's depth error bound)."""
     o = read_table(spark, sf_dir, "orders")
     pcts = [i / 10 for i in range(1, 10)]
+    fn = "percentile" if stats_exact(spark) else "approx_percentile"
     b = o.agg(
         *[
-            F.expr(f"percentile(o_totalprice, {p})").alias(f"b{i}")
+            F.expr(f"{fn}(o_totalprice, {p})").alias(f"b{i}")
             for i, p in enumerate(pcts, 1)
         ]
     )
