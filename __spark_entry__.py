@@ -78,7 +78,10 @@ _R12345_SAMPLED = frozenset(
 #: entries whose implementation changed materially this round (conf-gated
 #: approx switches keep the exact path default — these rows prove it).
 _REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
-             "docs_length_quantiles"]
+             "docs_length_quantiles",
+             # r6 de-windowed (ranked_topk / broadcast scalar-total joins)
+             "ev_session_paths", "graph_pagerank", "docs_source_mix",
+             "ev_value_histogram"]
 
 #: pinned to the very FRONT of the gate window: new r6 registry entries,
 #: listed explicitly so their first driver rows are immune to registration

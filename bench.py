@@ -36,13 +36,6 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not session bootstrap (the reference's "warm" run, README.md:45)
     next(iter(specs.values())).spark(spark, sf_dir).count()
-    # pre-warm the simhash signature expression: its first run pays ~5 s of
-    # janino codegen for the 32-way aggregate() fold (measured r3); every
-    # subsequent run is steady-state — charge compilation to warm-up, not to
-    # the timed query. Must run the REAL plan (a .count() would prune the
-    # signature projection away and compile nothing).
-    if "dedup_simhash" in specs:
-        run_and_count(specs["dedup_simhash"].spark(spark, sf_dir))
     # pre-warm the Python worker pool (spark.python.worker.reuse shares it
     # across queries): the first mapInPandas query otherwise pays ~1-2 s of
     # interpreter spin-up that is session overhead, not query cost — the
@@ -50,14 +43,6 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    # materialize the session-shared LSH caches once (sign-LSH bit strings;
-    # minhash signatures + shingle sets + candidate pairs) — every sim_lsh_*
-    # / dedup LSH-family entry reuses them, the analogue of the reference's
-    # per-session `index all` build (its warm runs likewise hit RAM indexes)
-    if "sim_lsh_buckets" in specs:
-        run_and_count(specs["sim_lsh_buckets"].spark(spark, sf_dir))
-    if "dedup_minhash_lsh" in specs:
-        run_and_count(specs["dedup_minhash_lsh"].spark(spark, sf_dir))
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -77,6 +62,30 @@ def main() -> None:
             f"{m['spill_bytes']},{m['peak_mem_bytes']},"
             f"{'adaptive' if m['adaptive'] else 'static'}"
         )
+
+    # session-shared family builds, timed as EXPLICIT rows (VERDICT r5 item
+    # 6): the LSH/similarity entries reuse these memoized intermediates
+    # (the analogue of the reference's per-session `index all` build), so
+    # without explicit rows their one-time build + codegen cost lands on
+    # whichever member query happens to run first and per-query deltas
+    # absorb attribution shifts (r5: knn_label_vote 0.23->2.0 s). Each row
+    # times the shared build (cache materialization included); member
+    # queries then measure steady-state.
+    from skinnerdb_spark.operators import dedup as _dedup
+    from skinnerdb_spark.operators import similarity as _sim
+
+    for label, build in (
+        ("family:minhash_sigs", _dedup.shared_sigs),
+        ("family:shingle_sets", _dedup.shared_shingle_sets),
+        ("family:lsh_candidates", _dedup.lsh_candidates),
+        ("family:simhash_sigs", _dedup.shared_simhash),
+        ("family:sign_bits", _sim.shared_bits),
+        ("family:brute_topk", _sim.sim_bruteforce_topk),
+    ):
+        df = build(spark, sf_dir)
+        t0 = time.monotonic()
+        n = run_and_count(df)
+        record(label, time.monotonic() - t0, n, plan_metrics(df))
 
     for name, spec in sorted(specs.items()):
         df = spec.spark(spark, sf_dir)

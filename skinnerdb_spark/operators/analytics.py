@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skinnerdb_spark.queries.util import read_table, stats_exact
+from skinnerdb_spark.queries.util import ranked_topk, read_table, stats_exact
 from skinnerdb_spark.registry import register
 
 #: session gap reused from streaming.windows (30 min); re-declared to avoid
@@ -178,12 +178,9 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(">"),
             F.coalesce(F.col("s3"), F.lit("(end)")),
         ).alias("path")
-    ).groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        paths.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rnk") <= PATH_TOP)
-    )
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    # distributed top-k + theta-join rank (no unpartitioned window)
+    return ranked_topk(paths, [("n_sessions", "desc"), ("path", "asc")], PATH_TOP)
 
 
 # OLS in exact arithmetic: y is scaled once to an exact integer y6 = round(y,
@@ -719,11 +716,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
             ).alias("rank"),
         )
-    w = Window.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        r.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= PAGERANK_TOP)
-        .select("node", "deg", "rank", "rnk")
+    # distributed top-k + theta-join rank (no unpartitioned window): at
+    # graph scale the global rank window would sort every node on ONE
+    # partition; TakeOrderedAndProject keeps the top-k selection parallel
+    return ranked_topk(
+        r.select("node", "deg", "rank"),
+        [("rank", "desc"), ("node", "asc")],
+        PAGERANK_TOP,
     )
 
 

@@ -127,10 +127,17 @@ def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
-    total = Window.partitionBy()
-    return per.withColumn(
-        "mix_weight",
-        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total).cast("double"),
+    # broadcast scalar-total join instead of an unpartitioned window (the
+    # window would single-partition the per-group table; same exact sum)
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__tot").cast("double")).alias(
+            "mix_weight"
+        ),
     )
 
 

@@ -45,6 +45,37 @@ def stats_exact(spark) -> bool:
     return v == "true"
 
 
+def ranked_topk(
+    df: DataFrame, spec: list[tuple[str, str]], k: int, rnk_col: str = "rnk"
+) -> DataFrame:
+    """Global top-k with a dense 1..k rank column, WITHOUT the unpartitioned
+    window (`row_number() OVER (ORDER BY ...)`) that moves the whole input
+    to one partition. Plan: ``orderBy().limit(k)`` becomes
+    TakeOrderedAndProject (per-partition top-k, driver merges k rows — the
+    distributed top-k idiom), then rank within the k survivors is
+    1 + |strictly-better rows| via a broadcast self-theta-join (k x k rows,
+    constant work). ``spec`` is the total order as (column, 'asc'|'desc')
+    pairs — it MUST be a total order over the rows (tie-broken) and the
+    columns must be non-null, or ranks would collide."""
+    order_exprs = [
+        F.desc(c) if d == "desc" else F.asc(c) for c, d in spec
+    ]
+    top = df.orderBy(*order_exprs).limit(k)
+    a, b = top.alias("__a"), top.alias("__b")
+    before = F.lit(False)
+    eqs = F.lit(True)
+    for c, d in spec:
+        ca, cb = F.col(f"__a.{c}"), F.col(f"__b.{c}")
+        strict = (cb > ca) if d == "desc" else (cb < ca)
+        before = before | (eqs & strict)
+        eqs = eqs & (cb == ca)
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(*[F.col(f"__a.{c}").alias(c) for c in df.columns])
+        .agg((F.count(F.col(f"__b.{spec[0][0]}")) + 1).cast("bigint").alias(rnk_col))
+    )
+
+
 def ts(s: str) -> Column:
     """TIMESTAMP_NTZ literal (test data stores dates as timestamp_ntz)."""
     if len(s) == 10:

@@ -529,13 +529,14 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
-    wall = Window.partitionBy()
-    return counts.select(
+    # broadcast scalar-total join instead of an unpartitioned window
+    total = counts.agg(F.sum("n_events").alias("__tot"))
+    return counts.join(F.broadcast(total)).select(
         "bucket",
         (F.col("bucket") * 25.0).alias("lo"),
         ((F.col("bucket") + 1) * 25.0).alias("hi"),
         "n_events",
-        (F.col("n_events").cast("double") / F.sum("n_events").over(wall)).alias("frac"),
+        (F.col("n_events").cast("double") / F.col("__tot").cast("double")).alias("frac"),
     )
 
 

@@ -208,3 +208,26 @@ def test_round5_third_phase_plan_shapes(spark, sf_dir):
     for branch in plan.split("ReadSchema")[1:]:
         assert "text" in branch[:160], "hash is computed from text at scan"
     assert "CartesianProduct" not in plan
+
+
+def test_no_unpartitioned_windows_in_dewindowed_entries(spark, sf_dir):
+    """VERDICT r5 item 4: the four global rank/total windows are gone —
+    ev_session_paths / graph_pagerank rank via TakeOrderedAndProject +
+    broadcast theta-join, docs_source_mix / ev_value_histogram total via a
+    broadcast scalar join. Their plans must contain NO Window operator at
+    all (so the WindowExec 'No Partition Defined' warning tail stays usable
+    for catching real ones) but must keep the distributed top-k operator
+    where a rank is produced."""
+    for name in ("docs_source_mix", "ev_value_histogram"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Window" not in plan, (name, plan[:800])
+        assert "BroadcastExchange" in plan, name
+    for name in ("ev_session_paths", "graph_pagerank"):
+        plan = plan_of(spark, name, sf_dir)
+        # the ONLY windows allowed are the keyed session/sequence ones
+        import re
+
+        for m in re.finditer(r"Window \[", plan):
+            seg = plan[m.start() : m.start() + 400]
+            assert "user_id" in seg or "partition" in seg.lower(), (name, seg)
+        assert "TakeOrderedAndProject" in plan, name
