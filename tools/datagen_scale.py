@@ -29,6 +29,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -263,17 +266,21 @@ def generate(spark, source: str, out: str, sf_mult: int) -> None:
     vocab_arr = F.array(*[F.lit(w) for w in slots])
     nslots = len(slots)
 
+    # seed for word choice AND length: exact dups reuse the PREVIOUS doc's
+    # stream wholesale (every 500th doc); near-dups reuse it but perturb
+    # word 1 (every 200th) — both need the seed doc's length or the copy
+    # truncates and stops being a duplicate
+    is_exact0 = F.col("id") % 500 == 499
+    is_near0 = (F.col("id") % 200 == 199) & ~is_exact0
+    seed0 = F.when(is_exact0 | is_near0, F.col("id") - 1).otherwise(F.col("id"))
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.floor(from_quantiles(u01("id", F.lit("dlen")), lenq)).cast("int").alias("n_words"),
+        seed0.alias("seed_doc"),
+        is_near0.alias("is_near"),
+        F.floor(from_quantiles(u01(seed0, F.lit("dlen")), lenq)).cast("int").alias("n_words"),
         from_freqs(u01("id", F.lit("dlang")), langs).alias("lang"),
         from_freqs(u01("id", F.lit("dsrc")), sources).alias("source"),
     )
-    # seed for word choice: exact dups reuse the PREVIOUS doc's stream
-    # (every 500th doc), near-dups reuse it but perturb word 1 (every 200th)
-    is_exact = F.col("doc_id") % 500 == 499
-    is_near = (F.col("doc_id") % 200 == 199) & ~is_exact
-    seed_doc = F.when(is_exact | is_near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
     docs = base.select(
         "doc_id",
         "lang",
@@ -283,11 +290,11 @@ def generate(spark, source: str, out: str, sf_mult: int) -> None:
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.col("n_words"), F.lit(3))),
                 lambda i: F.when(
-                    is_near & (i == 1), F.lit("perturbed")
+                    F.col("is_near") & (i == 1), F.lit("perturbed")
                 ).otherwise(
                     F.element_at(
                         vocab_arr,
-                        (F.pmod(F.xxhash64(seed_doc, i, F.lit("dword")), F.lit(nslots)) + 1).cast("int"),
+                        (F.pmod(F.xxhash64(F.col("seed_doc"), i, F.lit("dword")), F.lit(nslots)) + 1).cast("int"),
                     )
                 ),
             ),
