@@ -202,23 +202,53 @@ class Engine:
         ``artifact_path`` back at the canonical warehouse parquet.
         Returns the names of views that could NOT be re-pointed (no
         attached warehouse, or the view is not a warehouse table) — the
-        caller must not delete the artifact while those exist."""
+        caller must not delete the artifact while those exist.
+
+        A CACHED view reports no inputFiles() (its plan substitutes an
+        InMemoryRelation), so detection walks the analyzed plan's relation
+        leaves; re-pointing such a view also drops and rebuilds its cache —
+        a lazy, never-materialized cache would otherwise recompute from the
+        deleted files on first use."""
         from skinnerdb_spark.catalog import TABLES, read_table
 
+        def scan_paths(name: str) -> list[str]:
+            out: list[str] = []
+            try:
+                out.extend(self.spark.table(name).inputFiles())
+                plan = self.spark.table(name)._jdf.queryExecution().analyzed()
+                leaves = plan.collectLeaves()
+                for i in range(leaves.size()):
+                    lf = leaves.apply(i)
+                    if lf.getClass().getSimpleName().startswith("LogicalRelation"):
+                        try:
+                            out.append(
+                                lf.relation().location().rootPaths().head().toString()
+                            )
+                        except Exception:
+                            pass
+            except Exception:
+                pass
+            return out
+
         unsafe: list[str] = []
+        marker = artifact_path.rstrip("/") + "/"
         for tbl in self.spark.catalog.listTables():
             if not tbl.isTemporary:
                 continue
             name = tbl.name
-            try:
-                files = self.spark.table(name).inputFiles()
-            except Exception:
-                continue
-            marker = artifact_path.rstrip("/") + "/"
-            if not any(marker in f for f in files):
+            if not any(marker in p or p.rstrip("/") + "/" == marker for p in scan_paths(name)):
                 continue
             if self.sf_dir and name in TABLES:
+                was_cached = False
+                try:
+                    was_cached = self.spark.catalog.isCached(name)
+                    if was_cached:
+                        self.spark.catalog.uncacheTable(name)
+                except Exception:
+                    pass
                 read_table(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+                if was_cached:
+                    self.spark.table(name).cache()
             else:
                 unsafe.append(name)
         return unsafe

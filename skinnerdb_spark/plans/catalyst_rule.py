@@ -1,0 +1,217 @@
+"""Catalyst-side injection of learned join orders (SURVEY §4.3 option (c)).
+
+`Engine.adaptive_sql` applies the UCB1 bandit's learned orders at the API
+boundary; this module pushes the same knowledge INTO Catalyst so plain
+``spark.sql(...)`` / DataFrame users execute learned orders with no API
+change — the Spark analogue of the reference applying UCT orders inside the
+engine (src/joining/JoinProcessor.java:46-207) rather than in its console.
+
+Mechanism:
+- a 40-line JVM shim (plans/java/skinner/SkinnerReorderRule.java, compiled
+  to skinnerdb_spark/jars/skinner-rule.jar, on the driver classpath via
+  session.py) registers in ``spark.experimental().extraOptimizations`` —
+  the user-provided-optimizer batch, which runs AFTER Catalyst's own join
+  reordering, so what this rule emits is what executes;
+- the shim delegates to a py4j callback (:class:`_PyReorderer`) and is the
+  identity whenever the callback is absent, returns None, or throws;
+- the callback re-wraps the optimized plan as a DataFrame, reuses the
+  bandit's own extraction (plans/graph.py ``extract_query_graph`` — the
+  optimizer-stage plan still satisfies its shape contract: unary parents,
+  inner-join tree, LogicalRelation leaves), looks up the PERSISTED learned
+  order by exact signature then shape signature, rebuilds the chain with
+  the same leaf relations (exprIds preserved — parent operators reference
+  attributes by id, so replacing the subtree is safe), and hands back the
+  rebuilt plan's own optimized form (fresh pushdown/pruning run under a
+  re-entrancy guard).
+
+No episodes ever run inside the optimizer: the rule only APPLIES knowledge
+learned by ``adaptive_sql`` / ``adaptive_reorder`` episodes. A query whose
+graph has no cached order passes through untouched.
+
+Fallback matrix (all clean):
+- jar not on classpath (plain driver session) -> install returns False,
+  nothing changes;
+- callback errors / ineligible shape / cache miss -> JVM shim returns the
+  input plan;
+- already in learned order -> callback returns None (fixed-point safe).
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STATE = threading.local()
+
+
+class _PyReorderer:
+    """py4j proxy implementing skinner.SkinnerReorderRule$Reorderer."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self.hits = 0
+        self.misses = 0
+        self.errors = 0
+
+    class Java:  # noqa: D106  (py4j contract)
+        implements = ["skinner.SkinnerReorderRule$Reorderer"]
+
+    def reorder(self, jplan):
+        if getattr(_STATE, "busy", False):
+            return None
+        _STATE.busy = True
+        try:
+            return self._reorder(jplan)
+        except Exception:
+            self.errors += 1
+            return None
+        finally:
+            _STATE.busy = False
+
+    def _reorder(self, jplan):
+        from skinnerdb_spark.plans.graph import (
+            ExtractionError,
+            _cache_get,
+            _of_rows,
+            build_graph_chain,
+            extract_query_graph,
+            finish,
+        )
+
+        df = _of_rows(self._spark, _strip_projects_over_joins(self._spark, jplan))
+        try:
+            graph = extract_query_graph(df)
+        except ExtractionError:
+            self.misses += 1
+            return None
+        cached = (
+            _cache_get(graph.signature)
+            or _cache_get(graph.shape_sig)
+            or _shape_lookup_unordered(graph.shape_sig)
+        )
+        if cached is None or tuple(graph.names) == tuple(cached):
+            self.misses += 1
+            return None
+        if set(cached) != set(graph.names):
+            self.misses += 1
+            return None
+        try:
+            out = finish(graph, build_graph_chain(graph, tuple(cached)))
+        except ValueError:  # disconnected under this order — stale cache row
+            self.misses += 1
+            return None
+        self.hits += 1
+        return out._jdf.queryExecution().optimizedPlan()
+
+
+def _strip_projects_over_joins(spark: SparkSession, jplan):
+    """Drop column-pruning Projects sitting BETWEEN joins (the optimizer
+    inserts them mid-chain) so the bandit's flattener sees the whole join
+    tree. Attribute references are by exprId, so widening an intermediate
+    output is semantics-preserving; the pruning is re-derived when the
+    rebuilt plan is re-optimized."""
+    from skinnerdb_spark.plans.graph import _cls, _scala_seq
+
+    def walk(node):
+        cls = _cls(node)
+        kids = [node.children().apply(i) for i in range(node.children().size())]
+        newkids = []
+        changed = False
+        for child in kids:
+            c = child
+            if cls == "Join":
+                while _cls(c) == "Project" and _cls(c.children().head()) == "Join":
+                    c = c.children().head()
+            nc = walk(c)
+            changed = changed or (nc is not c) or (c is not child)
+            newkids.append(nc)
+        if not changed:
+            return node
+        return node.withNewChildren(_scala_seq(spark, newkids))
+
+    return walk(jplan)
+
+
+def _shape_lookup_unordered(shape_sig: tuple):
+    """Shape lookup ignoring the chain order baked into shape_sig[0]: the
+    order learned at the API boundary (user-written chain order) must still
+    be found when Catalyst's own reordering already permuted the joins
+    before this rule runs."""
+    from skinnerdb_spark.plans.graph import _ORDER_CACHE
+
+    if len(shape_sig) != 3:
+        return None
+    names, scopes, edges = shape_sig
+    canon = (tuple(sorted(names)), scopes, edges)
+    for k, v in _ORDER_CACHE.items():
+        if len(k) == 3 and (tuple(sorted(k[0])), k[1], k[2]) == canon:
+            return v
+    return None
+
+
+def rule_available(spark: SparkSession) -> bool:
+    """True iff the JVM shim class is on the driver classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("skinner.SkinnerReorderRule")
+        return True
+    except Exception:
+        return False
+
+
+def install_learned_order_rule(spark: SparkSession) -> bool:
+    """Register the rule + callback on this session. Returns False (no-op)
+    when the shim jar is absent — callers fall back to Engine.adaptive_sql."""
+    if not rule_available(spark):
+        return False
+    if getattr(spark, "_skinner_rule_proxy", None) is not None:
+        return True
+    jvm = spark._jvm
+    proxy = _PyReorderer(spark)
+    rule_cls = jvm.java.lang.Class.forName("skinner.SkinnerReorderRule")
+    rule = jvm.skinner.SkinnerReorderRule()
+    rule_cls.getField("impl").set(None, proxy)
+    seq = jvm.PythonUtils.toSeq([rule])
+    getattr(spark._jsparkSession.experimental(), "extraOptimizations_$eq")(seq)
+    spark._skinner_rule_proxy = proxy
+    return True
+
+
+def uninstall_learned_order_rule(spark: SparkSession) -> None:
+    if not rule_available(spark):
+        return
+    jvm = spark._jvm
+    rule_cls = jvm.java.lang.Class.forName("skinner.SkinnerReorderRule")
+    rule_cls.getField("impl").set(None, None)
+    getattr(spark._jsparkSession.experimental(), "extraOptimizations_$eq")(jvm.PythonUtils.toSeq([]))
+    if getattr(spark, "_skinner_rule_proxy", None) is not None:
+        spark._skinner_rule_proxy = None
+
+
+def executed_join_order(df: DataFrame) -> list[str]:
+    """Leaf table-name order of the topmost join chain in df's OPTIMIZED
+    plan (left-deep flatten order) — the plan-assertion hook for tests."""
+    from skinnerdb_spark.plans.graph import _cls, _leaf_info
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    node = plan
+    while _cls(node) != "Join":
+        kids = node.children()
+        if kids.size() != 1:
+            return []
+        node = kids.head()
+    names: list[str] = []
+
+    def flatten(jn):
+        c = _cls(jn)
+        if c == "Join":
+            for i in range(jn.children().size()):
+                flatten(jn.children().apply(i))
+        elif c == "Project" and _cls(jn.children().head()) == "Join":
+            flatten(jn.children().head())
+        else:
+            base, _ = _leaf_info(jn)
+            names.append(base or "?")
+
+    flatten(node)
+    return names

@@ -71,7 +71,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
-    for k, v in (extra_conf or {}).items():
+    # Catalyst-injection shim (plans/catalyst_rule.py): the thin JVM rule
+    # class must be on the DRIVER classpath at JVM launch — only effective
+    # for the first session of the process; later getOrCreate()s reuse the
+    # running JVM and install_learned_order_rule() simply reports
+    # unavailable (clean fallback to Engine.adaptive_sql).
+    _rule_jar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jars", "skinner-rule.jar")
+    if os.path.isfile(_rule_jar):
+        b = b.config("spark.driver.extraClassPath", _rule_jar)
+    for k, v in (extra_conf or {}).items():  # user conf wins over defaults
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
