@@ -77,6 +77,7 @@ def main() -> None:
     for label, build in (
         ("family:minhash_sigs", _dedup.shared_sigs),
         ("family:shingle_sets", _dedup.shared_shingle_sets),
+        ("family:shingle_hashes", _dedup.shared_shingle_hashes),
         ("family:lsh_candidates", _dedup.lsh_candidates),
         ("family:simhash_sigs", _dedup.shared_simhash),
         ("family:sign_bits", _sim.shared_bits),

@@ -93,6 +93,26 @@ def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "shsets", build)
 
 
+def shared_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, sh_h, n): the shingle set as a SORTED int64 xxhash64
+    array. Exact-verify joins intersect these instead of the string arrays:
+    one hash pass per DOC turns the per-CANDIDATE intersection into
+    primitive-long equality — measured ~7x on the sf1 verify stage, where
+    18M candidate pairs x ~48-element arrays dominate the operator. A
+    cross-shingle hash collision (probability ~2^-64 per pair of distinct
+    shingles; ~1e-7 over the whole sf1 corpus) would perturb inter_n vs the
+    string-side oracle — the hash-green gates at test SFs certify none
+    occur there, and the bound is documented rather than insured against."""
+    def build():
+        return shared_shingle_sets(spark, sf_dir).select(
+            "doc_id",
+            F.expr("array_sort(transform(sh_set, x -> xxhash64(x)))").alias("sh_h"),
+            "n",
+        )
+
+    return _memo(spark, sf_dir, "shhashes", build)
+
+
 def cap_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Drop rows belonging to buckets with more than ``cap`` members.
 
@@ -928,6 +948,34 @@ _PREFIX_ORACLE = f"""
 """
 
 
+def _rarity_prefix(sh: DataFrame) -> DataFrame:
+    """(doc_id, n, s, rn): each doc's rarity-first prefix — distinct
+    shingles ranked by (corpus frequency, shingle), cut to the first
+    n - ceil(t*n) + 1 (t = 1/2). rn is kept for the positional filter."""
+    tok = sh.select("doc_id", "n", F.explode("sh_set").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    wrank = Window.partitionBy("doc_id").orderBy("f", "s")
+    return (
+        tok.join(freq, "s")
+        .withColumn("rn", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.expr("rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1"))
+        .select("doc_id", "n", "s", "rn")
+    )
+
+
+def prefix_hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, bucket_n) for prefix-shingle buckets the cap excluded — the
+    'no silent caps' twin of :func:`hot_bucket_report` for the exact
+    prefix-filter join."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    prefix = _rarity_prefix(shared_shingle_sets(spark, sf_dir))
+    return (
+        prefix.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+    )
+
+
 @register("dedup_prefix_filter", _PREFIX_ORACLE, tags=("dedup", "pipeline", "prefix"))
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= {PREFIX_JACCARD_T} near-dup pairs via prefix
@@ -949,40 +997,64 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's set, and the exact intersection runs in-row (array_intersect) on
     candidates only. This is the exact-threshold production alternative to
     minhash when recall must be 1.0; tested pair-for-pair against the
-    all-pairs brute force."""
+    all-pairs brute force.
+
+    Candidate growth is the operator's scale hazard — Σ_shingle bucket²,
+    quadratic in per-shingle corpus density (measured 96x time at 10x docs
+    on the dense-vocab sf1 bench corpus before r6). Two guards:
+    - PPJoin POSITIONAL filter (exactness-preserving, in the join
+      predicate): a pair first meeting at prefix ranks (rn_a, rn_b) can
+      overlap at most 1 + min(n_a - rn_a, n_b - rn_b); requiring
+      3*(that) >= n_a + n_b prunes exactly the late-prefix meetings that
+      common shingles produce. Every J >= t pair still meets at its FIRST
+      shared rarity-ranked shingle, where the bound is loosest and
+      provably passes — output unchanged, oracle needs no mirror.
+      Together with the int-hash verify (:func:`shared_shingle_hashes`)
+      the sf1 wall time went 365 s -> 33 s (output bit-identical).
+    - the family hot-bucket cap (``skinnerdb.lsh.maxBucket``) on prefix
+      buckets: the recall-1.0 guarantee cannot survive truly degenerate
+      shingles at 100 TB, so past the cap the operator drops the bucket
+      loudly (same warn-on-non-default + report protocol as
+      :func:`lsh_candidates`; the default never fires on healthy data)."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    if cap != _LSH_MAX_BUCKET_DEFAULT:
+        import warnings
+
+        warnings.warn(
+            f"{LSH_MAX_BUCKET}={cap} (non-default): prefix-filter pairs may "
+            "diverge from the uncapped DuckDB oracle (recall guarantee "
+            "waived past the cap); see prefix_hot_bucket_report()",
+            stacklevel=2,
+        )
     sh = shared_shingle_sets(spark, sf_dir)
-    tok = sh.select("doc_id", "n", F.explode("sh_set").alias("s"))
-    freq = tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    wrank = Window.partitionBy("doc_id").orderBy("f", "s")
-    prefix = (
-        tok.join(freq, "s")
-        .withColumn("rn", F.row_number().over(wrank))
-        .filter(F.expr("rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1"))
-        .select("doc_id", "n", "s")
-    )
+    prefix = cap_buckets(_rarity_prefix(sh), ["s"], cap)
     a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin LENGTH filter rides the prefix join: J >= 1/2 forces
-    # i >= n_a/2 and i <= n_b, so n_b >= n_a/2 (and symmetrically) — a
-    # qualifying pair's set sizes are within 2x of each other. Pure
-    # candidate pruning (24% fewer pairs measured at sf0.1): the final
-    # threshold makes the OUTPUT identical with or without it, so the
-    # oracle needs no mirror.
+    # Join-predicate pruning (output-identical, see docstring):
+    # - LENGTH filter: J >= 1/2 forces set sizes within 2x of each other
+    #   (24% fewer pairs measured at sf0.1);
+    # - POSITIONAL filter: overlap upper bound from the meeting ranks
+    #   (another ~3x fewer candidate rows at sf1's density).
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (2 * F.col("b.n") >= F.col("a.n"))
-            & (2 * F.col("a.n") >= F.col("b.n")),
+            & (2 * F.col("a.n") >= F.col("b.n"))
+            & (
+                3 * (1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")))
+                >= F.col("a.n") + F.col("b.n")
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n").alias("n_a")
+    shh = shared_shingle_hashes(spark, sf_dir)
+    sa = shh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("set_a"), F.col("n").alias("n_a")
     )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("n").alias("n_b")
+    sb = shh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_h").alias("set_b"), F.col("n").alias("n_b")
     )
     scored = (
         cand.join(sa, "doc_a")
