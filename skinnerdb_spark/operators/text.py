@@ -442,12 +442,21 @@ def name_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_name").alias("name"))
         .distinct()
     )
-    dels = F.expr(
-        "transform(sequence(1, length(name)), i -> "
-        "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i)))"
-    )
+    # bucket keys travel as int64 hashes: the deletion strings are ~|name|
+    # chars each and the keyed table is |names| * (|name|+1) rows, so the
+    # self-join shuffle is dominated by key bytes; a hash collision only
+    # adds a candidate the exact Levenshtein verify rejects (output
+    # unchanged)
     keyed = names.select(
-        "name", F.explode(F.array_union(F.array(F.col("name")), dels)).alias("k")
+        "name",
+        F.explode(
+            F.expr(
+                "transform(array_union(array(name), "
+                "transform(sequence(1, length(name)), i -> "
+                "concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1, length(name) - i)))), x -> xxhash64(x))"
+            )
+        ).alias("k"),
     )
     a = keyed.select(F.col("name").alias("name_a"), "k")
     b = keyed.select(F.col("name").alias("name_b"), "k")
