@@ -1147,3 +1147,75 @@ def test_stats_exact_conf_gates_approx_sketches(spark, sf_dir):
             profile_table(spark, sf_dir).collect()
     finally:
         spark.conf.unset(STATS_EXACT)
+
+
+def test_codecs_roundtrip_all_png_filters_and_bmp():
+    """Pure-stdlib codecs (r6): BMP and PNG encode/decode round-trip pixel-
+    exact (gray/RGB/RGBA), the decoder reconstructs every PNG filter type
+    (Sub/Up/Average/Paeth), BMP orientation/padding/BGR handling is pinned,
+    and unsupported formats fail loudly naming what IS supported."""
+    import random
+    import struct
+    import zlib
+
+    from skinnerdb_spark.operators.codecs import (
+        PNG_SIG,
+        decode_bmp,
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    for w, h, ch in [(1, 1, 3), (5, 3, 3), (16, 9, 3), (7, 7, 1), (4, 2, 4), (33, 17, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        if ch == 3:
+            bmp = encode_bmp(w, h, px)
+            assert decode_bmp(bmp) == (w, h, 3, px)
+            assert decode_image(bmp) == (w, h, 3, px)
+        png = encode_png(w, h, px, ch)
+        assert decode_png(png) == (w, h, ch, px)
+        assert decode_image(png) == (w, h, ch, px)
+
+    # hand-encode each non-trivial PNG filter; the decoder must invert it
+    def png_with_filter(w, h, px, ft):
+        stride = w * 3
+        raw = bytearray()
+        prev = bytearray(stride)
+        for y in range(h):
+            line = bytearray(px[y * stride : (y + 1) * stride])
+            enc = bytearray(stride)
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    enc[i] = (line[i] - left) & 0xFF
+                elif ft == 2:
+                    enc[i] = (line[i] - prev[i]) & 0xFF
+                elif ft == 3:
+                    enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+                else:
+                    p = left + prev[i] - ul
+                    pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else ul)
+                    enc[i] = (line[i] - pred) & 0xFF
+            raw.append(ft)
+            raw += enc
+            prev = line
+
+        def chunk(tag, pl):
+            return struct.pack(">I", len(pl)) + tag + pl + struct.pack(
+                ">I", zlib.crc32(tag + pl) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    w, h = 9, 5
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    for ft in (1, 2, 3, 4):
+        assert decode_png(png_with_filter(w, h, px, ft)) == (w, h, 3, px), ft
+
+    with pytest.raises(NotImplementedError, match="PNG and BMP"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
