@@ -520,3 +520,49 @@ def test_zorder_accepts_timestamp_columns(spark, sf_dir, tmp_path):
     full = (ghi - glo).total_seconds()
     mean_frac = sum((hi - lo).total_seconds() for lo, hi in date_spans) / len(date_spans) / full
     assert mean_frac < 0.5
+
+
+SF1_DIR = "/root/repo/.scale_data/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1_DIR),
+    reason="sf1 scale warehouse not generated (tools/datagen_scale.py)",
+)
+def test_plan_shapes_stable_at_10x_scale(spark, sf_dir):
+    """Scale validation (r6): the same query planned at sf0.001 and at the
+    10x-bench sf1 warehouse keeps the properties the scale story rests on —
+    no cartesian products, filters still pushed into the parquet scans,
+    keyed exchanges on the same keys, and star-join dimension sides still
+    broadcast. (Absolute strategy flips like broadcast->SMJ on the FACT
+    side are legitimate at 10x; what must not change are the invariants.)"""
+    import re
+
+    from skinnerdb_spark.registry import all_specs
+
+    specs = all_specs()
+
+    def plan(name, d):
+        df = specs[name].spark(spark, d)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    for d in (sf_dir, SF1_DIR):
+        p = plan("tpch_q06", d)
+        assert "PushedFilters: [" in p and "IsNotNull" in p, d
+        assert "CartesianProduct" not in p
+
+        p = plan("tpch_q03", d)
+        assert "CartesianProduct" not in p
+        # both joins keyed (hash-based), never nested-loop, at either scale
+        assert "BroadcastNestedLoopJoin" not in p
+
+        p = plan("ev_sessionization", d)
+        keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+        assert keys and all(k.startswith("user_id") for k in keys), (d, keys)
+
+        p = plan("tpch_q05", d)
+        # region/nation dimension sides broadcast at both scales
+        assert p.count("BroadcastExchange") >= 2, d
+        assert "CartesianProduct" not in p
