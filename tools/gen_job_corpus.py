@@ -513,6 +513,38 @@ WHERE rnk <= {topn}
     )
 
 
+# ------------------------------------------------------------ T18: scalar
+# subqueries in the SELECT list, correlated per outer row — the remaining
+# subquery class the corpus didn't exercise (WHERE-side IN/EXISTS/scalar
+# compares are t15 + registry entries). Both engines must decorrelate to an
+# outer-join + aggregate; COUNT-subqueries must come back 0 (not NULL) for
+# customers with no qualifying order, and the MAX subquery NULL-extends —
+# the exact semantics a naive decorrelation gets wrong. Bounded output via
+# the segment + balance filter.
+_T18 = [
+    ("BUILDING", "O", 6000),
+    ("MACHINERY", "F", 7000),
+    ("AUTOMOBILE", "O", 8000),
+    ("FURNITURE", "F", 6500),
+    ("HOUSEHOLD", "O", 7500),
+]
+for i, (seg, st, bal) in enumerate(_T18, 1):
+    add(
+        f"t18_scalarsubq_{i:02d}",
+        f"""
+SELECT c.c_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderstatus = '{st}') AS n_status,
+       (SELECT MAX(o2.o_totalprice) FROM orders o2
+         WHERE o2.o_custkey = c.c_custkey) AS max_spend
+FROM customer c
+WHERE c.c_mktsegment = '{seg}'
+  AND c.c_acctbal > {bal}
+""",
+    )
+
+
 def main(out: str | None = None) -> None:
     out = out or OUT
     os.makedirs(out, exist_ok=True)
