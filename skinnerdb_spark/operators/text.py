@@ -544,3 +544,71 @@ def text_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / F.col("n_tokens").cast("double")).alias("score"),
         F.when(2 * num >= 3 * F.col("n_tokens"), "keep").otherwise("drop").alias("label"),
     )
+
+
+# Vocabulary size for token-id encoding: top-K terms by corpus frequency
+# (ties broken lexicographically); everything else maps to the OOV id 0.
+TOKEN_VOCAB_K = 50
+
+_TOKEN_IDS_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (
+        SELECT doc_id, CAST(g.i AS BIGINT) AS pos, t[g.i] AS term
+        FROM base, UNNEST(generate_series(1, len(t), 1)) AS g(i)),
+    counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY term),
+    vocab AS (
+        SELECT term, token_id FROM (
+            SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                              AS BIGINT) AS token_id
+            FROM counts)
+        WHERE token_id <= {TOKEN_VOCAB_K})
+    SELECT toks.doc_id, toks.pos, toks.term,
+           COALESCE(v.token_id, 0) AS token_id
+    FROM toks LEFT JOIN vocab v ON toks.term = v.term
+"""
+
+
+@register("text_token_ids", _TOKEN_IDS_ORACLE, tags=("text", "pipeline", "tokenize"))
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: build a frequency-ranked vocabulary (top
+    {TOKEN_VOCAB_K} terms, rank 1 = most frequent, ties lexicographic) and
+    encode every document as (doc_id, pos, term, token_id) with OOV -> 0 —
+    the id-mapping step in front of any sequence-model training pipeline
+    (pack_sequences consumes exactly this shape).
+
+    Scale shape: the vocabulary is a hash aggregate folded to |vocab| rows,
+    ranked WITHOUT an unpartitioned window via ranked_topk
+    (TakeOrderedAndProject + k x k broadcast theta-join — the r6 de-window
+    idiom), then BROADCAST back onto the exploded token stream: the
+    corpus-sized side never shuffles at all. The encode is one map-side
+    projection + broadcast hash join — at 100 TB this is the cheapest
+    possible shape for a bounded vocabulary; for open vocabularies swap the
+    broadcast for a doc_id-bucketed shuffle join (AQE decides past the
+    threshold)."""
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "pos0", "term"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "term")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vocab = ranked_topk(
+        counts, [("cnt", "desc"), ("term", "asc")], TOKEN_VOCAB_K, rnk_col="token_id"
+    ).select("term", "token_id")
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "term",
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("bigint").alias("token_id"),
+        )
+    )
