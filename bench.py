@@ -105,7 +105,13 @@ def main() -> None:
 
         eng = Engine(spark)
         register_views(spark, sf_dir)
-        for r in eng.bench_dir(corpus, adaptive=True, episodes=2, sample_rows=8000):
+        for r in eng.bench_dir(
+            corpus, adaptive=True, episodes=2, sample_rows=8000,
+            # reference-style episode budget (JoinConfig.java:22): bounds
+            # exploration cost on big warehouses (sf1+); never fires at the
+            # sub-second sf0.1 episode times
+            episode_budget_s=10.0,
+        ):
             qname = "sql:" + r["query"].removesuffix(".sql")
             record(qname, r["millis"] / 1000.0, r["rows"], r)
 

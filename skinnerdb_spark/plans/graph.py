@@ -38,10 +38,12 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from skinnerdb_spark.plans.joinorder import (
+    _TIMEOUT_PENALTY,
     UCB1,
     AdaptiveJoinResult,
     EpisodeStats,
     JoinEdge,
+    budgeted_count as _budgeted_count,
     connected_orders,
 )
 
@@ -543,15 +545,20 @@ def adaptive_reorder(
     seed: int = 42,
     use_cache: bool = True,
     reuse_shape: bool = True,
+    episode_budget_s: float | None = None,
 ) -> AdaptiveJoinResult:
     """Route any DataFrame through the UCB1 join-order bandit.
 
     Extraction failure (ineligible shape) returns the original DataFrame
     with best_order=() — never an error. Episodes run candidate chains over
     a sampled fact table (size-capped at ~``sample_rows`` rows estimated
-    from optimizer stats, the analogue of the reference's budgeted episodes,
-    src/joining/JoinProcessor.java:109-152); the winning order executes in
-    full and the learned order is cached per graph signature.
+    from optimizer stats); with ``episode_budget_s`` set, each episode is
+    additionally WALL-CLOCK bounded — overruns are cancelled via job-group
+    interruption and penalized (joinorder.budgeted_count: the Spark idiom
+    of the reference's 500-step episode budget,
+    src/joining/JoinProcessor.java:109-152 + src/config/JoinConfig.java:22).
+    The winning order executes in full, unbudgeted, and is cached per graph
+    signature.
     """
     import math
     import time
@@ -606,12 +613,15 @@ def adaptive_reorder(
     stats: list[EpisodeStats] = []
     for _ in range(episodes):
         arm = bandit.select()
-        t0 = time.monotonic()
-        rows = build_graph_chain(graph, cands[arm], leaves=sampled).count()
-        dt = time.monotonic() - t0
-        reward = -math.log(max(dt, 1e-4))
+        rows, dt = _budgeted_count(
+            build_graph_chain(graph, cands[arm], leaves=sampled), episode_budget_s
+        )
+        timed_out = rows is None
+        reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
         bandit.update(arm, reward)
-        stats.append(EpisodeStats(cands[arm], dt, rows, reward))
+        stats.append(
+            EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)
+        )
     best = cands[bandit.best()]
     if use_cache:
         _cache_put(graph.signature, best)

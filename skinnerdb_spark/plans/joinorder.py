@@ -137,8 +137,58 @@ def build_join_chain(
 class EpisodeStats:
     order: tuple[str, ...]
     seconds: float
-    rows: int
+    rows: int  # -1 when the episode hit its budget and was cancelled
     reward: float
+    timed_out: bool = False
+
+
+#: reward multiplier on elapsed time for a cancelled episode: a budget hit
+#: must score clearly worse than any order that finished AT the budget.
+_TIMEOUT_PENALTY = 4.0
+
+
+def budgeted_count(df: DataFrame, budget_s: float | None = None) -> tuple[int | None, float]:
+    """``df.count()`` under a WALL-CLOCK budget — the Spark-idiom analogue
+    of the reference's per-episode step budget (OldJoin.executeWithBudget
+    runs <= 500 tuple steps per episode, src/joining/JoinProcessor.java:109-152
+    + src/config/JoinConfig.java:22): Spark joins cannot pause mid-stage, so
+    the budget is enforced by running the episode's jobs in their own
+    thread under a unique job group and CANCELLING the group on timeout.
+
+    Returns (rows, elapsed); rows is None when cancelled. ``budget_s=None``
+    counts unbudgeted. The final (winning) execution is never budgeted —
+    only exploration episodes are, exactly like the reference."""
+    if budget_s is None:
+        t0 = time.monotonic()
+        n = df.count()
+        return n, time.monotonic() - t0
+    import threading
+    import uuid
+
+    sc = df.sparkSession.sparkContext
+    group = f"skinner-episode-{uuid.uuid4().hex[:8]}"
+    out: dict = {}
+
+    def run() -> None:
+        # job group is per-thread (pinned-thread mode maps this Python
+        # thread to its own JVM thread), so only THIS episode is cancelled
+        sc.setJobGroup(group, "skinnerdb budgeted episode", interruptOnCancel=True)
+        try:
+            out["n"] = df.count()
+        except Exception as e:  # cancellation surfaces as a SparkException
+            out["err"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    t0 = time.monotonic()
+    th.start()
+    th.join(budget_s)
+    if th.is_alive():
+        sc.cancelJobGroup(group)
+        th.join(30)
+        return None, time.monotonic() - t0
+    if "err" in out:
+        return None, time.monotonic() - t0
+    return out["n"], time.monotonic() - t0
 
 
 @dataclass
@@ -156,15 +206,19 @@ def adaptive_join(
     sample_fraction: float = 0.05,
     max_orders: int = 16,
     seed: int = 42,
+    episode_budget_s: float | None = None,
 ) -> AdaptiveJoinResult:
     """Bandit-chosen join order, learned from sampled execution.
 
     Each episode samples the designated fact table (largest input if not
     given), runs one candidate order's join chain on the sample, and rewards
     the bandit with -log(elapsed) normalized — the analogue of the reference's
-    per-episode progress reward (OldJoin.java:92-106). The winner is then
-    built over the full inputs. Results are identical for every order (inner
-    joins commute); only the physical plan differs.
+    per-episode progress reward (OldJoin.java:92-106). With
+    ``episode_budget_s`` set, an episode exceeding the wall-clock budget is
+    CANCELLED and penalized (see :func:`budgeted_count` — the reference's
+    500-step episode budget in Spark idiom); the winner always executes in
+    full, unbudgeted. Results are identical for every order (inner joins
+    commute); only the physical plan differs.
     """
     tables = list(dfs)
     fact = fact or tables[0]
@@ -183,11 +237,12 @@ def adaptive_join(
     stats: list[EpisodeStats] = []
     for _ in range(episodes):
         arm = bandit.select()
-        t0 = time.monotonic()
-        rows = build_join_chain(sampled, cands[arm], edges).count()
-        dt = time.monotonic() - t0
-        reward = -math.log(max(dt, 1e-4))
+        rows, dt = budgeted_count(
+            build_join_chain(sampled, cands[arm], edges), episode_budget_s
+        )
+        timed_out = rows is None
+        reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
         bandit.update(arm, reward)
-        stats.append(EpisodeStats(cands[arm], dt, rows, reward))
+        stats.append(EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out))
     best = cands[bandit.best()]
     return AdaptiveJoinResult(build_join_chain(dfs, best, edges), best, stats)
