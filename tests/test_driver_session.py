@@ -103,7 +103,10 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # composed two-index search (both persisted-index oracles)
              "sim_ivfpq_ann",
              # exact-percentile equi-depth histogram
-             "orders_equidepth_hist"]:
+             "orders_equidepth_hist",
+             # round-6 gate-front entries: real-codec decode (mapInPandas
+             # under a plain session) and vocabulary token-id encoding
+             "multimodal_decode_stats", "text_token_ids"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
