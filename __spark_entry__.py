@@ -87,7 +87,8 @@ _REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
 #: listed explicitly so their first driver rows are immune to registration
 #: order. (r5's 8 never-sampled TPC-H entries all went green — see
 #: CORRECTNESS_r05.json — so the priority slot now serves new entries.)
-_PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids"]
+_PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
+                        "setop_bag_semantics"]
 
 
 def _driver_ordered() -> list[str]:

@@ -57,6 +57,51 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_bag_semantics",
+    """
+    SELECT 'intersect_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey FROM supplier)
+    GROUP BY nationkey
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+    tags=("setop", "surplus"),
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG (ALL) set-operation semantics — the multiplicity rules the
+    DISTINCT variants hide: INTERSECT ALL keeps min(m_left, m_right) copies
+    per value, EXCEPT ALL keeps max(0, m_left - m_right). Verified by
+    counting the surviving copies per nationkey against the oracle's
+    standard-SQL evaluation — any engine that implements the ALL variants
+    via dedup + join would hash-mismatch immediately.
+
+    Scale shape: Spark plans both as aggregate-then-replicate on the value
+    key (one shuffle each, map-side partial counts) — no row-level
+    pairing; the copy counts travel, not the copies."""
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionAll(ea)
+
+
+@register(
     "window_rank_topn",
     """
     SELECT c_mktsegment, c_custkey, c_acctbal, rnk
