@@ -88,7 +88,7 @@ _REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
 #: order. (r5's 8 never-sampled TPC-H entries all went green — see
 #: CORRECTNESS_r05.json — so the priority slot now serves new entries.)
 _PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
-                        "setop_bag_semantics"]
+                        "setop_bag_semantics", "embed_norm_qa"]
 
 
 def _driver_ordered() -> list[str]:

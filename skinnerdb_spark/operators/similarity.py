@@ -555,3 +555,59 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") > 0.30)
     )
+
+
+_NORM_QA_ORACLE = f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               {_oracle_dot("embedding", "embedding")} AS norm2
+        FROM embeddings),
+    f AS (SELECT quantile_cont(norm2, 0.25) AS q1,
+                 quantile_cont(norm2, 0.75) AS q3
+          FROM n)
+    SELECT n.vec_id, n.label, n.norm2,
+           CASE WHEN n.norm2 < f.q1 - 1.5 * (f.q3 - f.q1)
+                  OR n.norm2 > f.q3 + 1.5 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM n CROSS JOIN f
+"""
+
+
+@register("embed_norm_qa", _NORM_QA_ORACLE, tags=("similarity", "pipeline", "qa"))
+def embed_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-vector QA: exact squared L2 norm per vector plus a Tukey
+    IQR outlier flag — the sanity gate run before vectors are admitted to
+    an ANN index (zero vectors, scale bugs, and NaN-poisoned rows all land
+    far outside the fences). Everything stays in SQUARED-norm space: sqrt
+    is libm (not bit-reproducible across engines), norm2 via the decimal
+    fold is exact, and the fences are the same IEEE expression shape on
+    both sides (the q25/q75 interpolation matches DuckDB's quantile_cont —
+    the docs_length_quantiles precedent).
+
+    Scale shape: norm2 is one map-side in-row fold (no shuffle); the
+    fences are one tiny aggregate broadcast back (not a global window).
+    The exact percentile buffers the norm column on one executor —
+    ``spark.skinnerdb.stats.exact=false`` swaps in approx_percentile, the
+    same conf-gated trade as the other statistics aggregates."""
+    from skinnerdb_spark.queries.util import stats_exact
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", dot_exact("embedding", "embedding").alias("norm2"))
+    fn = "percentile" if stats_exact(spark) else "approx_percentile"
+    f = n.agg(
+        F.expr(f"{fn}(norm2, 0.25)").cast("double").alias("q1"),
+        F.expr(f"{fn}(norm2, 0.75)").cast("double").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return n.join(F.broadcast(f)).select(
+        "vec_id",
+        "label",
+        "norm2",
+        F.when(
+            (F.col("norm2") < F.col("q1") - 1.5 * iqr)
+            | (F.col("norm2") > F.col("q3") + 1.5 * iqr),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
+    )
