@@ -88,7 +88,10 @@ _REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
 #: order. (r5's 8 never-sampled TPC-H entries all went green — see
 #: CORRECTNESS_r05.json — so the priority slot now serves new entries.)
 _PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
-                        "setop_bag_semantics", "embed_norm_qa"]
+                        "setop_bag_semantics", "embed_norm_qa",
+                        # r6 second-half additions
+                        "embed_kmeans", "text_bpe_merges",
+                        "docs_bigram_lm_score"]
 
 
 def _driver_ordered() -> list[str]:

@@ -612,3 +612,222 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("token_id"), F.lit(0)).cast("bigint").alias("token_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — the tokenizer-training primitive, as pure relational
+# algebra with a fully unrolled DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+
+#: pairs of adjacent symbols from the space-joined symbol string `sym`,
+#: weighted later by the word count. ANSI-safe: the lambda guards i+1 in
+#: bounds (CASE short-circuits), then NULL placeholders are filtered out —
+#: no empty-array literal, no out-of-range element_at.
+_PAIRS_EXPR = (
+    "filter(transform(sequence(1, size(toks)), i -> "
+    "CASE WHEN i < size(toks) THEN named_struct("
+    "'lhs', element_at(toks, i), 'rhs', element_at(toks, i + 1)) "
+    "ELSE NULL END), p -> p IS NOT NULL)"
+)
+
+#: greedy left-to-right, non-overlapping application of ONE merge (m_lhs,
+#: m_rhs) to the symbol string: fold the tokens, gluing s onto the
+#: accumulator when the accumulator ends with the space-delimited lhs and s
+#: is the rhs. The space in the `right()` probe enforces the token boundary;
+#: a just-merged token can never match again (its tail is lhs||rhs, not
+#: ' '||lhs), which is exactly BPE's non-overlap rule on runs.
+_APPLY_EXPR = (
+    "aggregate(toks, CAST('' AS STRING), (acc, s) -> "
+    "CASE WHEN right(acc, length(m_lhs) + 1) = concat(' ', m_lhs) AND s = m_rhs "
+    "THEN concat(acc, s) ELSE concat(acc, ' ', s) END)"
+)
+
+
+def _bpe_oracle() -> str:
+    body = """
+    WITH w AS (SELECT t.term AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents, UNNEST(string_split(text, ' ')) t(term)
+               WHERE text IS NOT NULL AND LENGTH(text) > 0 AND t.term <> ''
+               GROUP BY t.term),
+    w0 AS (SELECT word, cnt,
+                  array_to_string(list_transform(
+                      generate_series(1, CAST(length(word) AS BIGINT)),
+                      i -> substr(word, CAST(i AS INT), 1)), ' ') AS sym
+           FROM w)"""
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        body += f""",
+    t{k} AS (SELECT cnt, string_split(trim(sym), ' ') AS toks FROM {prev}),
+    p{k} AS (SELECT toks[CAST(g.i AS INT)] AS lhs,
+                    toks[CAST(g.i AS INT) + 1] AS rhs,
+                    CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+             FROM t{k}, UNNEST(generate_series(1, len(toks) - 1)) g(i)
+             GROUP BY 1, 2),
+    m{k} AS (SELECT lhs, rhs, pair_cnt FROM p{k}
+             ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+    w{k} AS (SELECT word, cnt,
+                    list_reduce(
+                        list_prepend('', string_split(trim(sym), ' ')),
+                        (acc, s) -> CASE
+                            WHEN right(acc, length(m.lhs) + 1) = ' ' || m.lhs
+                                 AND s = m.rhs
+                            THEN acc || s ELSE acc || ' ' || s END) AS sym
+             FROM {prev} CROSS JOIN m{k} m)"""
+        prev = f"w{k}"
+    body += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, pair_cnt FROM m{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return body
+
+
+@register(
+    "text_bpe_merges",
+    _bpe_oracle(),
+    tags=("text", "pipeline", "tokenizer", "iterative"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning: the first {BPE_MERGES} merge rules
+    (rank, lhs, rhs, pair count at selection time) learned from the corpus —
+    the tokenizer-training half of an LLM data pipeline, run entirely as
+    relational algebra (the encode half is text_token_ids).
+
+    Classic BPE iterates over a WORD-FREQUENCY table, not the corpus: one
+    (word, cnt) aggregate up front (vocabulary-sized, tiny next to the
+    corpus), then each merge round is (a) one map-side pair explode + count
+    aggregate over the vocabulary, (b) a 1-row argmax, (c) an in-row fold
+    applying the merge greedily left-to-right. The corpus is scanned ONCE at
+    any scale; rounds touch only the vocabulary table. The 1-row winner
+    stays in-plan as a broadcast — never collected — and the whole
+    {BPE_MERGES}-round unroll is one lazy plan, so every round's cost is
+    billed to this query's own execution.
+
+    Cross-engine exactness is structural: counts are integers, the argmax
+    tie-break is (cnt DESC, lhs, rhs), and the greedy fold is the same
+    accumulator recurrence in Spark's `aggregate` and DuckDB's `list_reduce`
+    (run-overlap semantics proven equal on ' a a a a' -> ' aa aa').
+
+    Reference analogue: none — tokenizer training extends the reference's
+    surface for the curation tier (SURVEY §6)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "sym",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "i -> substring(word, CAST(i AS INT), 1)), ' ')"
+            ),
+        )
+    )
+    merge_rows = []
+    for k in range(1, BPE_MERGES + 1):
+        toks = words.withColumn("toks", F.expr("split(trim(sym), ' ')"))
+        pair_counts = (
+            toks.select("cnt", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").cast("bigint").alias("pair_cnt"))
+        )
+        top = pair_counts.orderBy(F.desc("pair_cnt"), "lhs", "rhs").limit(1)
+        merge_rows.append(
+            top.select(
+                F.lit(k).cast("bigint").alias("merge_rank"), "lhs", "rhs", "pair_cnt"
+            )
+        )
+        m = top.select(F.col("lhs").alias("m_lhs"), F.col("rhs").alias("m_rhs"))
+        words = (
+            toks.join(F.broadcast(m))
+            .withColumn("sym", F.expr(_APPLY_EXPR))
+            .select("word", "cnt", "sym")
+        )
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+_BIGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    big AS (
+        SELECT doc_id, ts[CAST(g.i AS INT)] AS a, ts[CAST(g.i AS INT) + 1] AS b
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) g(i)),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM big GROUP BY a, b),
+    ca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+    inst AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS k
+             FROM big GROUP BY doc_id, a, b),
+    j AS (SELECT i.doc_id, i.k,
+                 CAST(CAST(c.cab AS DOUBLE) / c2.ca AS DECIMAL(27,12)) AS dp
+          FROM inst i JOIN cab c USING (a, b) JOIN ca c2 USING (a))
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(k AS DECIMAL(10,0)) * dp) AS DOUBLE) / SUM(k) AS lm_score
+    FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "docs_bigram_lm_score",
+    _BIGRAM_ORACLE,
+    tags=("text", "pipeline", "quality", "lm"),
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document: the mean MLE
+    transition probability P(w_i | w_{i-1}) of the doc's own bigrams under
+    the corpus bigram model — the classic cheap perplexity proxy a curation
+    pipeline uses to rank fluent text above templated/shuffled text (low
+    mean transition probability = surprising word sequences).
+
+    Stays in exactly comparable arithmetic: each transition probability is
+    ONE exact-integer double division (correctly rounded, identical in both
+    engines), rounded once into DECIMAL(28,12); per-doc sums of those
+    decimals are exact and associative (the graph_pagerank recipe), and the
+    final mean is a single decimal->double cast divided by an integer.
+
+    Scale shape: the corpus explodes to bigram instances ONCE and is
+    immediately pre-aggregated twice — (doc_id, a, b) with map-side combine,
+    and the (a, b) model from which prefix totals derive. The model join is
+    vocabulary^2-bounded (AQE broadcasts it when small; co-partitions on the
+    bigram key otherwise); the corpus-sized side shuffles once on the join
+    key and once on doc_id. No UDFs, no floating-point order dependence."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    big = d.select(
+        "doc_id",
+        F.col("text"),
+    ).withColumn(
+        "toks", F.expr("filter(split(text, ' '), x -> x != '')")
+    ).select(
+        "doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p")
+    ).select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+    inst = big.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    j = (
+        inst.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .select(
+            "doc_id",
+            "k",
+            F.expr(
+                "CAST(CAST(cab AS DOUBLE) / ca AS DECIMAL(27,12))"
+            ).alias("dp"),
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.expr("CAST(k AS DECIMAL(10,0)) * dp")).cast("double")
+            / F.sum("k")
+        ).alias("lm_score"),
+    )

@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation_gate,
         dedup,
         ivf,
+        kmeans,
         multimodal,
         pipeline,
         pq,

@@ -106,7 +106,10 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "orders_equidepth_hist",
              # round-6 gate-front entries: real-codec decode (mapInPandas
              # under a plain session) and vocabulary token-id encoding
-             "multimodal_decode_stats", "text_token_ids"]:
+             "multimodal_decode_stats", "text_token_ids",
+             # round-6 second-half gate-front entries: iterative decimal
+             # k-means, BPE fold, bigram-LM decimal aggregation
+             "embed_kmeans", "text_bpe_merges", "docs_bigram_lm_score"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
