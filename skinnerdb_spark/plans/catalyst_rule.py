@@ -85,10 +85,13 @@ class _PyReorderer:
         except ExtractionError:
             self.misses += 1
             return None
+        from skinnerdb_spark.plans.graph import _transfer_enabled
+
         cached = (
             _cache_get(graph.signature)
             or _cache_get(graph.shape_sig)
             or _shape_lookup_unordered(graph.shape_sig)
+            or (_transfer_enabled() and _cache_get(graph.transfer_sig) or None)
         )
         if cached is None or tuple(graph.names) == tuple(cached):
             self.misses += 1

@@ -66,11 +66,16 @@ _PASSTHROUGH = {
 #: per-process cache of learned join orders, keyed by graph signature —
 #: repeated templates (a benchmark directory, a dashboard) skip the sampled
 #: episodes entirely after the first run, the cross-query analogue of the
-#: reference reusing its UCT tree across episodes of one query. Signatures
-#: include the leaves' scan locations (two warehouses with identical table
-#: names — sf0.001 vs sf0.1 — must not share learned orders: their data
-#: sizes, and thus best orders, differ). FIFO-capped: entries are a few
-#: strings each, the cap only guards a pathological template generator.
+#: reference reusing its UCT tree across episodes of one query. Exact and
+#: shape signatures include the leaves' scan locations, so two warehouses
+#: with identical table names never share an AUTHORITATIVE entry; a third,
+#: scope-free "transfer" tier (see extract_query_graph.transfer_sig) serves
+#: as a warm start for the same query shape on a NEW warehouse — join-order
+#: quality tracks *relative* cardinalities, which proportional scaling of
+#: the same schema preserves (measured: the first sf1 run paid 20-22x on
+#: 15-way shapes purely in cold episodes, PERFORMANCE.md round-6). FIFO-
+#: capped: entries are a few strings each, the cap only guards a
+#: pathological template generator.
 _ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
 _ORDER_CACHE_CAP = 4096
 
@@ -90,6 +95,15 @@ _persist_loaded = False
 
 def _persist_enabled() -> bool:
     return os.environ.get("SKINNER_ORDER_CACHE_PERSIST", "1") != "0"
+
+
+def _transfer_enabled() -> bool:
+    """Cross-warehouse order transfer (SKINNER_ORDER_TRANSFER=0 disables):
+    a new warehouse with the same query shape starts from the order learned
+    elsewhere instead of paying cold episodes. Correctness is unaffected
+    either way — the order only shapes the plan; AQE still picks physical
+    strategies per stage from THIS warehouse's runtime sizes."""
+    return os.environ.get("SKINNER_ORDER_TRANSFER", "1") != "0"
 
 
 def _tuplify(x):
@@ -117,6 +131,15 @@ def load_order_cache(path: str | None = None) -> int:
         if key not in _ORDER_CACHE:
             _ORDER_CACHE[key] = tuple(v)
             n += 1
+        # backfill the scope-free transfer tier from persisted SHAPE keys
+        # (files written before the tier existed have none): shape keys are
+        # (names, scopes, edges); exact signatures add a 4th element and
+        # transfer keys lead with the "xfer" marker, so len==3 + marker
+        # check identifies them unambiguously
+        if len(key) == 3 and key[0] != "xfer":
+            xk = ("xfer", key[0], key[2])
+            if xk not in _ORDER_CACHE and len(_ORDER_CACHE) < _ORDER_CACHE_CAP:
+                _ORDER_CACHE[xk] = tuple(v)
     return n
 
 
@@ -281,6 +304,9 @@ class QueryGraph:
     #: shape signature (no filter constants): same join graph -> same
     #: template family, eligible for cross-query order reuse
     shape_sig: tuple = field(default=())
+    #: scope-free signature (no scan locations, no filter constants): the
+    #: cross-warehouse transfer key — a warm start only, never authoritative
+    transfer_sig: tuple = field(default=())
     #: leaves the user marked F.broadcast() — re-hinted at chain rebuild
     hinted: frozenset[str] = field(default=frozenset())
 
@@ -457,6 +483,7 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
         ),
     )
     signature = shape_sig + (tuple(sorted(local_sql)),)
+    transfer_sig = ("xfer", shape_sig[0], shape_sig[2])
     return QueryGraph(
         spark=spark,
         names=names,
@@ -469,6 +496,7 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
         out_attrs=list(_j(spark, analyzed.output())),
         signature=signature,
         shape_sig=shape_sig,
+        transfer_sig=transfer_sig,
         hinted=frozenset(n for n, h in zip(names, leaf_hinted) if h),
     )
 
@@ -580,6 +608,7 @@ def adaptive_reorder(
     # case for benchmark directories and dashboards) pays no optimizer
     # passes, just the chain rebuild
     cached = None
+    tier = "cached"
     if use_cache:
         cached = _cache_get(graph.signature)
         if cached is None and reuse_shape:
@@ -589,10 +618,17 @@ def adaptive_reorder(
             # Spark-first trade — per-order *physical* strategy still adapts
             # at runtime via AQE, so a selectivity flip costs little)
             cached = _cache_get(graph.shape_sig)
+        if cached is None and reuse_shape and _transfer_enabled():
+            # cross-warehouse transfer: same shape learned on ANOTHER
+            # warehouse (scope-free key). A warm start, not authoritative —
+            # it is never written back under this scope's signatures, so
+            # disabling transfer later re-learns from scratch.
+            cached = _cache_get(graph.transfer_sig)
+            tier = "cached-transfer"
     if cached is not None and cached in cands:
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)
-        res.reason = "cached"  # type: ignore[attr-defined]
+        res.reason = tier  # type: ignore[attr-defined]
         return res
     if len(cands) == 1:
         chain = build_graph_chain(graph, cands[0])
@@ -627,5 +663,7 @@ def adaptive_reorder(
         _cache_put(graph.signature, best)
         if graph.shape_sig not in _ORDER_CACHE:
             _cache_put(graph.shape_sig, best)
+        if graph.transfer_sig not in _ORDER_CACHE:
+            _cache_put(graph.transfer_sig, best)
     chain = build_graph_chain(graph, best)
     return AdaptiveJoinResult(finish(graph, chain), best, stats)

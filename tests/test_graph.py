@@ -172,6 +172,37 @@ def test_order_cache_not_shared_across_warehouses(spark, sf_dir):
         register_views(spark, sf_dir)  # restore module-fixture views
     assert g1.shape_sig != g2.shape_sig
     assert g1.signature != g2.signature
+    assert g1.transfer_sig == g2.transfer_sig  # the scope-free transfer key
+
+
+def test_cross_warehouse_order_transfer(spark, sf_dir, monkeypatch):
+    """An order learned on one warehouse warm-starts the SAME query shape on
+    a different warehouse (scope-free transfer tier) with zero episodes; the
+    transferred order is never written under the new scope's signatures, and
+    SKINNER_ORDER_TRANSFER=0 restores cold learning."""
+    from skinnerdb_spark.plans import graph as G
+
+    monkeypatch.setenv("SKINNER_ORDER_CACHE_PERSIST", "0")
+    q = ("SELECT COUNT(*) AS c FROM customer, orders, nation "
+         "WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey "
+         "AND o_totalprice > 999.0")
+    g1 = extract_query_graph(spark.sql(q))
+    for k in (g1.signature, g1.shape_sig, g1.transfer_sig):
+        G._ORDER_CACHE.pop(k, None)
+    r1 = adaptive_reorder(spark.sql(q), episodes=2)
+    assert r1.episodes  # cold: learned via sampled episodes
+    register_views(spark, "/root/testdata/sf0.01")
+    try:
+        r2 = adaptive_reorder(spark.sql(q), episodes=2)
+        assert getattr(r2, "reason", None) == "cached-transfer"
+        assert r2.best_order == r1.best_order
+        g2 = extract_query_graph(spark.sql(q))
+        assert g2.signature not in G._ORDER_CACHE  # warm start, not authority
+        monkeypatch.setenv("SKINNER_ORDER_TRANSFER", "0")
+        r3 = adaptive_reorder(spark.sql(q), episodes=2)
+        assert r3.episodes  # transfer disabled -> cold learning again
+    finally:
+        register_views(spark, sf_dir)
 
 
 def test_order_cache_hit(spark, monkeypatch):
@@ -186,6 +217,7 @@ def test_order_cache_hit(spark, monkeypatch):
     g = extract_query_graph(spark.sql(q))
     G._ORDER_CACHE.pop(g.signature, None)
     G._ORDER_CACHE.pop(g.shape_sig, None)
+    G._ORDER_CACHE.pop(g.transfer_sig, None)
     r1 = adaptive_reorder(spark.sql(q), episodes=2)
     assert r1.episodes  # learned
     r2 = adaptive_reorder(spark.sql(q), episodes=2)
@@ -410,6 +442,7 @@ def test_budgeted_episode_cancellation_and_learning(spark, sf_dir):
     g = graph.extract_query_graph(df)
     graph._ORDER_CACHE.pop(g.signature, None)
     graph._ORDER_CACHE.pop(g.shape_sig, None)
+    graph._ORDER_CACHE.pop(g.transfer_sig, None)
     res = graph.adaptive_reorder(
         spark.sql(
             "SELECT COUNT(*) AS n FROM lineitem, orders, supplier "
