@@ -91,7 +91,7 @@ _PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
                         "setop_bag_semantics", "embed_norm_qa",
                         # r6 second-half additions
                         "embed_kmeans", "text_bpe_merges",
-                        "docs_bigram_lm_score"]
+                        "docs_bigram_lm_score", "embed_power_iteration"]
 
 
 def _driver_ordered() -> list[str]:

@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         privacy,
         segments,
         similarity,
+        spectral,
         temporal,
         text,
     )
