@@ -91,7 +91,8 @@ _PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
                         "setop_bag_semantics", "embed_norm_qa",
                         # r6 second-half additions
                         "embed_kmeans", "text_bpe_merges",
-                        "docs_bigram_lm_score", "embed_power_iteration"]
+                        "docs_bigram_lm_score", "embed_power_iteration",
+                        "docs_pmi_topk", "graph_jaccard_links"]
 
 
 def _driver_ordered() -> list[str]:

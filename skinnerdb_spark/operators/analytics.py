@@ -917,3 +917,95 @@ def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+JACCARD_TOP = 30
+
+_JACCARD_ORACLE = f"""
+    WITH {_EDGE_CTES},
+    directed AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM directed GROUP BY src),
+    wedge AS (
+        SELECT d1.dst AS u, d2.dst AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM directed d1 JOIN directed d2
+          ON d1.src = d2.src AND d1.dst < d2.dst
+        GROUP BY d1.dst, d2.dst),
+    cand AS (
+        SELECT wdg.u, wdg.w, wdg.c, du.d AS du, dw.d AS dw
+        FROM wedge wdg
+        JOIN deg du ON du.node = wdg.u
+        JOIN deg dw ON dw.node = wdg.w
+        LEFT JOIN edges e ON e.u = wdg.u AND e.v = wdg.w
+        WHERE e.u IS NULL),
+    scored AS (
+        SELECT u, w, c,
+               CAST(c AS DOUBLE) / (du + dw - c) AS jaccard
+        FROM cand)
+    SELECT u, w, c, jaccard, rnk FROM (
+        SELECT u, w, c, jaccard,
+               CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, w)
+                    AS BIGINT) AS rnk
+        FROM scored)
+    WHERE rnk <= {JACCARD_TOP}
+"""
+
+
+@register(
+    "graph_jaccard_links",
+    _JACCARD_ORACLE,
+    tags=("graph", "pipeline", "similarity"),
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-{JACCARD_TOP}
+    NON-adjacent node pairs by neighbor-set Jaccard |N(u) n N(w)| /
+    |N(u) u N(w)| — the classic common-neighbors recommender, as three
+    relational steps: a two-hop wedge join (common-neighbor counts), a
+    degree join, and an anti-join against existing edges.
+
+    The score c/(du+dw-c) is ONE double division over exact integers
+    (identical in both engines — no libm). Scale shape: the wedge join is
+    keyed on the shared neighbor (the standard two-hop; hub skew is the
+    known hazard and AQE's skew-join split handles it — same posture as
+    graph_triangles), degrees ride a node-sized join, and the top-k is
+    `ranked_topk`, not an unpartitioned window. Candidate pairs are bounded
+    by wedge count, never all-pairs."""
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    edges = _co_edges(spark, sf_dir)
+    directed = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    d1 = directed.select(F.col("src"), F.col("dst").alias("u"))
+    d2 = directed.select(F.col("src"), F.col("dst").alias("w"))
+    wedge = (
+        d1.join(d2, "src")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cand = (
+        wedge.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("w"), F.col("d").alias("dw")), "w")
+        .join(
+            edges.select(F.col("u"), F.col("v").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+    )
+    scored = cand.select(
+        "u",
+        "w",
+        "c",
+        (F.col("c").cast("double") / (F.col("du") + F.col("dw") - F.col("c"))).alias(
+            "jaccard"
+        ),
+    )
+    return ranked_topk(
+        scored, [("jaccard", "desc"), ("u", "asc"), ("w", "asc")], JACCARD_TOP
+    )

@@ -831,3 +831,96 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k")
         ).alias("lm_score"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 30
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    uni AS (SELECT t.w AS term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, UNNEST(ts) t(w) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+    big AS (SELECT ts[CAST(g.i AS INT)] AS a, ts[CAST(g.i AS INT) + 1] AS b
+            FROM toks, UNNEST(generate_series(1, len(ts) - 1)) g(i)),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM big GROUP BY a, b),
+    stot AS (SELECT CAST(SUM(cab) AS BIGINT) AS s FROM cab),
+    scored AS (
+        SELECT c.a, c.b, c.cab,
+               (CAST(c.cab AS DOUBLE) * (SELECT t FROM tot) * (SELECT t FROM tot))
+               / (CAST((SELECT s FROM stot) AS DOUBLE) * ua.c * ub.c)
+                   AS pmi_ratio
+        FROM cab c JOIN uni ua ON ua.term = c.a JOIN uni ub ON ub.term = c.b
+        WHERE c.cab >= {PMI_MIN_COUNT})
+    SELECT a, b, cab, pmi_ratio, rnk FROM (
+        SELECT a, b, cab, pmi_ratio,
+               CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, a, b)
+                    AS BIGINT) AS rnk
+        FROM scored)
+    WHERE rnk <= {PMI_TOP}
+"""
+
+
+@register(
+    "docs_pmi_topk",
+    _PMI_ORACLE,
+    tags=("text", "pipeline", "collocation"),
+)
+def docs_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP} adjacent-bigram collocations by
+    pointwise mutual information, min support {PMI_MIN_COUNT} — the phrase/
+    multi-word-expression detector a tokenizer pipeline runs before merging
+    frequent phrases into single tokens.
+
+    PMI is monotone in the RATIO p(ab)/(p(a)p(b)) = cab*T^2/(S*ca*cb), so no
+    logarithm is needed (libm is not bit-reproducible across engines): the
+    ratio is one double expression over exact integers with an identical
+    operation tree on both sides. Scale shape: one corpus explode into
+    unigram + bigram count aggregates (both map-side combinable), a
+    vocabulary-sized join to attach unigram counts (AQE broadcasts it when
+    small), scalar totals ride broadcast 1-row frames, and the top-k is
+    `ranked_topk` (TakeOrderedAndProject + k x k rank join — no
+    unpartitioned window)."""
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ts = d.withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
+    uni = (
+        ts.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t"))
+    big = (
+        ts.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select(F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    )
+    stot = big.agg(F.sum("cab").cast("bigint").alias("s"))
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        big.filter(F.col("cab") >= PMI_MIN_COUNT)
+        .join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(stot))
+        .select(
+            "a",
+            "b",
+            "cab",
+            (
+                (F.col("cab").cast("double") * F.col("t") * F.col("t"))
+                / (F.col("s").cast("double") * F.col("ca") * F.col("cb"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    return ranked_topk(
+        scored, [("pmi_ratio", "desc"), ("a", "asc"), ("b", "asc")], PMI_TOP
+    )

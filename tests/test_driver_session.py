@@ -108,8 +108,11 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # under a plain session) and vocabulary token-id encoding
              "multimodal_decode_stats", "text_token_ids",
              # round-6 second-half gate-front entries: iterative decimal
-             # k-means, BPE fold, bigram-LM decimal aggregation
-             "embed_kmeans", "text_bpe_merges", "docs_bigram_lm_score"]:
+             # k-means, BPE fold, bigram-LM decimal aggregation, power
+             # iteration, PMI ratio ranking, Jaccard link prediction
+             "embed_kmeans", "text_bpe_merges", "docs_bigram_lm_score",
+             "embed_power_iteration", "docs_pmi_topk",
+             "graph_jaccard_links"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
