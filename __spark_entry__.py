@@ -92,7 +92,8 @@ _PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
                         # r6 second-half additions
                         "embed_kmeans", "text_bpe_merges",
                         "docs_bigram_lm_score", "embed_power_iteration",
-                        "docs_pmi_topk", "graph_jaccard_links", "orders_skyline"]
+                        "docs_pmi_topk", "graph_jaccard_links", "orders_skyline",
+                        "ev_heavy_hitters"]
 
 
 def _driver_ordered() -> list[str]:

@@ -623,3 +623,172 @@ def _transition_update(key, pdfs, state):
             }
         )
     yield out
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator #3: sharded Misra-Gries heavy hitters.
+# ---------------------------------------------------------------------------
+
+MG_K = 8
+MG_SHARDS = 4
+#: default item: event type x coarse value band — enough cardinality that the
+#: decrement step actually fires at test scale
+MG_ITEM_EXPR = "concat(event_type, ':', CAST(CAST(FLOOR(value / 25) AS INT) AS STRING))"
+
+
+def mg_shard_col(shards: int = MG_SHARDS) -> F.Column:
+    """Shard id from the item string via the engine's PORTABLE md5->int
+    idiom (engine-native hash() functions differ across engines — see
+    textprims.py): first 8 md5 hex digits mod ``shards``. Shared by the
+    stream sketch and its exact batch twin ev_heavy_hitters so their shard
+    spaces line up."""
+    return (
+        F.conv(F.substring(F.md5(F.col("item").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % shards
+    ).cast("long").alias("shard")
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    item_expr: str = MG_ITEM_EXPR,
+    k: int = MG_K,
+    shards: int = MG_SHARDS,
+) -> DataFrame:
+    """Heavy hitters over an unbounded stream in BOUNDED state: each of
+    ``shards`` hash shards maintains a Misra-Gries summary of ``k`` counters
+    via applyInPandasWithState, persisted across micro-batches. An item maps
+    to exactly ONE shard, so draining the shards is a union (no cross-shard
+    merge error), and the classic deterministic guarantee holds per item:
+
+        true - n_shard/(k+1)  <=  estimate  <=  true
+
+    i.e. every item with frequency above its shard's n/(k+1) is GUARANTEED
+    present — no randomization, no sketch collisions (contrast
+    approx_distinct_sketch's HLL, which trades that guarantee for fixed
+    size). State is k (item, count) pairs + one total per shard — bounded by
+    k*shards regardless of stream length or item cardinality; this is how a
+    100 TB/day stream tracks its top keys without a corpus-sized groupBy.
+
+    Reference analogue: none (the reference has no streaming); extends the
+    engine's streaming tier (SURVEY §2.9 extension)."""
+    import functools
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(F.expr(item_expr).alias("item")).withColumn(
+        "shard", mg_shard_col(shards)
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        functools.partial(_mg_update, k=k),
+        outputStructType="shard long, item string, est long, n_shard long",
+        stateStructType="items array<string>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _mg_update(key, pdfs, state, k=MG_K):
+    """Per-shard Misra-Gries update — module-level with a plain ``state``
+    protocol (.exists/.get/.update) so the algorithm is unit-testable
+    without the stateful-streaming runtime, like _transition_update."""
+    import pandas as pd
+
+    if state.exists:
+        items, counts, n = state.get
+        sketch = {i: int(c) for i, c in zip(list(items), list(counts))}
+        n = int(n)
+    else:
+        sketch, n = {}, 0
+    for pdf in pdfs:
+        for it in pdf["item"]:
+            n += 1
+            if it in sketch:
+                sketch[it] += 1
+            elif len(sketch) < k:
+                sketch[it] = 1
+            else:
+                # the decrement-all step; counters hitting zero free a slot
+                sketch = {x: c - 1 for x, c in sketch.items() if c > 1}
+    state.update((list(sketch.keys()), [int(v) for v in sketch.values()], n))
+    if sketch:
+        out = pd.DataFrame(
+            {
+                "shard": pd.Series([int(key[0])] * len(sketch), dtype="int64"),
+                "item": pd.Series(list(sketch.keys()), dtype="object"),
+                "est": pd.Series([int(v) for v in sketch.values()], dtype="int64"),
+                "n_shard": pd.Series([n] * len(sketch), dtype="int64"),
+            }
+        )
+    else:
+        out = pd.DataFrame(
+            {
+                "shard": pd.Series([], dtype="int64"),
+                "item": pd.Series([], dtype="object"),
+                "est": pd.Series([], dtype="int64"),
+                "n_shard": pd.Series([], dtype="int64"),
+            }
+        )
+    yield out
+
+
+_HH_ITEM_SQL = (
+    "concat(event_type, ':', CAST(CAST(FLOOR(value / 25) AS INT) AS VARCHAR))"
+)
+
+_HH_ORACLE = f"""
+    WITH items AS (
+        SELECT {_HH_ITEM_SQL} AS item
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    sharded AS (
+        SELECT CAST(CAST(('0x' || SUBSTR(md5(item), 1, 8)) AS UBIGINT)
+                    % {MG_SHARDS} AS BIGINT) AS shard, item
+        FROM items),
+    counts AS (
+        SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sharded GROUP BY shard, item)
+    SELECT shard, item, cnt, rnk FROM (
+        SELECT shard, item, cnt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY cnt DESC, item) AS BIGINT) AS rnk
+        FROM counts)
+    WHERE rnk <= {MG_K}
+"""
+
+
+@register(
+    "ev_heavy_hitters",
+    _HH_ORACLE,
+    tags=("events", "streaming", "sketch"),
+)
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-shard heavy hitters — the BATCH TWIN of the
+    :func:`stream_heavy_hitters` Misra-Gries sketch (same item expression,
+    same portable md5 shard space): top-{MG_K} items per shard by exact
+    count. The sketch's deterministic contract vs this table — never
+    overestimates, error <= n_shard/(k+1), every item above that bound
+    present — is asserted in tests/test_components.py.
+
+    Plan: one (shard, item)-keyed aggregate with map-side combine, then a
+    rank window PARTITIONED by shard (bounded partitions — not the global
+    window this repo bans). At stream scale the sketch replaces exactly
+    this corpus-sized aggregate with k*shards counters of state."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    counts = (
+        e.select(F.expr(MG_ITEM_EXPR).alias("item"))
+        .withColumn("shard", mg_shard_col(MG_SHARDS))
+        .groupBy("shard", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= MG_K)
+        .select("shard", "item", "cnt", "rnk")
+    )

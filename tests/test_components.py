@@ -1219,3 +1219,94 @@ def test_codecs_roundtrip_all_png_filters_and_bmp():
 
     with pytest.raises(NotImplementedError, match="PNG and BMP"):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_stream_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
+    """Drained sharded Misra-Gries sketch satisfies the deterministic MG
+    contract vs exact batch counts: underestimates only, error bounded by
+    n_shard/(k+1), and every item above that bound is present."""
+    from skinnerdb_spark.streaming.windows import (
+        MG_ITEM_EXPR,
+        MG_K,
+        MG_SHARDS,
+        run_stream_once,
+        stream_events,
+        stream_heavy_hitters,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stream = stream_events(spark, src)
+    except Exception as e:
+        pytest.skip(f"stream source unavailable: {e}")
+    rows = run_stream_once(
+        stream_heavy_hitters(stream), "t_stream_hh", output_mode="update"
+    )
+    assert rows, "sketch must emit"
+    est = {(r.shard, r.item): r.est for r in rows}
+    n_shard = {r.shard: r.n_shard for r in rows}
+
+    e = read_table(spark, sf_dir, "events")
+    from skinnerdb_spark.streaming.windows import mg_shard_col
+
+    exact_rows = (
+        e.filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.expr(MG_ITEM_EXPR).alias("item"))
+        .withColumn("shard", mg_shard_col(MG_SHARDS))
+        .groupBy("shard", "item")
+        .count()
+        .collect()
+    )
+    exact = {(r.shard, r.item): r["count"] for r in exact_rows}
+    # shard totals agree with the data
+    for s, n in n_shard.items():
+        assert n == sum(c for (sh, _), c in exact.items() if sh == s)
+    saw_decrement = False
+    for key, c_hat in est.items():
+        true = exact.get(key, 0)
+        bound = n_shard[key[0]] // (MG_K + 1) + 1
+        assert c_hat <= true, f"{key}: MG must never overestimate"
+        assert true - c_hat <= bound, f"{key}: error above the MG bound"
+        if c_hat < true:
+            saw_decrement = True
+    # every guaranteed-heavy item is present
+    for (s, item), true in exact.items():
+        if true > n_shard[s] / (MG_K + 1):
+            assert (s, item) in est, f"guaranteed heavy hitter {item} missing"
+    assert saw_decrement, (
+        "item cardinality must exceed k so the decrement step is exercised"
+    )
+
+
+def test_mg_update_state_roundtrip_and_bounded_size():
+    """The MG update function keeps at most k counters across batches and
+    restores state exactly — driven with a fake state object."""
+    import pandas as pd
+
+    from skinnerdb_spark.streaming.windows import _mg_update
+
+    class FakeState:
+        def __init__(self):
+            self.tup = None
+
+        @property
+        def exists(self):
+            return self.tup is not None
+
+        @property
+        def get(self):
+            return self.tup
+
+        def update(self, tup):
+            self.tup = tup
+
+    state = FakeState()
+    b1 = pd.DataFrame({"item": ["a"] * 5 + ["b"] * 3 + list("cdefgh")})
+    (out1,) = list(_mg_update((0,), [b1], state, k=4))
+    assert len(out1) <= 4 and out1["n_shard"].iloc[0] == 14
+    # heavy item 'a' survives batch 1 and keeps accumulating in batch 2
+    b2 = pd.DataFrame({"item": ["a"] * 4})
+    (out2,) = list(_mg_update((0,), [b2], state, k=4))
+    got_a = int(out2.set_index("item")["est"].get("a", 0))
+    assert got_a >= 4 and out2["n_shard"].iloc[0] == 18
+    assert len(state.tup[0]) <= 4  # bounded state across batches

@@ -112,7 +112,7 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # iteration, PMI ratio ranking, Jaccard link prediction
              "embed_kmeans", "text_bpe_merges", "docs_bigram_lm_score",
              "embed_power_iteration", "docs_pmi_topk",
-             "graph_jaccard_links", "orders_skyline"]:
+             "graph_jaccard_links", "orders_skyline", "ev_heavy_hitters"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
