@@ -193,10 +193,15 @@ def test_cross_warehouse_order_transfer(spark, sf_dir, monkeypatch):
     assert r1.episodes  # cold: learned via sampled episodes
     register_views(spark, "/root/testdata/sf0.01")
     try:
+        # earlier tests (or the persisted file) may already hold an
+        # AUTHORITATIVE order for this query at the sf0.01 scope — drop it
+        # so the lookup can only hit the transfer tier under test
+        g2 = extract_query_graph(spark.sql(q))
+        G._ORDER_CACHE.pop(g2.signature, None)
+        G._ORDER_CACHE.pop(g2.shape_sig, None)
         r2 = adaptive_reorder(spark.sql(q), episodes=2)
         assert getattr(r2, "reason", None) == "cached-transfer"
         assert r2.best_order == r1.best_order
-        g2 = extract_query_graph(spark.sql(q))
         assert g2.signature not in G._ORDER_CACHE  # warm start, not authority
         monkeypatch.setenv("SKINNER_ORDER_TRANSFER", "0")
         r3 = adaptive_reorder(spark.sql(q), episodes=2)
