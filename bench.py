@@ -5,14 +5,27 @@ driver warehouse.
 
 Runs every registered headline query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times end-to-end execution
-(plan + execute + collect-to-count), and prints ONE JSON line:
+(plan BUILD + optimize + execute + collect-to-count — build is inside the
+timer since r7 so iterative entries that materialize rounds via eager
+localCheckpoint at build time are billed honestly, and the reference's
+per-query "total ms" likewise includes optimization), and prints ONE JSON
+line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "runs": [N1, N2], "best_total": N}
 
-Per-query details (rows, per-query seconds) land in the same JSON. The
-reference's UCT counters have no Spark equivalent; wall-clock per query is
-the comparable metric (BASELINE.md).
+Noise protocol (VERDICT r6 item 7): this box's ambient band moves
+round-over-round totals by up to ~50% cross-day, so a single-shot total is
+uninterpretable on its own. The surface therefore runs PAIRS_DEFAULT times
+back-to-back in one session; "value" stays the FIRST (coldest) pass — the
+number comparable to the reference's cold 104 s — while "runs" carries every
+pass total and "best_total"/query best-of expose the ambient floor.
+Set --pairs N / SPARK_GRAFT_BENCH_RUNS=N to override (1 = legacy single-shot).
+
+Per-query details land in $SPARK_GRAFT_BENCH_CSV (pass 1; best-of seconds in
+the JSON). The reference's UCT counters have no Spark equivalent; wall-clock
+per query is the comparable metric (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -22,46 +35,34 @@ import os
 import sys
 import time
 
+PAIRS_DEFAULT = 2
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dict]:
+    """One full timed pass over the bench surface.
+
+    Returns (per_query seconds, per_query rows). csv_lines, when given,
+    accumulates the reference-style per-query stats rows
+    (BenchUtil.java:66-79 schema, UCT counters replaced by executed-plan
+    SQLMetrics)."""
     from skinnerdb_spark.engine import Engine
     from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
     from skinnerdb_spark.registry import all_specs
-    from skinnerdb_spark.session import get_spark
 
-    spark = get_spark(app_name="skinnerdb-spark-bench")
     specs = {n: s for n, s in all_specs().items() if s.bench}
-
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session bootstrap (the reference's "warm" run, README.md:45)
-    next(iter(specs.values())).spark(spark, sf_dir).count()
-    # pre-warm the Python worker pool (spark.python.worker.reuse shares it
-    # across queries): the first mapInPandas query otherwise pays ~1-2 s of
-    # interpreter spin-up that is session overhead, not query cost — the
-    # reference baseline is likewise a warm (second-run) number
-    spark.range(64).repartition(8).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
-
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
-    csv_lines = [
-        "Query,Millis,Rows,ShuffleCnt,ShuffleWriteBytes,ShuffleReadBytes,"
-        "SpillBytes,PeakMemBytes,AQEPlan"
-    ]
 
     def record(name: str, dt: float, n: int, m: dict) -> None:
         per_query[name] = round(dt, 4)
         rows[name] = n
-        # reference-style per-query stats row (BenchUtil.java:66-79 schema,
-        # UCT counters replaced by executed-plan SQLMetrics)
-        csv_lines.append(
-            f"{name},{int(dt * 1000)},{n},{m['shuffle_count']},"
-            f"{m['shuffle_write_bytes']},{m['shuffle_read_bytes']},"
-            f"{m['spill_bytes']},{m['peak_mem_bytes']},"
-            f"{'adaptive' if m['adaptive'] else 'static'}"
-        )
+        if csv_lines is not None:
+            csv_lines.append(
+                f"{name},{int(dt * 1000)},{n},{m['shuffle_count']},"
+                f"{m['shuffle_write_bytes']},{m['shuffle_read_bytes']},"
+                f"{m['spill_bytes']},{m['peak_mem_bytes']},"
+                f"{'adaptive' if m['adaptive'] else 'static'}"
+            )
 
     # session-shared family builds, timed as EXPLICIT rows (VERDICT r5 item
     # 6): the LSH/similarity entries reuse these memoized intermediates
@@ -70,7 +71,8 @@ def main() -> None:
     # whichever member query happens to run first and per-query deltas
     # absorb attribution shifts (r5: knn_label_vote 0.23->2.0 s). Each row
     # times the shared build (cache materialization included); member
-    # queries then measure steady-state.
+    # queries then measure steady-state. On pass 2+ the memoized caches are
+    # warm and these rows measure cache-read floor — by design.
     from skinnerdb_spark.operators import dedup as _dedup
     from skinnerdb_spark.operators import similarity as _sim
 
@@ -83,14 +85,14 @@ def main() -> None:
         ("family:sign_bits", _sim.shared_bits),
         ("family:brute_topk", _sim.sim_bruteforce_topk),
     ):
-        df = build(spark, sf_dir)
         t0 = time.monotonic()
+        df = build(spark, sf_dir)
         n = run_and_count(df)
         record(label, time.monotonic() - t0, n, plan_metrics(df))
 
     for name, spec in sorted(specs.items()):
-        df = spec.spark(spark, sf_dir)
         t0 = time.monotonic()
+        df = spec.spark(spark, sf_dir)
         n = run_and_count(df)
         dt = time.monotonic() - t0
         record(name, dt, n, plan_metrics(df))
@@ -114,6 +116,45 @@ def main() -> None:
         ):
             qname = "sql:" + r["query"].removesuffix(".sql")
             record(qname, r["millis"] / 1000.0, r["rows"], r)
+    return per_query, rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", PAIRS_DEFAULT))
+    if "--pairs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--pairs") + 1])
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.session import get_spark
+
+    spark = get_spark(app_name="skinnerdb-spark-bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bootstrap (the reference's "warm" run, README.md:45)
+    next(iter(all_specs().values())).spark(spark, sf_dir).count()
+    # pre-warm the Python worker pool (spark.python.worker.reuse shares it
+    # across queries): the first mapInPandas query otherwise pays ~1-2 s of
+    # interpreter spin-up that is session overhead, not query cost — the
+    # reference baseline is likewise a warm (second-run) number
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    csv_lines = [
+        "Query,Millis,Rows,ShuffleCnt,ShuffleWriteBytes,ShuffleReadBytes,"
+        "SpillBytes,PeakMemBytes,AQEPlan"
+    ]
+    passes: list[dict[str, float]] = []
+    rows: dict[str, int] = {}
+    for i in range(max(1, n_runs)):
+        pq, rw = run_pass(spark, sf_dir, csv_lines if i == 0 else None)
+        passes.append(pq)
+        if i == 0:
+            rows = rw
+    per_query = passes[0]  # headline pass: coldest, baseline-comparable
+    best_query = {
+        name: min(p[name] for p in passes if name in p) for name in per_query
+    }
 
     # full per-query details always land in the CSV (BENCH_STATS.csv unless
     # overridden) — the printed JSON stays small; see below
@@ -165,6 +206,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per_query),
         "total_rows": sum(rows.values()),
+        "runs": [round(sum(p.values()), 4) for p in passes],
+        "best_total": round(sum(best_query.values()), 4),
         "ann_recall": ann_recall,
         "detail_csv": csv_path,
     }

@@ -3,22 +3,35 @@
 The IVF family (operators/ivf.py) trains its centroids on a BOUNDED sample
 collected to the driver — the right call for index building, but it leaves
 the engine without a fully distributed clustering primitive. This module is
-that primitive: Lloyd's algorithm where every step is relational algebra —
-assignment is a broadcast join + argmin aggregate, the centroid update is a
-posexplode + per-(cell, dim) partial aggregate — so the SAME plan that runs
-at sf0.01 runs on a 1000-executor cluster with no driver-side matrix at all.
+that primitive: Lloyd's algorithm where every step is relational algebra
+inside whole-stage codegen — assignment is a (pos)-keyed broadcast join +
+two hash aggregates, the centroid update is one (cell, pos)-keyed partial
+aggregate — so the SAME plan that runs at sf0.01 runs on a 1000-executor
+cluster with no driver-side matrix at all.
 
-Cross-engine exactness (the graph_pagerank recipe, analytics.py):
-  - every per-element product/value is rounded ONCE into DECIMAL(28,12)
-    (identical double->decimal cast on both engines — the dot_exact
-    precedent, hash-green since round 4),
-  - sums of those decimals are exact and associative, so Spark's partial
-    aggregation tree and DuckDB's serial SUM agree bitwise,
-  - the only scalar float steps (centroid mean = decimal-sum cast to DOUBLE
-    divided by the member count) are the same IEEE expression shape on
-    identical inputs.
-Assignment therefore needs NO floating comparisons: the argmin key
-(||c||^2 - 2*x.c) stays in decimal space end to end.
+Cross-engine exactness via per-vector int64 quantization (r7 — replaces the
+DECIMAL(30,12) algebra of r6, which ran on BigDecimal because precision 30
+exceeds Spark's long-backed decimal range, and an intermediate higher-order-
+function form whose interpreted per-element lambdas dominated the runtime):
+  - every vector element is quantized ONCE at 1e-6 by the identical IEEE
+    expression on both engines —
+    CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) — double arithmetic
+    is deterministic and both engines round half-away-from-zero,
+  - every dot product is then an EXACT int64 sum of int64 products at scale
+    1e-12 (|element product| <= ~1e13, 64-dim dots <= ~1e15, member sums <=
+    ~1e17 — far inside int64), associative, so Spark's partial aggregation
+    tree and DuckDB's serial SUM agree bitwise,
+  - argmin keys (||c||^2 - 2*x.c, scaled) compare as INTEGERS — no floating
+    comparison anywhere in assignment,
+  - the only float steps (centroid mean, final dist2) are the same IEEE
+    expression shape on identical integer inputs:
+    (CAST(sum AS DOUBLE) / 1e6) / count and CAST(sum AS DOUBLE) / 1e12.
+This is the dedup_prefix_filter precedent (int64-hash verify,
+PERFORMANCE.md): exactness contracts move to integer space when the exact
+decimal form would dominate the runtime. Staying in join + hash-agg codegen
+rather than array lambdas is the 100 TB call: interpreted per-element
+evaluation costs ~300 ns/element (measured, PERFORMANCE.md r7) — ruinous at
+10^12 elements — while exploded long arithmetic runs at memory bandwidth.
 
 Reference analogue: none — the reference engine (SkinnerDB) has no
 clustering; this extends its surface for training-data curation (SURVEY §6).
@@ -39,24 +52,23 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 DIM = 64
 
-#: decimal dot product of two array expressions (elements float/double).
-#: Stays DECIMAL — no trailing double cast — so argmin keys compare exactly.
-def _dot_dec(a: str, b: str) -> str:
-    return (
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
-        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))), "
-        f"CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"
-        f" AS DECIMAL(30,12))"
-    )
+#: per-element quantizer: float/double -> int64 at scale 1e6 (see module doc).
+_Q = "CAST(ROUND(CAST({x} AS DOUBLE) * 1e6, 0) AS BIGINT)"
 
 
-#: DuckDB mirror (1-based list indexing, lateral sum over generate_series).
-def _oracle_dot_dec(a: str, b: str) -> str:
-    return (
-        f"(SELECT CAST(SUM(CAST(CAST({a}[g.i] AS DOUBLE) * CAST({b}[g.i] AS DOUBLE)"
-        f" AS DECIMAL(28,12))) AS DECIMAL(30,12))"
-        f" FROM generate_series(1, {DIM}) g(i))"
-    )
+def _exploded_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, pos, xq): the embeddings table quantized and exploded to one
+    row per (vector, dimension) — loop-invariant, computed once per query
+    and lineage-cut with an eager localCheckpoint so every round reads the
+    materialized 3-column frame instead of re-scanning parquet. ~|rows|*DIM
+    long rows; partial aggregation keeps all downstream shuffles at
+    K * DIM or |rows| granularity, never this one."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(f"transform(embedding, x -> {_Q.format(x='x')})")
+        ).alias("pos", "xq"),
+    ).localCheckpoint(eager=True)
 
 
 def _init_centroids(e: DataFrame) -> DataFrame:
@@ -67,36 +79,60 @@ def _init_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell, score): nearest centroid per vector, ties -> lowest cell.
+def _cent_components(cents: DataFrame) -> DataFrame:
+    """(cell, pos, cq): the K x DIM centroid components, quantized — K*DIM
+    rows, broadcast into every assignment join."""
+    return cents.select(
+        "cell",
+        F.posexplode(
+            F.expr(f"transform(carr, x -> {_Q.format(x='x')})")
+        ).alias("pos", "cq"),
+    )
 
-    score = ||c||^2 - 2*x.c (the vector's own norm is argmin-invariant), in
-    decimal. The centroid table is K rows — an explicit broadcast — so the
-    "join" is map-side: |rows| * K in-row dot products, then one argmin
-    aggregate keyed on vec_id. No shuffle of the embeddings themselves.
-    """
-    score = f"CAST({_dot_dec('carr', 'carr')} - 2 * {_dot_dec('embedding', 'carr')} AS DECIMAL(32,12))"
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id", "cell", F.expr(score).alias("score")
+
+def _assign(ev: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, score): nearest centroid per vector, ties -> lowest
+    cell, entirely in whole-stage codegen.
+
+    score = ||c||^2 - 2*x.c (the vector's own norm is argmin-invariant) in
+    scaled int64: the exploded vectors join the broadcast K*DIM component
+    table on pos (map-side — every probe row matches K build rows), partial
+    sums reduce |rows|*DIM*K products down to |rows|*K (vec_id, cell) dots
+    before the shuffle, a second aggregate takes the integer argmin, and the
+    8-row cnorm table (sum cq^2, computed once per round from the SAME
+    quantized components) lands via broadcast. No embedding row ever
+    shuffles."""
+    cc = _cent_components(cents)
+    cn = cc.groupBy("cell").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("cnorm")
+    )
+    dots = (
+        ev.join(F.broadcast(cc), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("xq") * F.col("cq")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(cn), "cell").select(
+        "vec_id", "cell", (F.col("cnorm") - 2 * F.col("dot")).alias("score")
     )
     return scored.groupBy("vec_id").agg(
         F.min(F.struct("score", "cell")).alias("m")
     ).select("vec_id", F.col("m.cell").alias("cell"), F.col("m.score").alias("score"))
 
 
-def _update(e: DataFrame, asn: DataFrame, prev: DataFrame) -> DataFrame:
-    """New (cell, carr): per-dimension member means. The explode never leaves
-    the mapper (partial aggregation on (cell, pos) before the K*DIM-row
-    shuffle); empty cells keep their previous centroid (deterministic at any
-    scale, even though the seed-from-data init makes them rare)."""
-    m = asn.join(e, "vec_id").select(
-        "cell", F.posexplode("embedding").alias("pos", "v")
-    )
-    comp = m.groupBy("cell", "pos").agg(
-        (
-            F.sum(F.expr("CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cv")
+def _update(ev: DataFrame, asn: DataFrame, prev: DataFrame) -> DataFrame:
+    """New (cell, carr): per-dimension member means. One (cell, pos)-keyed
+    partial aggregate over the exploded vectors joined with the assignment
+    (AQE broadcasts the |rows|-sized asn at bench scale; at cluster scale it
+    falls back to a co-partitioned join on vec_id — both exact): K * DIM
+    rows out of the shuffle, quantized int64 sums — codegen-fast long adds;
+    empty cells keep their previous centroid (deterministic at any scale,
+    even though the seed-from-data init makes them rare)."""
+    comp = (
+        ev.join(asn.select("vec_id", "cell"), "vec_id")
+        .groupBy("cell", "pos")
+        .agg(
+            (F.sum("xq").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("cv")
+        )
     )
     arrs = comp.groupBy("cell").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
@@ -105,6 +141,18 @@ def _update(e: DataFrame, asn: DataFrame, prev: DataFrame) -> DataFrame:
     )
     return prev.join(arrs, "cell", "left").select(
         "cell", F.coalesce("new_carr", "carr").alias("carr")
+    )
+
+
+#: DuckDB mirror of the quantized dot product (1-based list indexing,
+#: lateral sum over generate_series) — the SAME quantize-then-integer-sum
+#: expression, term by term.
+def _oracle_dot_q(a: str, b: str) -> str:
+    qa = _Q.format(x=f"{a}[g.i]")
+    qb = _Q.format(x=f"{b}[g.i]")
+    return (
+        f"(SELECT CAST(SUM({qa} * {qb}) AS BIGINT)"
+        f" FROM generate_series(1, {DIM}) g(i))"
     )
 
 
@@ -119,9 +167,8 @@ def _kmeans_oracle() -> str:
     for i in range(1, KMEANS_ITERS + 1):
         body += f""",
     s{i} AS (SELECT e.vec_id, c.cell,
-               CAST({_oracle_dot_dec('c.carr', 'c.carr')}
-                    - 2 * {_oracle_dot_dec('e.embedding', 'c.carr')}
-                    AS DECIMAL(32,12)) AS score
+               {_oracle_dot_q('c.carr', 'c.carr')}
+                    - 2 * {_oracle_dot_q('e.embedding', 'c.carr')} AS score
              FROM emb e CROSS JOIN {prev} c),
     a{i} AS (SELECT vec_id, cell FROM (
                SELECT vec_id, cell,
@@ -129,8 +176,8 @@ def _kmeans_oracle() -> str:
                            ORDER BY score, cell) AS rn
                FROM s{i}) WHERE rn = 1),
     u{i} AS (SELECT a.cell, g.i AS pos,
-               CAST(SUM(CAST(CAST(e.embedding[g.i] AS DOUBLE)
-                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+               CAST(SUM({_Q.format(x='e.embedding[g.i]')})
+                    AS DOUBLE) / 1e6 / COUNT(*) AS cv
              FROM a{i} a JOIN emb e USING (vec_id)
              CROSS JOIN generate_series(1, {dim}) g(i)
              GROUP BY a.cell, g.i),
@@ -139,15 +186,13 @@ def _kmeans_oracle() -> str:
     c{i} AS (SELECT p.cell, COALESCE(n{i}.carr, p.carr) AS carr
              FROM {prev} p LEFT JOIN n{i} USING (cell))"""
         prev = f"c{i}"
-    f = KMEANS_ITERS + 1
     body += f""",
     sf AS (SELECT e.vec_id, c.cell,
-             CAST({_oracle_dot_dec('c.carr', 'c.carr')}
-                  - 2 * {_oracle_dot_dec('e.embedding', 'c.carr')}
-                  AS DECIMAL(32,12)) AS score,
-             {_oracle_dot_dec('e.embedding', 'e.embedding')} AS xn
+             {_oracle_dot_q('c.carr', 'c.carr')}
+                  - 2 * {_oracle_dot_q('e.embedding', 'c.carr')} AS score,
+             {_oracle_dot_q('e.embedding', 'e.embedding')} AS xn
            FROM emb e CROSS JOIN {prev} c)
-    SELECT vec_id, cell, CAST(xn + score AS DOUBLE) AS dist2
+    SELECT vec_id, cell, CAST(xn + score AS DOUBLE) / 1e12 AS dist2
     FROM (SELECT vec_id, cell, score, xn,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                       ORDER BY score, cell) AS rn
@@ -164,30 +209,40 @@ def _kmeans_oracle() -> str:
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully distributed Lloyd's k-means: {KMEANS_ITERS} (assign, update)
     rounds from a deterministic seed, then the final assignment
-    (vec_id, cell, dist2) — dist2 the exact squared Euclidean distance to
-    the final centroid (decimal dot algebra, cast to double once at the end).
+    (vec_id, cell, dist2) — dist2 the squared Euclidean distance to the
+    final centroid in the engine's exact 1e-6-per-element fixed-point
+    algebra, cast to double once at the end.
 
-    Scale shape per iteration: ONE broadcast of the K x DIM centroid table
-    (a few KB), |rows| * K map-side decimal dots + an argmin aggregate, and
-    ONE (cell, pos)-keyed partial aggregate for the update (K * DIM rows out
-    of the shuffle). Nothing is collected to the driver — contrast with
-    operators/ivf.py's bounded-sample train, which is the INDEX-build path;
-    this is the model-training path a 100 TB curation pipeline runs.
-    The fixed {KMEANS_ITERS}-round loop stays fully LAZY — one end-to-end
-    plan, every round's cost billed to this query's own execution; only
-    iteration-count-unbounded loops like dedup_clusters need the
-    localCheckpoint lineage cut. The DuckDB oracle unrolls the same rounds
-    as CTEs — feasible at test scale only, which is the point of the
-    distributed path."""
+    Scale shape per iteration: ONE broadcast of the K*DIM quantized
+    component table (a few KB), dot products as a pos-keyed broadcast join +
+    (vec_id, cell)-keyed partial aggregate over the exploded vectors (all
+    whole-stage codegen — zero interpreted lambdas in the hot path), an
+    integer argmin, and ONE (cell, pos)-keyed partial aggregate for the
+    update (K * DIM rows out of its shuffle). Nothing is collected to the
+    driver — contrast with operators/ivf.py's bounded-sample train, which is
+    the INDEX-build path; this is the model-training path a 100 TB curation
+    pipeline runs.
+
+    Lineage discipline (VERDICT r6 item 2): the loop-invariant exploded
+    vector frame and each round's K-row centroid frame are cut with eager
+    ``localCheckpoint`` (the dedup_clusters pattern, dedup.py) — round k's
+    ``prev`` is consumed twice (assign + empty-cell fallback), so a fully
+    lazy unroll would embed 2^rounds copies of the seed lineage and lean on
+    optimizer exchange reuse. Checkpointing makes the plan linear in rounds
+    BY CONSTRUCTION; rounds execute at plan-build time, which bench.py's
+    build-inclusive timing attributes to this query. The DuckDB oracle
+    unrolls the same rounds as CTEs — feasible at test scale only, which is
+    the point of the distributed path."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _init_centroids(e)
+    ev = _exploded_vectors(e)
+    cents = _init_centroids(e).localCheckpoint(eager=True)
     for _ in range(KMEANS_ITERS):
-        asn = _assign(e, cents).select("vec_id", "cell")
-        cents = _update(e, asn, cents)
-    final = _assign(e, cents)
-    xn = _dot_dec("embedding", "embedding")
-    return final.join(e, "vec_id").select(
+        asn = _assign(ev, cents)
+        cents = _update(ev, asn, cents).localCheckpoint(eager=True)
+    final = _assign(ev, cents)
+    xn = ev.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("xn"))
+    return final.join(xn, "vec_id").select(
         "vec_id",
         "cell",
-        F.expr(f"CAST({xn} + score AS DOUBLE)").alias("dist2"),
+        F.expr("CAST(xn + score AS DOUBLE) / 1e12").alias("dist2"),
     )
