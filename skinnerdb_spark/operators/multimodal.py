@@ -306,15 +306,27 @@ def decode_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 w, h, ch, px = _decode(bytes(c))
+                # keep the stat labels truthful per channel count (ADVICE
+                # r6): 1 = grayscale (all in sum_r), 3 = RGB, 4 = RGBA
+                # (alpha ignored). Anything else would silently mislabel.
+                if ch in (3, 4):
+                    sums = (sum(px[0::ch]), sum(px[1::ch]), sum(px[2::ch]))
+                elif ch == 1:
+                    sums = (sum(px), 0, 0)
+                else:
+                    raise ValueError(
+                        f"decode_stats: unsupported channel count {ch} "
+                        f"for media_id={int(mid)}"
+                    )
                 rows.append(
                     {
                         "media_id": int(mid),
                         "width": w,
                         "height": h,
                         "channels": ch,
-                        "sum_r": sum(px[0::3]) if ch == 3 else sum(px),
-                        "sum_g": sum(px[1::3]) if ch == 3 else 0,
-                        "sum_b": sum(px[2::3]) if ch == 3 else 0,
+                        "sum_r": sums[0],
+                        "sum_g": sums[1],
+                        "sum_b": sums[2],
                         "px00_r": px[0],
                     }
                 )

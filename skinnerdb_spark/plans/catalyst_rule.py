@@ -42,32 +42,79 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
-_STATE = threading.local()
+#: process-global NON-BLOCKING re-entrancy guard. A thread-local flag would
+#: only stop the nested re-optimization (`_reorder` calls
+#: `optimizedPlan()`, which re-fires this rule) under py4j pinned-thread
+#: mode; with PYSPARK_PIN_THREAD=0 the nested callback arrives on a
+#: DIFFERENT callback-server thread and a thread-local guard would recurse
+#: unboundedly. A global try-lock is safe in both modes: the nested (or any
+#: concurrent) invocation fails the acquire and returns None = identity —
+#: the rule only ever *skips an optimization*, never changes semantics.
+_BUSY = threading.Lock()
 
 
 class _PyReorderer:
     """py4j proxy implementing skinner.SkinnerReorderRule$Reorderer."""
+
+    #: cap on the no-op memo; cleared wholesale on overflow (keys are ints).
+    _NOOP_CAP = 16384
 
     def __init__(self, spark: SparkSession):
         self._spark = spark
         self.hits = 0
         self.misses = 0
         self.errors = 0
+        self.skips = 0  # memoized no-op short-circuits
+        #: semanticHash values of plans this proxy already decided to leave
+        #: untouched — ineligible shapes, cache misses, plans ALREADY in the
+        #: learned order (including every plan this rule itself emitted).
+        #: semanticHash canonicalizes exprIds, so it is stable across
+        #: re-executions of the same query text; a collision merely skips an
+        #: optimization (identity), never changes semantics. This memo is
+        #: the overhead bound (PERFORMANCE.md r7): the optimizer fixpoint
+        #: re-invokes the rule on its own output, and repeated template
+        #: queries dominate real workloads — both paths collapse to ONE
+        #: py4j call + a set probe instead of the full plan walk +
+        #: extraction + nested re-optimization.
+        self._noop: set[int] = set()
 
     class Java:  # noqa: D106  (py4j contract)
         implements = ["skinner.SkinnerReorderRule$Reorderer"]
 
+    def _mark_noop(self, h: int | None) -> None:
+        if h is None:
+            return
+        if len(self._noop) >= self._NOOP_CAP:
+            self._noop.clear()
+        self._noop.add(h)
+
     def reorder(self, jplan):
-        if getattr(_STATE, "busy", False):
+        if not _BUSY.acquire(blocking=False):
             return None
-        _STATE.busy = True
         try:
-            return self._reorder(jplan)
+            try:
+                h = jplan.semanticHash()
+            except Exception:
+                h = None
+            if h is not None and h in self._noop:
+                self.skips += 1
+                return None
+            out = self._reorder(jplan)
+            if out is None:
+                self._mark_noop(h)
+            else:
+                # the emitted plan is in the learned order by construction:
+                # memo it so the fixpoint re-invocation short-circuits
+                try:
+                    self._mark_noop(out.semanticHash())
+                except Exception:
+                    pass
+            return out
         except Exception:
             self.errors += 1
             return None
         finally:
-            _STATE.busy = False
+            _BUSY.release()
 
     def _reorder(self, jplan):
         from skinnerdb_spark.plans.graph import (
@@ -140,17 +187,15 @@ def _shape_lookup_unordered(shape_sig: tuple):
     """Shape lookup ignoring the chain order baked into shape_sig[0]: the
     order learned at the API boundary (user-written chain order) must still
     be found when Catalyst's own reordering already permuted the joins
-    before this rule runs."""
-    from skinnerdb_spark.plans.graph import _ORDER_CACHE
+    before this rule runs. O(1) via the canonical-key secondary index
+    (graph._SHAPE_INDEX) — this runs inside the optimizer per query, so the
+    previous O(cache) linear scan was hot-path cost (ADVICE r6)."""
+    from skinnerdb_spark.plans.graph import _ORDER_CACHE, _SHAPE_INDEX, _canon_shape
 
     if len(shape_sig) != 3:
         return None
-    names, scopes, edges = shape_sig
-    canon = (tuple(sorted(names)), scopes, edges)
-    for k, v in _ORDER_CACHE.items():
-        if len(k) == 3 and (tuple(sorted(k[0])), k[1], k[2]) == canon:
-            return v
-    return None
+    primary = _SHAPE_INDEX.get(_canon_shape(shape_sig))
+    return _ORDER_CACHE.get(primary) if primary is not None else None
 
 
 def rule_available(spark: SparkSession) -> bool:

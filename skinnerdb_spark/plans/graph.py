@@ -79,6 +79,27 @@ _PASSTHROUGH = {
 _ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
 _ORDER_CACHE_CAP = 4096
 
+#: secondary index for ORDER-INSENSITIVE shape lookup (ADVICE r6 /
+#: VERDICT r6 item 6): canonical (sorted names, scopes, edges) -> the
+#: primary _ORDER_CACHE key. The Catalyst rule's unordered shape lookup
+#: runs inside every optimizer invocation of an eligible query — an O(cache)
+#: scan there puts up to 4096 tuple comparisons in the optimizer hot path;
+#: this dict makes it O(1). Values are primary KEYS (not orders), so a key
+#: popped from _ORDER_CACHE (cap eviction, test isolation) degrades to a
+#: clean miss instead of a stale hit.
+_SHAPE_INDEX: dict[tuple, tuple] = {}
+
+
+def _canon_shape(key: tuple) -> tuple:
+    return (tuple(sorted(key[0])), key[1], key[2])
+
+
+def _index_shape(key: tuple) -> None:
+    # shape keys are (names, scopes, edges); exact signatures add a 4th
+    # element and transfer keys lead with the "xfer" marker
+    if len(key) == 3 and key[0] != "xfer":
+        _SHAPE_INDEX[_canon_shape(key)] = key
+
 #: learned orders also persist across sessions (spark-warehouse/
 #: joinorder_cache.json, same durability upgrade as the IVF index vs the
 #: reference's per-session RAM indexes): a new driver process inherits every
@@ -130,6 +151,7 @@ def load_order_cache(path: str | None = None) -> int:
         key = _tuplify(k)
         if key not in _ORDER_CACHE:
             _ORDER_CACHE[key] = tuple(v)
+            _index_shape(key)
             n += 1
         # backfill the scope-free transfer tier from persisted SHAPE keys
         # (files written before the tier existed have none): shape keys are
@@ -169,6 +191,7 @@ def _cache_put(key: tuple, order: tuple[str, ...]) -> None:
     if key not in _ORDER_CACHE and len(_ORDER_CACHE) >= _ORDER_CACHE_CAP:
         _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
     _ORDER_CACHE[key] = order
+    _index_shape(key)
     if _persist_enabled():
         try:
             save_order_cache()

@@ -178,13 +178,30 @@ def budgeted_count(df: DataFrame, budget_s: float | None = None) -> tuple[int | 
         except Exception as e:  # cancellation surfaces as a SparkException
             out["err"] = e
 
-    th = threading.Thread(target=run, daemon=True)
+    # InheritableThread (vs a bare Thread): in py4j pinned-thread mode every
+    # Python thread pins a JVM thread; pyspark's InheritableThread carries
+    # the parent's local properties over AND cleans the pinned JVM thread up
+    # on exit, so repeated budgeted episodes don't leak JVM threads /
+    # local-property state (ADVICE r6).
+    from pyspark import InheritableThread
+
+    th = InheritableThread(target=run, daemon=True)
     t0 = time.monotonic()
     th.start()
     th.join(budget_s)
     if th.is_alive():
         sc.cancelJobGroup(group)
         th.join(30)
+        if th.is_alive():
+            # cancellation did not land: the episode's jobs are still
+            # executing concurrently with whatever runs next — surface it
+            # loudly instead of silently racing (ADVICE r6)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "budgeted episode %s still running 30 s after cancelJobGroup; "
+                "its jobs may overlap subsequent episodes", group
+            )
         return None, time.monotonic() - t0
     if "err" in out:
         return None, time.monotonic() - t0

@@ -285,13 +285,36 @@ def median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "surplus"),
 )
 def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact DISTINCT aggregation as STACKED TWO-LEVEL
+    aggregates instead of one multi-distinct agg (VERDICT r6 item 5): Spark
+    plans n distinct children as an Expand that replicates every input row
+    n times through a single shuffle — measured 20x at the sf1 10x point.
+    Here each distinct column runs its own dedup pipeline — partial
+    map-side dedup on (group, col), shuffle bounded by the DISTINCT
+    cardinality (not the row count), then a 3-row-per-group count/sum —
+    and the three tiny per-group results broadcast-join back on the group
+    key. Linear in input at any scale; results identical (exact paths,
+    NULLs skipped by count/sum as in the single-agg form)."""
     l = read_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.count_distinct(F.col("l_partkey")).alias("distinct_parts"),
-        F.count_distinct(F.col("l_suppkey")).alias("distinct_supps"),
-        F.sum_distinct(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias(
-            "sum_distinct_qty"
-        ),
+
+    def per_group(col: str, agg: Column, alias: str) -> DataFrame:
+        return (
+            l.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(agg.alias(alias))
+        )
+
+    parts = per_group("l_partkey", F.count("l_partkey"), "distinct_parts")
+    supps = per_group("l_suppkey", F.count("l_suppkey"), "distinct_supps")
+    qty = (
+        l.select("l_returnflag", F.col("l_quantity").cast("decimal(18,4)").alias("q"))
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.sum("q").cast("double").alias("sum_distinct_qty"))
+    )
+    return parts.join(supps, "l_returnflag").join(qty, "l_returnflag").select(
+        "l_returnflag", "distinct_parts", "distinct_supps", "sum_distinct_qty"
     )
 
 

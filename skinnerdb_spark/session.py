@@ -77,8 +77,19 @@ def get_spark(
     # running JVM and install_learned_order_rule() simply reports
     # unavailable (clean fallback to Engine.adaptive_sql).
     _rule_jar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jars", "skinner-rule.jar")
+    extra_conf = dict(extra_conf or {})
     if os.path.isfile(_rule_jar):
-        b = b.config("spark.driver.extraClassPath", _rule_jar)
+        # APPEND to any pre-existing classpath (env/spark-defaults or a
+        # user-supplied extra_conf value) instead of clobbering either way
+        # (ADVICE r6): dropping the ambient path breaks user deps; dropping
+        # the jar silently disables the rule.
+        ambient = os.environ.get("SPARK_DRIVER_EXTRA_CLASSPATH", "")
+        user = extra_conf.pop("spark.driver.extraClassPath", "")
+        seen: list[str] = []
+        for part in (*user.split(os.pathsep), *ambient.split(os.pathsep), _rule_jar):
+            if part and part not in seen:
+                seen.append(part)
+        b = b.config("spark.driver.extraClassPath", os.pathsep.join(seen))
     for k, v in (extra_conf or {}).items():  # user conf wins over defaults
         b = b.config(k, v)
     spark = b.getOrCreate()
