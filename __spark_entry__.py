@@ -22,12 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
-#: everything the driver's correctness gate sampled in rounds 1-5 (the union
-#: of CORRECTNESS_r01..r05 keys — 148/148 registry entries green cumulatively
-#: as of r5). The gate takes the FIRST 50 queries() entries, so already-green
+#: everything the driver's correctness gate sampled in rounds 1-6 (the union
+#: of CORRECTNESS_r01..r06 keys — 160/160 registry entries green cumulatively
+#: as of r6). The gate takes the FIRST 50 queries() entries, so already-green
 #: entries rotate to the back and any newly added entries get hard driver
 #: rows. The staples keep full local coverage in tests/test_oracle.py.
-_R12345_SAMPLED = frozenset(
+_R123456_SAMPLED = frozenset(
     ["adaptive_star_join", "setop_union", "setop_intersect_except",
      "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
      "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
@@ -72,41 +72,49 @@ _R12345_SAMPLED = frozenset(
        "text_quality_lr", "text_tfidf_topk",
        "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q17",
        "tpch_q18", "tpch_q19", "tpch_q20"]
+    # r6 sample (CORRECTNESS_r06: 50/50 hash-green)
+    + ["multimodal_decode_stats", "text_token_ids", "setop_bag_semantics",
+       "embed_norm_qa", "embed_kmeans", "text_bpe_merges",
+       "docs_bigram_lm_score", "embed_power_iteration", "docs_pmi_topk",
+       "graph_jaccard_links", "orders_skyline", "ev_heavy_hitters"]
 )
 
-#: sampled before, but rotate forward again for re-verification in r6:
-#: entries whose implementation changed materially this round (conf-gated
-#: approx switches keep the exact path default — these rows prove it).
-_REVERIFY = ["orders_equidepth_hist", "docs_bm25_topk", "profile_table",
-             "docs_length_quantiles",
-             # r6 de-windowed (ranked_topk / broadcast scalar-total joins)
-             "ev_session_paths", "graph_pagerank", "docs_source_mix",
-             "ev_value_histogram"]
+#: sampled before, but rotate forward again for re-verification in r7:
+#: every entry whose implementation (or a shared helper in its plan) changed
+#: this round — enforced by tools/gate_check.py (plan+oracle fingerprint
+#: diff vs GATE_FINGERPRINTS.json), which closed the r6 hygiene miss where
+#: two changed entries never rotated forward.
+_REVERIFY = [
+    # ranked_topk rewrite (single upstream execution) — all 5 call sites
+    "graph_pagerank", "graph_jaccard_links", "ev_session_paths",
+    "text_token_ids", "docs_pmi_topk",
+    # trainer lineage linearization + int64-quantized kmeans, BPE checkpoints
+    "embed_kmeans", "text_bpe_merges",
+    # exact multi-distinct reformulation (Expand removed)
+    "distinct_agg",
+    # decode_stats channel-sum relabeling
+    "multimodal_decode_stats",
+    # r6 gate hygiene misses (changed in r6, never re-sampled — VERDICT item 3)
+    "dedup_prefix_filter", "name_edit_distance_pairs",
+]
 
-#: pinned to the very FRONT of the gate window: new r6 registry entries,
-#: listed explicitly so their first driver rows are immune to registration
-#: order. (r5's 8 never-sampled TPC-H entries all went green — see
-#: CORRECTNESS_r05.json — so the priority slot now serves new entries.)
-_PRIORITY: list[str] = ["multimodal_decode_stats", "text_token_ids",
-                        "setop_bag_semantics", "embed_norm_qa",
-                        # r6 second-half additions
-                        "embed_kmeans", "text_bpe_merges",
-                        "docs_bigram_lm_score", "embed_power_iteration",
-                        "docs_pmi_topk", "graph_jaccard_links", "orders_skyline",
-                        "ev_heavy_hitters"]
+#: pinned to the very FRONT of the gate window: new registry entries for
+#: this round, listed explicitly so their first driver rows are immune to
+#: registration order.
+_PRIORITY: list[str] = []
 
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
     front = [n for n in _PRIORITY + _REVERIFY if n in specs]
-    fresh = [n for n in specs if n not in _R12345_SAMPLED and n not in front]
-    rest = [n for n in specs if n in _R12345_SAMPLED and n not in front]
+    fresh = [n for n in specs if n not in _R123456_SAMPLED and n not in front]
+    rest = [n for n in specs if n in _R123456_SAMPLED and n not in front]
     return front + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _R12345_SAMPLED)."""
+    never-driver-sampled entries first (see _R123456_SAMPLED)."""
     specs = all_specs()
     return {name: specs[name].spark for name in _driver_ordered()}
 

@@ -614,6 +614,14 @@ def adaptive_reorder(
     import math
     import time
 
+    # ops/test escape hatch: SKINNER_ADAPTIVE_DISABLE=1 turns every
+    # adaptive wrapper into the identity (Catalyst's own order executes).
+    # tools/gate_check.py uses it so plan fingerprints don't vary with the
+    # learned-order cache state or wall-clock episode rewards.
+    if os.environ.get("SKINNER_ADAPTIVE_DISABLE") == "1":
+        res = AdaptiveJoinResult(df, ())
+        res.reason = "disabled via SKINNER_ADAPTIVE_DISABLE"  # type: ignore[attr-defined]
+        return res
     try:
         graph = extract_query_graph(df)
     except ExtractionError as e:
