@@ -192,14 +192,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes. PNG and BMP decode for real; anything else
-    (JPEG, WebP, ...) raises — those codecs genuinely are not in this
-    container, and silently faking them would poison downstream features."""
+    """Dispatch on magic bytes. PNG, BMP, and baseline JPEG decode for real
+    (pure stdlib — JPEG in operators/jpeg.py, r7); anything else (WebP,
+    video, progressive JPEG) raises — those codecs genuinely are not in
+    this container, and silently faking them would poison downstream
+    features."""
     if data[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from skinnerdb_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only PNG and BMP decode in this environment (pure-stdlib codecs); "
-        "JPEG/WebP/video need external libraries"
+        "only PNG, BMP, and baseline JPEG decode in this environment "
+        "(pure-stdlib codecs); WebP/video need external libraries"
     )

@@ -375,3 +375,85 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = encode_test_media(d.select(F.col("doc_id").alias("media_id")))
     return decode_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG path (r7): the pure-stdlib baseline JPEG codec (operators/
+# jpeg.py) exercised end-to-end through Spark — encode a smooth fixture
+# image per document worker-side, decode the actual JPEG bytes back, and
+# verify the lossy round-trip against the generating formula INSIDE the
+# worker (max per-sample error bound). The hash-gated output carries the
+# exactly-predictable fields (dims, channels, tolerance verdict), so a
+# broken Huffman table / IDCT / upsampler flips `within_tol` and fails the
+# driver gate; pixel-exact behavior is pinned separately by the component
+# round-trip tests (JPEG is lossy, so pixel sums cannot be SQL-oracled).
+# ---------------------------------------------------------------------------
+
+JPEG_DOCS = 300  # bounded probe set: pure-Python DCT per image
+JPEG_TOL = 12    # max abs per-sample error for q90 4:4:4 on smooth content
+
+
+def _jpeg_test_pixels(media_id: int) -> tuple[int, int, bytes]:
+    """Smooth deterministic fixture (no 255->0 wraps: JPEG ringing on hard
+    edges would need a loose tolerance that could mask real bugs)."""
+    w, h = 16 + media_id % 9, 12 + media_id % 7
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append(min(255, 30 + media_id % 60 + x * 5 + y * 2))
+            px.append(min(255, 60 + (media_id // 3) % 50 + x * 2 + y * 4))
+            px.append(max(0, 220 - (media_id % 40) - x * 3 - y * 3))
+    return w, h, bytes(px)
+
+
+_JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ]
+)
+
+_JPEG_ORACLE = f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 + doc_id % 9 AS BIGINT) AS width,
+           CAST(12 + doc_id % 7 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           TRUE AS within_tol
+    FROM documents WHERE doc_id < {JPEG_DOCS}
+"""
+
+
+@register("multimodal_jpeg_roundtrip", _JPEG_ORACLE, tags=("multimodal", "pipeline", "codec"))
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode real baseline JPEG bytes per document over Arrow
+    batches (see module comment above). Scale shape: one mapInPandas stage,
+    per-task streaming, zero shuffle; the probe set is bounded (JPEG_DOCS)
+    because the pure-Python DCT is a test-fixture path — a production 100 TB
+    decode pass swaps in a native codec behind the same batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, px = _jpeg_test_pixels(mid)
+                data = encode_jpeg(w, h, px, channels=3, quality=90)
+                dw, dh, dc, out = decode_jpeg(data)
+                ok = (
+                    (dw, dh, dc) == (w, h, 3)
+                    and max(abs(a - b) for a, b in zip(px, out)) <= JPEG_TOL
+                )
+                rows.append({"media_id": mid, "width": dw, "height": dh,
+                             "channels": dc, "within_tol": ok})
+            yield pd.DataFrame(rows, columns=[f.name for f in _JPEG_SCHEMA.fields])
+
+    d = read_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id")).filter(
+        F.col("media_id") < JPEG_DOCS
+    )
+    return ids.repartition(8).mapInPandas(gen, schema=_JPEG_SCHEMA)
