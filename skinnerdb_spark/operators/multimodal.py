@@ -457,3 +457,110 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") < JPEG_DOCS
     )
     return ids.repartition(8).mapInPandas(gen, schema=_JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL AUDIO path (r7): pure-stdlib RIFF/WAVE codec (operators/audio.py)
+# exercised end-to-end — synthesize deterministic int16 PCM per document,
+# encode real WAV bytes worker-side, then a second Arrow stage parses the
+# actual RIFF chunk structure back and emits integer audio features
+# (duration, per-channel sum, peak amplitude, zero-crossing rate numerator).
+# Every feature is exact integer algebra, so the SQL oracle recomputes all
+# of them from the generating formula — a wrong chunk walk, pad-byte slip,
+# byte order, or interleave de-mux flips a hash-gated column.
+# ---------------------------------------------------------------------------
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sum_ch0", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _audio_params(media_id: int) -> tuple[int, int, int]:
+    """(n_frames, sample_rate, channels) — integer algebra only."""
+    return 120 + media_id % 61, 8000 + (media_id % 3) * 4000, 1 + media_id % 2
+
+
+def _audio_sample(media_id: int, ch: int, i: int) -> int:
+    return ((media_id * 31 + ch * 59 + i * 97) % 2001) - 1000
+
+
+_AUDIO_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, 120 + doc_id % 61 AS n,
+               8000 + (doc_id % 3) * 4000 AS sr,
+               1 + doc_id % 2 AS ch
+        FROM documents),
+    s AS (
+        SELECT doc_id, n, sr, ch, i.i AS i,
+               ((doc_id * 31 + i.i * 97) % 2001) - 1000 AS s0,
+               ((doc_id * 31 + 59 + i.i * 97) % 2001) - 1000 AS s1,
+               ((doc_id * 31 + (i.i - 1) * 97) % 2001) - 1000 AS s0_prev
+        FROM p, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), 1)) AS i(i))
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000000 // sr AS BIGINT) AS duration_us,
+           CAST(SUM(s0) AS BIGINT) AS sum_ch0,
+           CAST(MAX(GREATEST(ABS(s0),
+                    CASE WHEN ch = 2 THEN ABS(s1) ELSE 0 END)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CASE WHEN i > 0 AND ((s0_prev < 0) <> (s0 < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s
+    GROUP BY doc_id, n, sr, ch
+"""
+
+
+@register("multimodal_audio_features", _AUDIO_ORACLE, tags=("multimodal", "pipeline", "codec"))
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per-document WAV bytes built and then
+    re-parsed by the pure-stdlib RIFF codec (operators/audio.py), features
+    computed from the DECODED stream only. Scale shape: one mapInPandas
+    stage over Arrow batches, per-task streaming, zero shuffle — the exact
+    decode/feature pass of an audio curation pipeline at 100 TB; a native
+    codec swaps in behind the same batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.audio import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n, sr, ch = _audio_params(mid)
+                interleaved = [
+                    _audio_sample(mid, c, i) for i in range(n) for c in range(ch)
+                ]
+                sr_d, ch_d, out = decode_wav(encode_wav(sr, ch, interleaved))
+                nf = len(out) // ch_d
+                ch0 = out[0::ch_d]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr_d,
+                        "channels": ch_d,
+                        "n_frames": nf,
+                        "duration_us": nf * 1_000_000 // sr_d,
+                        "sum_ch0": sum(ch0),
+                        "peak_abs": max(abs(v) for v in out),
+                        "zero_crossings": sum(
+                            1
+                            for a, b in zip(ch0, ch0[1:])
+                            if (a < 0) != (b < 0)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    d = read_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id"))
+    return ids.repartition(16).mapInPandas(gen, schema=_AUDIO_SCHEMA)

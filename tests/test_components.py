@@ -1310,3 +1310,48 @@ def test_mg_update_state_roundtrip_and_bounded_size():
     got_a = int(out2.set_index("item")["est"].get("a", 0))
     assert got_a >= 4 and out2["n_shard"].iloc[0] == 18
     assert len(state.tup[0]) <= 4  # bounded state across batches
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE codec (r7)
+# ---------------------------------------------------------------------------
+
+
+class TestWavCodec:
+    def test_roundtrip_mono_and_stereo(self):
+        from skinnerdb_spark.operators.audio import decode_wav, encode_wav
+
+        for ch in (1, 2):
+            samples = [((i * 37) % 2001) - 1000 for i in range(101 * ch)]
+            sr, got_ch, got = decode_wav(encode_wav(16000, ch, samples))
+            assert (sr, got_ch, got) == (16000, ch, samples)
+
+    def test_odd_sized_data_chunk_gets_pad_byte(self):
+        from skinnerdb_spark.operators.audio import decode_wav, encode_wav
+
+        # one extra chunk of odd size before data: parser must skip the pad
+        import struct
+
+        wav = encode_wav(8000, 1, [1, -2, 3])
+        # splice a 3-byte junk chunk (odd -> 1 pad byte) right after "WAVE"
+        junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        spliced = wav[:12] + junk + wav[12:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        assert decode_wav(spliced) == (8000, 1, [1, -2, 3])
+
+    def test_rejects_non_pcm_and_truncated(self):
+        import struct
+
+        import pytest as _pytest
+
+        from skinnerdb_spark.operators.audio import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError, match="RIFF/WAVE"):
+            decode_wav(b"OggS" + b"\x00" * 40)
+        wav = bytearray(encode_wav(8000, 1, [0, 1]))
+        # flip audio_format (offset: 12 riff hdr + 8 chunk hdr) to 3 (float)
+        struct.pack_into("<H", wav, 20, 3)
+        with _pytest.raises(ValueError, match="PCM16"):
+            decode_wav(bytes(wav))
+        with _pytest.raises(ValueError, match="truncated|missing"):
+            decode_wav(encode_wav(8000, 1, [0, 1])[:-3])
