@@ -101,7 +101,10 @@ _REVERIFY = [
 #: pinned to the very FRONT of the gate window: new registry entries for
 #: this round, listed explicitly so their first driver rows are immune to
 #: registration order.
-_PRIORITY: list[str] = ["multimodal_jpeg_roundtrip", "multimodal_audio_features"]
+_PRIORITY: list[str] = [
+    "multimodal_jpeg_roundtrip", "multimodal_audio_features",
+    "multimodal_video_frames",
+]
 
 
 def _driver_ordered() -> list[str]:

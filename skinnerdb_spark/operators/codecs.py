@@ -4,8 +4,10 @@ This container has no PIL/cv2/ffmpeg, but PNG and BMP are decodable with
 nothing beyond ``zlib`` + ``struct``: PNG is IHDR/IDAT chunks, one zlib
 stream, five per-scanline filters; BMP is two fixed headers and padded
 bottom-up rows. That is enough to make the multimodal pipeline's decode
-step REAL for the two formats (JPEG/video stay honestly env-blocked —
-``decode_image`` raises for them with the formats it does support named).
+step REAL for the two formats; baseline JPEG joined in r7
+(operators/jpeg.py), WAV audio and AVI/MJPEG video in operators/audio.py
+and operators/avi.py. ``decode_image`` raises for anything else (WebP,
+progressive JPEG) with the formats it does support named.
 
 Decoders return ``(width, height, channels, pixels)`` with ``pixels`` a
 top-down row-major ``bytes`` of ``width*height*channels`` samples, 8 bits

@@ -2,12 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side machinery — schema, Arrow-batched ``mapInPandas``, partition-safe
-batch iteration — is real and oracle-verified. As of r6 the image DECODE is
-real too for PNG and BMP (pure-stdlib codecs, operators/codecs.py, driven
-end-to-end by ``multimodal_decode_stats``); JPEG/WebP/video remain honestly
-env-blocked behind ``NotImplementedError`` (no PIL/cv2/ffmpeg here), with
-the deterministic fake (:func:`fake_decode_meta`) still exercising the
-Arrow plumbing for those shapes.
+batch iteration — is real and oracle-verified. The decode step is real too:
+PNG + BMP (r6, operators/codecs.py), baseline JPEG (r7, operators/jpeg.py),
+WAV/PCM audio (r7, operators/audio.py), and AVI/MJPEG video demux+decode
+(r7, operators/avi.py) — each driven end-to-end by an oracle-verified
+registry entry. Only WebP (and non-baseline JPEG / non-MJPEG video codecs)
+remain honestly env-blocked behind ``NotImplementedError``, with the
+deterministic fake (:func:`fake_decode_meta`) still exercising the Arrow
+plumbing for those shapes.
 
 Design for 100 TB: binary payloads stay in Parquet (or are pointers into an
 object store); decode/feature-extract runs as ``mapInPandas`` over Arrow
@@ -50,21 +52,33 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes) -> tuple[int, int, int, bytes]:
-    """REAL image decode for PNG and BMP — pure-stdlib codecs
-    (operators/codecs.py: zlib + struct, all five PNG filters, 24/32-bit
-    BMP). Other formats (JPEG/WebP/video) still raise NotImplementedError:
-    those codecs genuinely are not in this container, and the error names
-    what IS supported. Returns (width, height, channels, top-down bytes);
+    """REAL image decode for PNG, BMP, and baseline JPEG — pure-stdlib
+    codecs (operators/codecs.py, operators/jpeg.py). Other formats (WebP,
+    progressive JPEG) still raise NotImplementedError: those codecs
+    genuinely are not in this container, and the error names what IS
+    supported. Returns (width, height, channels, top-down bytes);
     exercised end-to-end by the oracle-verified ``multimodal_decode_stats``
-    entry (encode -> Arrow batch -> decode -> pixel statistics)."""
+    and ``multimodal_jpeg_roundtrip`` entries."""
     from skinnerdb_spark.operators.codecs import decode_image as _decode
 
     return _decode(content)
 
 
 def sample_video_frames(content: bytes, every_n: int = 30) -> list[bytes]:
-    """Real frame sampling — NOT AVAILABLE (no ffmpeg/av). Stub."""
-    raise NotImplementedError("video codecs are not installed in this environment")
+    """REAL frame sampling for AVI/MJPEG (r7 — pure-stdlib demuxer,
+    operators/avi.py): every ``every_n``-th compressed frame payload from
+    the container's movi list. Non-AVI containers (mp4/mkv/webm) raise —
+    those demuxers genuinely are not here. Exercised end-to-end by the
+    oracle-verified ``multimodal_video_frames`` entry."""
+    from skinnerdb_spark.operators.avi import decode_avi
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only AVI/MJPEG demux is available in this environment "
+            "(pure-stdlib); mp4/mkv/webm need external libraries"
+        )
+    _w, _h, _fps, _n, frames = decode_avi(content)
+    return frames[::every_n]
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:
@@ -154,8 +168,9 @@ def sample_frames(media: DataFrame) -> DataFrame:
     """ROW-EXPANDING Arrow pipeline: each binary payload yields N frame rows
     (the video frame-sampling shape — mapInPandas emitting more rows than it
     consumes, batch-safe). Frame fingerprints are the deterministic fake for
-    the decoded frame bytes; a real build swaps in
-    :func:`sample_video_frames` (NotImplementedError here — no ffmpeg)."""
+    the decoded frame bytes; the REAL demux path is
+    :func:`sample_video_frames` (AVI/MJPEG, oracle-driven end-to-end by
+    ``multimodal_video_frames``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -564,3 +579,117 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     ids = d.select(F.col("doc_id").alias("media_id"))
     return ids.repartition(16).mapInPandas(gen, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL VIDEO path (r7): AVI (RIFF) container with MJPEG frames — the
+# pure-stdlib demuxer (operators/avi.py) + the r7 baseline JPEG codec
+# (operators/jpeg.py) exercised end-to-end. Build a real AVI per document
+# worker-side (every frame an actual JPEG), re-parse the container, sample
+# every 2nd frame (the pipeline's frame-sampling op), decode the sampled
+# JPEGs, and verify each against the generating formula AT ITS OWN frame
+# index — so a demux offset, pad-byte slip, or index shift flips the
+# hash-gated `within_tol` column. Dims/fps/frame-count/duration are exact
+# and SQL-oracled directly.
+# ---------------------------------------------------------------------------
+
+VIDEO_DOCS = 240   # bounded probe set: pure-Python DCT per frame
+VIDEO_TOL = 12     # same q90 smooth-content bound as the JPEG entry
+
+
+def _video_params(media_id: int) -> tuple[int, int, int, int]:
+    """(width, height, fps, n_frames) — integer algebra only."""
+    return 16 + media_id % 9, 12 + media_id % 7, 10 + media_id % 5, 4 + media_id % 5
+
+
+def _video_frame_pixels(media_id: int, f: int) -> bytes:
+    w, h, _fps, _n = _video_params(media_id)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append(min(255, 30 + media_id % 60 + x * 5 + y * 2 + f * 3))
+            px.append(min(255, 60 + (media_id // 3) % 50 + x * 2 + y * 4 + f * 2))
+            px.append(max(0, 220 - media_id % 40 - x * 3 - y * 3 - f * 4))
+    return bytes(px)
+
+
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("fps", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sampled_count", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ]
+)
+
+_VIDEO_ORACLE = f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 + doc_id % 9 AS BIGINT) AS width,
+           CAST(12 + doc_id % 7 AS BIGINT) AS height,
+           CAST(10 + doc_id % 5 AS BIGINT) AS fps,
+           CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST((4 + doc_id % 5 + 1) // 2 AS BIGINT) AS sampled_count,
+           CAST((4 + doc_id % 5) * (1000000 // (10 + doc_id % 5)) AS BIGINT)
+               AS duration_us,
+           TRUE AS within_tol
+    FROM documents WHERE doc_id < {VIDEO_DOCS}
+"""
+
+
+@register("multimodal_video_frames", _VIDEO_ORACLE, tags=("multimodal", "pipeline", "codec"))
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (see section comment). Scale
+    shape: one mapInPandas stage, per-task streaming, zero shuffle; the
+    probe set is bounded (VIDEO_DOCS) because the pure-Python DCT is the
+    test-fixture path — a production 100 TB pass swaps a native
+    demuxer/decoder behind the same batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.avi import decode_avi, encode_avi
+        from skinnerdb_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, fps, n = _video_params(mid)
+                avi = encode_avi(
+                    w, h, fps,
+                    [
+                        encode_jpeg(w, h, _video_frame_pixels(mid, f),
+                                    channels=3, quality=90)
+                        for f in range(n)
+                    ],
+                )
+                dw, dh, dfps, dn, frames = decode_avi(avi)
+                sampled = list(range(0, dn, 2))
+                ok = (dw, dh, dfps, dn) == (w, h, fps, n)
+                for f in sampled:
+                    fw, fh, fc, px = decode_jpeg(frames[f])
+                    ref = _video_frame_pixels(mid, f)
+                    ok = ok and (fw, fh, fc) == (w, h, 3) and max(
+                        abs(a - b) for a, b in zip(px, ref)
+                    ) <= VIDEO_TOL
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "fps": dfps,
+                        "n_frames": dn,
+                        "sampled_count": len(sampled),
+                        "duration_us": dn * (1_000_000 // dfps),
+                        "within_tol": ok,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _VIDEO_SCHEMA.fields])
+
+    d = read_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id")).filter(
+        F.col("media_id") < VIDEO_DOCS
+    )
+    return ids.repartition(16).mapInPandas(gen, schema=_VIDEO_SCHEMA)

@@ -330,9 +330,17 @@ def test_stream_stateful_user_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 def test_multimodal_stubs_raise():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"RIFFxxxxWEBP")  # WebP: genuinely absent
     with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(b"", every_n=10)
+        multimodal.sample_video_frames(b"\x00\x00\x00 ftypmp42", every_n=10)
+
+
+def test_sample_video_frames_real_avi_demux():
+    from skinnerdb_spark.operators.avi import encode_avi
+
+    frames = [b"\xff\xd8frame%d\xff\xd9" % i for i in range(7)]
+    avi = encode_avi(8, 8, 5, frames)
+    assert multimodal.sample_video_frames(avi, every_n=3) == frames[::3]
 
 
 def test_multimodal_fake_decode_deterministic():
@@ -1355,3 +1363,29 @@ class TestWavCodec:
             decode_wav(bytes(wav))
         with _pytest.raises(ValueError, match="truncated|missing"):
             decode_wav(encode_wav(8000, 1, [0, 1])[:-3])
+
+
+class TestAviCodec:
+    def test_roundtrip_with_odd_frames_and_index(self):
+        from skinnerdb_spark.operators.avi import decode_avi, encode_avi
+
+        frames = [b"abc", b"de", b"fghij"]  # odd sizes force movi pad bytes
+        w, h, fps, n, out = decode_avi(encode_avi(32, 24, 15, frames))
+        assert (w, h, fps, n) == (32, 24, 15, 3)
+        assert out == frames
+
+    def test_rejects_structural_errors(self):
+        import struct
+
+        from skinnerdb_spark.operators.avi import decode_avi, encode_avi
+
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+        # frame-count mismatch between header and movi must be loud
+        avi = bytearray(encode_avi(8, 8, 10, [b"xx", b"yy"]))
+        # avih dwTotalFrames is the 5th uint32 of the avih payload;
+        # locate the 'avih' fourcc and patch payload offset 16
+        i = bytes(avi).index(b"avih") + 8 + 16
+        struct.pack_into("<I", avi, i, 9)
+        with pytest.raises(ValueError, match="declares"):
+            decode_avi(bytes(avi))
