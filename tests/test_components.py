@@ -1225,8 +1225,12 @@ def test_codecs_roundtrip_all_png_filters_and_bmp():
     for ft in (1, 2, 3, 4):
         assert decode_png(png_with_filter(w, h, px, ft)) == (w, h, 3, px), ft
 
-    with pytest.raises(NotImplementedError, match="PNG and BMP"):
+    # JPEG dispatches to the real r7 decoder now: a truncated stream fails
+    # loudly INSIDE it, and genuinely-absent codecs still name what works
+    with pytest.raises(ValueError, match="SOS"):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+    with pytest.raises(NotImplementedError, match="PNG, BMP, and baseline JPEG"):
+        decode_image(b"RIFFxxxxWEBPVP8 ")
 
 
 def test_stream_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
