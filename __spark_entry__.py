@@ -103,7 +103,7 @@ _REVERIFY = [
 #: registration order.
 _PRIORITY: list[str] = [
     "multimodal_jpeg_roundtrip", "multimodal_audio_features",
-    "multimodal_video_frames",
+    "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
 ]
 
 

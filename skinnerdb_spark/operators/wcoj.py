@@ -1,0 +1,304 @@
+"""Worst-case-optimal multiway join (GenericJoin) with HyperCube sharding.
+
+Reference parity: SkinnerDB ships a LeapFrog-TrieJoin WCOJ family —
+``src/joining/join/wcoj/StaticLFTJ.java:32`` (attribute order fixed up
+front), ``DynamicLFTJ.java`` (order re-picked across episodes) and the
+``LFTJiter`` trie cursors — disabled in its own default path
+(``JoinProcessor.java:65-68``). Rounds 1-6 skipped it as justified; this
+module closes the gap Spark-first instead of porting the trie iterators:
+
+- **In-cell algorithm**: GenericJoin (Ngo-Porat-Re-Rudra / the algorithm
+  class LFTJ instantiates). Variables are bound one at a time in a global
+  order; for each partial binding the candidate set for the next variable
+  is the INTERSECTION of every atom containing it, computed by expanding
+  from the per-binding *smallest* candidate list and semijoin-filtering
+  with the rest — the min-of-sizes step that yields the AGM worst-case
+  bound, exactly what leapfrog seek achieves with sorted cursors. Instead
+  of per-tuple trie iterators (pointer-chasing, the part of LFTJ that does
+  not vectorize), each step is a handful of columnar hash joins over Arrow
+  batches — the idiomatic Spark realization of the same algorithm.
+- **Distribution**: HyperCube / Shares partitioning (Afrati-Ullman,
+  Beame-Koutris-Suciu). Each variable gets a share p_v; the grid has
+  prod(p_v) cells; every atom R(x, y) is hashed on its own variables'
+  coordinates and REPLICATED along the dimensions it lacks. Each output
+  tuple is then produced in exactly ONE cell (the cell addressed by all of
+  its variable hashes), so the union of per-cell GenericJoins is the join —
+  no dedup pass. This is the published one-round distributed WCOJ: a single
+  shuffle of size sum(|R_i| * prod(missing shares)) regardless of how many
+  atoms the query has, where a binary-join plan pays (n_atoms - 1) shuffles
+  and — on cyclic queries — intermediate results that can exceed the output
+  by orders of magnitude (the triangle query's worst case is |E|^2 tuples
+  out of binary plans vs the AGM bound |E|^1.5).
+
+Why this matters at 100 TB: cyclic pattern queries (triangles, cliques,
+cycles) are where Catalyst's binary join trees are provably suboptimal.
+The hypercube shuffle is one exchange whose per-cell slices shrink as
+cells grow (cells scale with cluster cores; replication grows only as
+cells^(missing/k)), and the in-cell work is Arrow-columnar. Static vs
+Dynamic LFTJ: :func:`choose_variable_order` is the StaticLFTJ analogue
+(pick once, by atom-membership then name); ``adaptive=True`` mirrors
+DynamicLFTJ by sampling per-variable distinct counts and binding the most
+selective variable first.
+
+Registered entries (both DuckDB-oracle-verified, listing output so the
+value hash pins every produced tuple):
+- wcoj_triangle_listing : all id-ordered triangles of the co-purchase graph
+- wcoj_clique4          : all id-ordered 4-cliques (6-atom cyclic query)
+"""
+
+from __future__ import annotations
+
+from functools import partial, reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from skinnerdb_spark.operators.analytics import _EDGE_CTES, _co_edges
+from skinnerdb_spark.registry import register
+
+#: reserved frame columns — query variables must not collide
+_RESERVED = ("__rel", "__cell", "__b")
+
+
+def choose_variable_order(atoms: list[tuple[DataFrame, tuple[str, ...]]],
+                          ) -> list[str]:
+    """StaticLFTJ-analogue attribute order: most-constrained variable first
+    (descending atom membership), name as the deterministic tie-break."""
+    seen: list[str] = []
+    for _, vs in atoms:
+        for v in vs:
+            if v not in seen:
+                seen.append(v)
+    return sorted(seen, key=lambda v: (-sum(v in vs for _, vs in atoms), v))
+
+
+def _adaptive_order(atoms: list[tuple[DataFrame, tuple[str, ...]]]) -> list[str]:
+    """DynamicLFTJ-analogue: bind the most selective variable first
+    (ascending min distinct count over the atoms containing it), atom
+    membership as tie-break. One tiny aggregate per atom — the Spark
+    counterpart of the reference re-picking the order between episodes."""
+    distinct: dict[str, int] = {}
+    for df, vs in atoms:
+        row = df.agg(*[F.approx_count_distinct(v).alias(v) for v in vs]).first()
+        for v in vs:
+            distinct[v] = min(distinct.get(v, 1 << 62), row[v])
+    base = choose_variable_order(atoms)
+    return sorted(base, key=lambda v: (distinct[v], base.index(v)))
+
+
+def _generic_join_cell(pdf: pd.DataFrame, atoms_vars: tuple[tuple[str, ...], ...],
+                       var_order: tuple[str, ...]) -> pd.DataFrame:
+    """GenericJoin inside one hypercube cell (pure pandas/numpy, Arrow-fed)."""
+    import numpy as np
+
+    empty = pd.DataFrame({v: pd.Series(dtype="int64") for v in var_order})
+    rels = [
+        pdf.loc[pdf["__rel"] == i, list(vs)].astype("int64")
+        for i, vs in enumerate(atoms_vars)
+    ]
+    if any(len(r) == 0 for r in rels):
+        return empty
+
+    frontier = pd.DataFrame(index=[0])  # the single empty binding
+    bound: list[str] = []
+    for v in var_order:
+        # every atom containing v constrains it via its projection onto
+        # (bound-so-far ∩ atom) + [v]; projections are deduped so the later
+        # merges are pure semijoin filters
+        projs: list[tuple[list[str], pd.DataFrame]] = []
+        for vs, r in zip(atoms_vars, rels):
+            if v not in vs:
+                continue
+            keys = [b for b in bound if b in vs]
+            projs.append((keys, r[keys + [v]].drop_duplicates()))
+
+        frontier = frontier.reset_index(drop=True)
+        frontier["__b"] = np.arange(len(frontier), dtype="int64")
+        # candidate-set size per (binding, atom); a binding any atom cannot
+        # extend is dead
+        sizes = np.empty((len(frontier), len(projs)), dtype="int64")
+        for j, (keys, proj) in enumerate(projs):
+            if keys:
+                cnt = proj.groupby(keys, sort=False).size().rename("__n")
+                got = frontier[keys].merge(
+                    cnt.reset_index(), on=keys, how="left")["__n"]
+                sizes[:, j] = got.fillna(0).to_numpy(dtype="int64")
+            else:
+                sizes[:, j] = len(proj)
+        alive = (sizes > 0).all(axis=1)
+        frontier = frontier[alive].reset_index(drop=True)
+        if len(frontier) == 0:
+            return empty
+        sizes = sizes[alive]
+
+        # the worst-case-optimality step: expand each binding from its
+        # SMALLEST candidate list (leapfrog's min-cursor), filter with the rest
+        pick = np.argmin(sizes, axis=1)
+        pieces = []
+        for j, (keys, proj) in enumerate(projs):
+            sub = frontier[pick == j]
+            if len(sub) == 0:
+                continue
+            exp = sub.merge(proj, on=keys) if keys else sub.merge(proj, how="cross")
+            for jj, (k2, p2) in enumerate(projs):
+                if jj != j:
+                    exp = exp.merge(p2, on=k2 + [v])
+            pieces.append(exp[["__b"] + bound + [v]])
+        if not pieces:
+            return empty
+        frontier = pd.concat(pieces, ignore_index=True).drop(columns="__b")
+        bound.append(v)
+
+    return frontier[list(var_order)]
+
+
+def hypercube_generic_join(
+    spark: SparkSession,
+    atoms: list[tuple[DataFrame, tuple[str, ...]]],
+    var_order: list[str] | None = None,
+    total_cells: int | None = None,
+    adaptive: bool = False,
+) -> DataFrame:
+    """One-shuffle distributed WCOJ over binary/int64 atoms.
+
+    ``atoms``: (frame, variable names) pairs; each frame's columns must be
+    exactly its variables (int-typed). Returns one column per variable.
+    ``total_cells`` defaults to the session's parallelism; registered
+    entries pin it for plan determinism.
+    """
+    if adaptive and var_order is None:
+        var_order = _adaptive_order(atoms)
+    if var_order is None:
+        var_order = choose_variable_order(atoms)
+    variables = list(var_order)
+    for v in variables:
+        if v in _RESERVED:
+            raise ValueError(f"variable name {v!r} is reserved")
+    if total_cells is None:
+        total_cells = spark.sparkContext.defaultParallelism
+    k = len(variables)
+    share = max(1, round(total_cells ** (1.0 / k)))
+    shares = {v: share for v in variables}
+
+    tagged = []
+    for i, (df, vs) in enumerate(atoms):
+        missing = [v for v in variables if v not in vs]
+        cols = [
+            (F.col(v) if v in vs else F.lit(None)).cast("bigint").alias(v)
+            for v in variables
+        ]
+        t = df.select(F.lit(i).alias("__rel"), *cols)
+        # own-variable coordinates are hashed; missing dimensions replicate
+        # the row across that dimension's full share range
+        for v in vs:
+            t = t.withColumn(f"__x_{v}", F.pmod(F.xxhash64(F.col(v)), F.lit(shares[v])))
+        for v in missing:
+            t = t.withColumn(
+                f"__x_{v}", F.explode(F.sequence(F.lit(0), F.lit(shares[v] - 1))))
+        cell = F.lit(0)
+        for v in variables:
+            cell = cell * F.lit(shares[v]) + F.col(f"__x_{v}")
+        t = t.withColumn("__cell", cell.cast("bigint"))
+        tagged.append(t.select("__cell", "__rel", *variables))
+
+    union = reduce(DataFrame.unionAll, tagged)
+    out_schema = StructType([StructField(v, LongType()) for v in variables])
+    fn = partial(
+        _generic_join_cell,
+        atoms_vars=tuple(tuple(vs) for _, vs in atoms),
+        var_order=tuple(variables),
+    )
+    return union.groupBy("__cell").applyInPandas(
+        lambda pdf: fn(pdf), schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# registered entries — same co-purchase graph as graph_triangles (edges are
+# id-ordered u < v, so each clique matches its atom pattern exactly once)
+# ---------------------------------------------------------------------------
+
+#: pinned so the hypercube grid (and therefore the plan fingerprint) does not
+#: vary with the machine's core count; at cluster scale pass the session's
+#: parallelism instead
+_TRI_CELLS = 27   # 3 vars -> 3x3x3
+_CLIQ_CELLS = 16  # 4 vars -> 2x2x2x2
+
+
+def _edge_atoms(edges: DataFrame, pairs: list[tuple[str, str]],
+                ) -> list[tuple[DataFrame, tuple[str, ...]]]:
+    return [
+        (edges.select(F.col("u").alias(x), F.col("v").alias(y)), (x, y))
+        for x, y in pairs
+    ]
+
+
+@register(
+    "wcoj_triangle_listing",
+    f"""
+    WITH {_EDGE_CTES}
+    SELECT CAST(e1.u AS BIGINT) AS a,
+           CAST(e1.v AS BIGINT) AS b,
+           CAST(e2.v AS BIGINT) AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ORDER BY a, b, c
+    """,
+    tags=("wcoj", "graph", "join"),
+)
+def wcoj_triangle_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every triangle of the co-purchase graph via the worst-case-optimal
+    join — R(a,b) ⋈ S(b,c) ⋈ T(a,c) answered in ONE shuffle (hypercube) with
+    GenericJoin inside each cell, vs the oracle's binary 3-join plan. The
+    listing (not just the count) is returned so the hash gate pins every
+    produced tuple; id-ordering makes each triangle appear exactly once.
+
+    Scale shape: shuffle volume is 3|E| * 3 (each atom replicated across one
+    missing dimension of the 3x3x3 grid); per-cell slices are |E|*3/27 and
+    shrink as the grid grows with cluster cores. The in-cell intersections
+    are bounded by the AGM |E|^1.5 output bound — no binary-join
+    intermediate blow-up on this cyclic query. Cites StaticLFTJ.java:32 and
+    JoinProcessor.java:65-68 (reference disables its LFTJ by default; here
+    it is a first-class strategy)."""
+    edges = _co_edges(spark, sf_dir)
+    atoms = _edge_atoms(edges, [("a", "b"), ("b", "c"), ("a", "c")])
+    out = hypercube_generic_join(
+        spark, atoms, var_order=["a", "b", "c"], total_cells=_TRI_CELLS)
+    return out.orderBy("a", "b", "c")
+
+
+@register(
+    "wcoj_clique4",
+    f"""
+    WITH {_EDGE_CTES}
+    SELECT CAST(e1.u AS BIGINT) AS a,
+           CAST(e1.v AS BIGINT) AS b,
+           CAST(e2.v AS BIGINT) AS c,
+           CAST(e4.v AS BIGINT) AS d
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    JOIN edges e4 ON e4.u = e2.v
+    JOIN edges e5 ON e5.u = e1.u AND e5.v = e4.v
+    JOIN edges e6 ON e6.u = e1.v AND e6.v = e4.v
+    ORDER BY a, b, c, d
+    """,
+    tags=("wcoj", "graph", "join"),
+)
+def wcoj_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4-clique (6-atom cyclic query) via the hypercube WCOJ — the
+    shape where binary join trees are furthest from the AGM bound (|E|^2
+    for 4-cliques). Same one-shuffle structure as the triangle entry: each
+    of the 6 atoms is replicated across its two missing grid dimensions
+    (factor 4 on a 2^4 grid), then GenericJoin binds a, b, c, d in order,
+    expanding each partial clique from its smallest adjacency list."""
+    edges = _co_edges(spark, sf_dir)
+    atoms = _edge_atoms(
+        edges,
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+    )
+    out = hypercube_generic_join(
+        spark, atoms, var_order=["a", "b", "c", "d"], total_cells=_CLIQ_CELLS)
+    return out.orderBy("a", "b", "c", "d")

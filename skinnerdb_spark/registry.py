@@ -77,6 +77,7 @@ def all_specs() -> dict[str, QuerySpec]:
         spectral,
         temporal,
         text,
+        wcoj,
     )
     from skinnerdb_spark.sources import binaryfile  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401

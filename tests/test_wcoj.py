@@ -1,0 +1,117 @@
+"""Worst-case-optimal join (operators/wcoj.py) component tests.
+
+The oracle gate (test_oracle.py) already differential-tests the two
+registered entries end-to-end vs DuckDB; these tests pin the machinery's
+own invariants: hypercube no-duplicate production, equivalence with binary
+join plans on both cyclic and acyclic shapes, and the static/adaptive
+variable-order selectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.wcoj import (
+    _adaptive_order,
+    choose_variable_order,
+    hypercube_generic_join,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u bigint, v bigint")
+
+
+def _atoms(edges, pairs):
+    return [
+        (edges.select(F.col("u").alias(x), F.col("v").alias(y)), (x, y))
+        for x, y in pairs
+    ]
+
+
+#: id-ordered toy graph: triangles (1,2,3), (1,2,4), (2,3,4) share edges,
+#: node 9 dangles, (5,6)/(6,7) form an open wedge
+_TOY = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7), (1, 9)]
+
+
+def test_triangle_wcoj_matches_binary_join_plan(spark):
+    edges = _edges_df(spark, _TOY)
+    got = hypercube_generic_join(
+        spark, _atoms(edges, [("a", "b"), ("b", "c"), ("a", "c")]),
+        var_order=["a", "b", "c"], total_cells=8)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    want = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"))
+    )
+    rows = got.collect()
+    assert sorted(tuple(r) for r in rows) == sorted(tuple(r) for r in want.collect())
+    # hypercube addressing produces each output tuple in exactly one cell
+    assert len(rows) == len(set(tuple(r) for r in rows))
+
+
+def test_clique4_wcoj_on_toy_graph(spark):
+    edges = _edges_df(spark, _TOY)
+    got = hypercube_generic_join(
+        spark,
+        _atoms(edges, [("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "c"), ("b", "d"), ("c", "d")]),
+        var_order=["a", "b", "c", "d"], total_cells=16)
+    assert sorted(tuple(r) for r in got.collect()) == [(1, 2, 3, 4)]
+
+
+def test_acyclic_path_query_equals_binary_join(spark):
+    edges = _edges_df(spark, _TOY)
+    got = hypercube_generic_join(
+        spark, _atoms(edges, [("a", "b"), ("b", "c")]),
+        var_order=["b", "a", "c"], total_cells=9)
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    want = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.v").alias("b"), F.col("e1.u").alias("a"),
+        F.col("e2.v").alias("c"))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect())
+
+
+def test_empty_atom_yields_empty_result(spark):
+    edges = _edges_df(spark, _TOY)
+    none = edges.filter(F.lit(False))
+    got = hypercube_generic_join(
+        spark,
+        _atoms(edges, [("a", "b"), ("b", "c")])[:1]
+        + _atoms(none, [("b", "c")]),
+        total_cells=4)
+    assert got.count() == 0
+
+
+def test_static_order_most_constrained_first():
+    class _Fake:
+        pass
+
+    atoms = [(_Fake(), ("a", "b")), (_Fake(), ("b", "c")), (_Fake(), ("b", "d"))]
+    assert choose_variable_order(atoms) == ["b", "a", "c", "d"]
+
+
+def test_adaptive_order_binds_most_selective_first(spark):
+    # variable c has 1 distinct value, a/b have many -> adaptive puts c first
+    r = spark.createDataFrame([(i, i + 1) for i in range(50)], "a bigint, b bigint")
+    s = spark.createDataFrame([(i + 1, 7) for i in range(50)], "b bigint, c bigint")
+    order = _adaptive_order([(r, ("a", "b")), (s, ("b", "c"))])
+    assert order[0] == "c"
+    got = hypercube_generic_join(
+        spark, [(r, ("a", "b")), (s, ("b", "c"))], total_cells=8, adaptive=True)
+    assert got.count() == 50
+
+
+def test_reserved_variable_names_rejected(spark):
+    edges = _edges_df(spark, _TOY)
+    atoms = [(edges.select(F.col("u").alias("__b"), F.col("v").alias("x")),
+              ("__b", "x"))]
+    try:
+        hypercube_generic_join(spark, atoms, total_cells=2)
+    except ValueError as exc:
+        assert "reserved" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError for reserved variable name")
