@@ -104,6 +104,7 @@ _REVERIFY = [
 _PRIORITY: list[str] = [
     "multimodal_jpeg_roundtrip", "multimodal_audio_features",
     "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
+    "multimodal_webp_roundtrip",
 ]
 
 

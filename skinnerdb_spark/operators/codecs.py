@@ -194,11 +194,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes. PNG, BMP, and baseline JPEG decode for real
-    (pure stdlib — JPEG in operators/jpeg.py, r7); anything else (WebP,
-    video, progressive JPEG) raises — those codecs genuinely are not in
-    this container, and silently faking them would poison downstream
-    features."""
+    """Dispatch on magic bytes. PNG, BMP, baseline JPEG, and lossless WebP
+    (VP8L, operators/webp.py — r7) decode for real, pure stdlib; anything
+    else (lossy WebP, video, progressive JPEG) raises — those codecs
+    genuinely are not in this container, and silently faking them would
+    poison downstream features."""
     if data[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -207,7 +207,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         from skinnerdb_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from skinnerdb_spark.operators.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        "only PNG, BMP, and baseline JPEG decode in this environment "
-        "(pure-stdlib codecs); WebP/video need external libraries"
+        "only PNG, BMP, baseline JPEG, and lossless WebP decode in this "
+        "environment (pure-stdlib codecs); lossy WebP/video need external "
+        "libraries"
     )

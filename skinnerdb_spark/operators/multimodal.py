@@ -5,11 +5,12 @@ Spark-side machinery — schema, Arrow-batched ``mapInPandas``, partition-safe
 batch iteration — is real and oracle-verified. The decode step is real too:
 PNG + BMP (r6, operators/codecs.py), baseline JPEG (r7, operators/jpeg.py),
 WAV/PCM audio (r7, operators/audio.py), and AVI/MJPEG video demux+decode
-(r7, operators/avi.py) — each driven end-to-end by an oracle-verified
-registry entry. Only WebP (and non-baseline JPEG / non-MJPEG video codecs)
-remain honestly env-blocked behind ``NotImplementedError``, with the
-deterministic fake (:func:`fake_decode_meta`) still exercising the Arrow
-plumbing for those shapes.
+(r7, operators/avi.py), and lossless WebP/VP8L (r7, operators/webp.py) —
+each driven end-to-end by an oracle-verified registry entry. Only lossy
+WebP, non-baseline JPEG, and non-MJPEG video codecs remain honestly
+env-blocked behind ``NotImplementedError``, with the deterministic fake
+(:func:`fake_decode_meta`) still exercising the Arrow plumbing for those
+shapes.
 
 Design for 100 TB: binary payloads stay in Parquet (or are pointers into an
 object store); decode/feature-extract runs as ``mapInPandas`` over Arrow
@@ -52,13 +53,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes) -> tuple[int, int, int, bytes]:
-    """REAL image decode for PNG, BMP, and baseline JPEG — pure-stdlib
-    codecs (operators/codecs.py, operators/jpeg.py). Other formats (WebP,
-    progressive JPEG) still raise NotImplementedError: those codecs
-    genuinely are not in this container, and the error names what IS
-    supported. Returns (width, height, channels, top-down bytes);
-    exercised end-to-end by the oracle-verified ``multimodal_decode_stats``
-    and ``multimodal_jpeg_roundtrip`` entries."""
+    """REAL image decode for PNG, BMP, baseline JPEG, and lossless WebP —
+    pure-stdlib codecs (operators/codecs.py, jpeg.py, webp.py). Remaining
+    formats (lossy WebP, progressive JPEG) still raise NotImplementedError:
+    those codecs genuinely are not in this container, and the error names
+    what IS supported. Returns (width, height, channels, top-down bytes);
+    exercised end-to-end by the oracle-verified ``multimodal_decode_stats``,
+    ``multimodal_jpeg_roundtrip`` and ``multimodal_webp_roundtrip``
+    entries."""
     from skinnerdb_spark.operators.codecs import decode_image as _decode
 
     return _decode(content)
@@ -693,3 +695,117 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") < VIDEO_DOCS
     )
     return ids.repartition(16).mapInPandas(gen, schema=_VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL WEBP path (r7): pure-stdlib lossless VP8L codec (operators/webp.py)
+# exercised end-to-end — encode a deterministic fixture per document
+# worker-side (constant rows every 3rd line exercise the LZ77 run path,
+# gradient rows the color cache + full prefix-code machinery), decode the
+# actual RIFF/VP8L bytes back, and emit exact integer channel sums. WebP
+# lossless means the decode must reproduce the generating formula BIT-
+# EXACTLY, so — unlike the lossy JPEG entry — the SQL oracle recomputes
+# every output column including the pixel sums: any bit-packing, prefix-
+# code, cache-hash, or backward-reference bug flips a hash-gated value.
+# ---------------------------------------------------------------------------
+
+WEBP_DOCS = 300  # bounded probe set: pure-Python entropy coding per image
+
+
+def _webp_test_pixels(media_id: int) -> tuple[int, int, bytes]:
+    w, h = 16 + media_id % 9, 12 + media_id % 7
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if y % 3 == 0:  # constant rows -> LZ77 distance-1 runs
+                px += bytes((media_id % 256, 77, 200))
+            else:
+                px.append((x * 7 + y * 3 + media_id) % 256)
+                px.append((x * 2 + y * 11 + media_id * 5) % 256)
+                px.append((x * 3 + y * 7 + media_id * 3) % 256)
+    return w, h, bytes(px)
+
+
+_WEBP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("lossless", T.BooleanType()),
+    ]
+)
+
+_WEBP_ORACLE = f"""
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(16 + doc_id % 9 AS BIGINT) AS w,
+               CAST(12 + doc_id % 7 AS BIGINT) AS h
+        FROM documents WHERE doc_id < {WEBP_DOCS}),
+    px AS (
+        SELECT p.doc_id, p.w, p.h, x.x, y.y,
+               CASE WHEN y.y % 3 = 0 THEN p.doc_id % 256
+                    ELSE (x.x * 7 + y.y * 3 + p.doc_id) % 256 END AS r,
+               CASE WHEN y.y % 3 = 0 THEN 77
+                    ELSE (x.x * 2 + y.y * 11 + p.doc_id * 5) % 256 END AS g,
+               CASE WHEN y.y % 3 = 0 THEN 200
+                    ELSE (x.x * 3 + y.y * 7 + p.doc_id * 3) % 256 END AS b
+        FROM p,
+             UNNEST(generate_series(0, p.w - 1)) AS x(x),
+             UNNEST(generate_series(0, p.h - 1)) AS y(y))
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           TRUE AS lossless
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY media_id
+"""
+
+
+@register("multimodal_webp_roundtrip", _WEBP_ORACLE,
+          tags=("multimodal", "pipeline", "codec"))
+def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode real lossless WebP (VP8L) bytes per document over
+    Arrow batches; exact channel sums SQL-oracled (see module comment).
+    Scale shape: one mapInPandas stage, per-task streaming, zero shuffle;
+    the probe set is bounded (WEBP_DOCS) because pure-Python entropy coding
+    is a test-fixture path — a production decode pass swaps in a native
+    codec behind the same batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.webp import decode_webp, encode_webp
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, px = _webp_test_pixels(mid)
+                data = encode_webp(w, h, px, channels=3)
+                dw, dh, dc, out = decode_webp(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "channels": dc,
+                        "sum_r": sum(out[0::3]),
+                        "sum_g": sum(out[1::3]),
+                        "sum_b": sum(out[2::3]),
+                        "lossless": out == px and (dw, dh, dc) == (w, h, 3),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _WEBP_SCHEMA.fields])
+
+    d = read_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id")).filter(
+        F.col("media_id") < WEBP_DOCS
+    )
+    return ids.repartition(8).mapInPandas(gen, schema=_WEBP_SCHEMA).orderBy("media_id")

@@ -1,0 +1,122 @@
+"""Component tests for the pure-stdlib lossless WebP/VP8L codec
+(operators/webp.py): exhaustive lossless round-trips across the bitstream
+feature matrix (color cache on/off/size, LZ77 on/off, simple vs normal
+prefix codes, RGB vs RGBA), container/bit-layout structure, and the honest
+NotImplementedError guards."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from skinnerdb_spark.operators.codecs import decode_image
+from skinnerdb_spark.operators.webp import decode_webp, encode_webp
+
+
+def _gradient(w: int, h: int) -> bytes:
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256,
+                         (255 - x * 3 - y) % 256))
+    return bytes(px)
+
+
+def _noisy_runs(w: int, h: int, seed: int = 7) -> bytes:
+    rng = random.Random(seed)
+    px = bytearray()
+    for y in range(h):
+        if y % 3 == 0:  # constant rows -> LZ77 backward references
+            px += bytes((13, 200, 55)) * w
+        else:  # noise -> full normal prefix codes
+            px += bytes(rng.randrange(256) for _ in range(3 * w))
+    return bytes(px)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (16, 12), (33, 7), (64, 64)])
+def test_roundtrip_gradient(w, h):
+    px = _gradient(w, h)
+    dw, dh, dc, out = decode_webp(encode_webp(w, h, px, channels=3))
+    assert (dw, dh, dc) == (w, h, 3)
+    assert out == px  # lossless: bit-exact
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},                                     # cache + lz77 (default)
+        {"cache_bits": 0},                      # no color cache
+        {"use_lz77": False},                    # literals + cache only
+        {"cache_bits": 0, "use_lz77": False},   # pure literal stream
+        {"cache_bits": 10},                     # large cache
+        {"cache_bits": 1},                      # minimal cache
+    ],
+)
+def test_roundtrip_feature_matrix(kwargs):
+    px = _noisy_runs(32, 21)
+    dw, dh, dc, out = decode_webp(encode_webp(32, 21, px, channels=3, **kwargs))
+    assert (dw, dh, dc) == (32, 21, 3)
+    assert out == px
+
+
+def test_roundtrip_constant_image_compresses():
+    px = bytes((10, 20, 30)) * (64 * 64)
+    data = encode_webp(64, 64, px, channels=3)
+    assert len(data) < 100  # one literal + LZ77 runs, not 12 KiB
+    assert decode_webp(data)[3] == px
+
+
+def test_roundtrip_two_color_image_uses_simple_codes():
+    px = bytearray()
+    for i in range(24 * 24):
+        px += bytes((0, 0, 0) if (i // 24 + i) % 2 else (255, 255, 255))
+    dw, dh, dc, out = decode_webp(encode_webp(24, 24, bytes(px), channels=3))
+    assert out == bytes(px)
+
+
+def test_rgba_alpha_preserved_and_opaque_collapses():
+    px = bytearray()
+    for i in range(16 * 12):
+        px += bytes((i % 256, (i * 3) % 256, (i * 7) % 256, 100 + i % 100))
+    dw, dh, dc, out = decode_webp(encode_webp(16, 12, bytes(px), channels=4))
+    assert dc == 4 and out == bytes(px)
+    opaque = bytes(b if i % 4 != 3 else 255 for i, b in enumerate(px))
+    dw, dh, dc, out = decode_webp(encode_webp(16, 12, opaque, channels=4))
+    assert dc == 3  # fully-opaque RGBA decodes as RGB
+    assert out == bytes(b for i, b in enumerate(opaque) if i % 4 != 3)
+
+
+def test_container_structure():
+    data = encode_webp(5, 4, _gradient(5, 4), channels=3)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert data[12:16] == b"VP8L"
+    assert data[20] == 0x2F  # VP8L signature byte
+    # 14-bit width-1 starts at the next bit: low byte carries (w-1) & 0xff
+    assert data[21] & 0x3F == 4  # (5-1) in the low 6 bits read LSB-first
+
+
+def test_codecs_dispatch_routes_webp():
+    px = _gradient(9, 6)
+    w, h, c, out = decode_image(encode_webp(9, 6, px, channels=3))
+    assert (w, h, c) == (9, 6, 3) and out == px
+
+
+def test_lossy_webp_guarded():
+    fake = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_webp(fake)
+
+
+def test_bad_container_rejected():
+    with pytest.raises(ValueError):
+        decode_webp(b"JUNKJUNKJUNKJUNK")
+
+
+def test_encode_validates_inputs():
+    with pytest.raises(ValueError):
+        encode_webp(4, 4, b"\x00" * 10, channels=3)  # wrong buffer size
+    with pytest.raises(ValueError):
+        encode_webp(2, 2, b"\x00" * 8, channels=2)   # bad channel count
