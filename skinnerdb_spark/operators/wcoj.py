@@ -255,14 +255,18 @@ def wcoj_triangle_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing (not just the count) is returned so the hash gate pins every
     produced tuple; id-ordering makes each triangle appear exactly once.
 
-    Scale shape: shuffle volume is 3|E| * 3 (each atom replicated across one
-    missing dimension of the 3x3x3 grid); per-cell slices are |E|*3/27 and
-    shrink as the grid grows with cluster cores. The in-cell intersections
-    are bounded by the AGM |E|^1.5 output bound — no binary-join
-    intermediate blow-up on this cyclic query. Cites StaticLFTJ.java:32 and
-    JoinProcessor.java:65-68 (reference disables its LFTJ by default; here
-    it is a first-class strategy)."""
-    edges = _co_edges(spark, sf_dir)
+    Scale shape: the edge list is materialized ONCE (localCheckpoint — the
+    dedup_clusters lineage-cut pattern; without it each atom re-executes
+    the whole lineitem⋈orders+distinct derivation, 3x here and 6x for
+    cliques). Shuffle volume is then 3|E| * 3 (each atom replicated across
+    one missing dimension of the 3x3x3 grid); per-cell slices are |E|*3/27
+    and shrink as the grid grows with cluster cores. The in-cell
+    intersections are bounded by the AGM |E|^1.5 output bound — no
+    binary-join intermediate blow-up on this cyclic query. At warehouse
+    scale the checkpoint is a persisted/bucketed edge table. Cites
+    StaticLFTJ.java:32 and JoinProcessor.java:65-68 (reference disables its
+    LFTJ by default; here it is a first-class strategy)."""
+    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
     atoms = _edge_atoms(edges, [("a", "b"), ("b", "c"), ("a", "c")])
     out = hypercube_generic_join(
         spark, atoms, var_order=["a", "b", "c"], total_cells=_TRI_CELLS)
@@ -293,8 +297,10 @@ def wcoj_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 4-cliques). Same one-shuffle structure as the triangle entry: each
     of the 6 atoms is replicated across its two missing grid dimensions
     (factor 4 on a 2^4 grid), then GenericJoin binds a, b, c, d in order,
-    expanding each partial clique from its smallest adjacency list."""
-    edges = _co_edges(spark, sf_dir)
+    expanding each partial clique from its smallest adjacency list. Edges
+    localCheckpoint once — the 6 atoms must not re-derive the edge list 6
+    times."""
+    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
     atoms = _edge_atoms(
         edges,
         [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
