@@ -43,6 +43,7 @@ from skinnerdb_spark.plans.joinorder import (
     AdaptiveJoinResult,
     EpisodeStats,
     JoinEdge,
+    PrefixProgress,
     budgeted_count as _budgeted_count,
     connected_orders,
 )
@@ -525,11 +526,19 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
 
 
 def build_graph_chain(
-    graph: QueryGraph, order: tuple[str, ...], leaves: dict[str, DataFrame] | None = None
+    graph: QueryGraph,
+    order: tuple[str, ...],
+    leaves: dict[str, DataFrame] | None = None,
+    progress: "PrefixProgress | None" = None,
 ) -> DataFrame:
     """Left-deep chain in ``order`` with every conjunct attached at its
     earliest bound position; exprId-resolved conditions, so safe under
-    duplicate names."""
+    duplicate names. With ``progress`` (exploration episodes only), each
+    partial join — edges AND post-conds for the bound set — is persisted
+    and resumed across episodes (joinorder.PrefixProgress, the reference's
+    ProgressTracker in Spark idiom). Set-keyed sharing is exact here too:
+    both edge attachment and post-cond placement depend only on the bound
+    TABLE SET, never on the order within it."""
     import pyspark.sql.functions as _F
 
     leaves = leaves or graph.leaves
@@ -552,6 +561,18 @@ def build_graph_chain(
         return acc
 
     for t in order[1:]:
+        hit = progress.get(frozenset(bound | {t})) if progress is not None else None
+        if hit is not None:
+            acc = hit
+            bound.add(t)
+            # everything the cached frame already applied is spoken for
+            for i, e in enumerate(graph.edges):
+                if e.left_table in bound and e.right_table in bound:
+                    used.add(i)
+            for i, (need, _) in enumerate(graph.post_conds):
+                if need <= bound:
+                    post_used.add(i)
+            continue
         conds = []
         for i, e in enumerate(graph.edges):
             if i not in used and e.touches(t) and e.other(t) in bound:
@@ -565,6 +586,8 @@ def build_graph_chain(
         acc = acc.join(leaf(t), cond)
         bound.add(t)
         acc = attach_post(acc)
+        if progress is not None:
+            acc = progress.put(frozenset(bound), acc)
     # edges between leaves both bound before either side joined (shouldn't
     # happen in left-deep orders, but stay safe) + any leftover post conds
     for i, c in enumerate(graph.edge_cols):
@@ -678,17 +701,26 @@ def adaptive_reorder(
         sampled[fact] = graph.leaves[fact].sample(fraction=fraction, seed=seed)
     bandit = UCB1(len(cands))
     stats: list[EpisodeStats] = []
-    for _ in range(episodes):
-        arm = bandit.select()
-        rows, dt = _budgeted_count(
-            build_graph_chain(graph, cands[arm], leaves=sampled), episode_budget_s
-        )
-        timed_out = rows is None
-        reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
-        bandit.update(arm, reward)
-        stats.append(
-            EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)
-        )
+    # ProgressTracker analogue: episodes resume shared partial joins from
+    # persisted blocks (joinorder.PrefixProgress); exploration-only — the
+    # winner below is built WITHOUT progress, a fresh unpersisted plan
+    progress = PrefixProgress()
+    try:
+        for _ in range(episodes):
+            arm = bandit.select()
+            rows, dt = _budgeted_count(
+                build_graph_chain(graph, cands[arm], leaves=sampled, progress=progress),
+                episode_budget_s,
+            )
+            timed_out = rows is None
+            reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
+            bandit.update(arm, reward)
+            stats.append(
+                EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)
+            )
+        prefix_hits = progress.hits
+    finally:
+        progress.clear()
     best = cands[bandit.best()]
     if use_cache:
         _cache_put(graph.signature, best)
@@ -697,4 +729,4 @@ def adaptive_reorder(
         if graph.transfer_sig not in _ORDER_CACHE:
             _cache_put(graph.transfer_sig, best)
     chain = build_graph_chain(graph, best)
-    return AdaptiveJoinResult(finish(graph, chain), best, stats)
+    return AdaptiveJoinResult(finish(graph, chain), best, stats, prefix_hits)

@@ -103,17 +103,70 @@ class UCB1:
         return max(range(len(self.n)), key=lambda i: (self.n[i], self.mean[i]))
 
 
+class PrefixProgress:
+    """The reference's ProgressTracker, Spark-first (SURVEY §2.3's last
+    unported row — src/joining/progress/ProgressTracker.java:64-148,
+    State.java:87-108): SkinnerDB stores per-join-order-prefix progress so
+    a later episode whose order shares a prefix with an earlier one never
+    redoes the shared work. Spark cannot resume a join mid-tuple, but the
+    unit of progress it CAN share is a materialized partial-join result:
+    each exploration episode persists every partial join it executes,
+    keyed by the SET of bound tables (inner joins commute, so a set key
+    shares strictly more than the reference's order-prefix key — order
+    (A,B,C) seeds order (B,A,D) here, which the reference cannot), and any
+    later episode reaching the same table set resumes from the persisted
+    blocks. Exploration-only, like the reference: the winning order's full
+    execution is always a fresh unpersisted plan."""
+
+    def __init__(self) -> None:
+        self._frames: dict[frozenset[str], DataFrame] = {}
+        self.hits = 0
+
+    def get(self, bound: frozenset[str]) -> DataFrame | None:
+        df = self._frames.get(bound)
+        if df is not None:
+            self.hits += 1
+        return df
+
+    def put(self, bound: frozenset[str], df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._frames[bound] = cached
+        return cached
+
+    def clear(self) -> None:
+        """Unpersist everything (episodes are over; the winner runs fresh)."""
+        for df in self._frames.values():
+            df.unpersist()
+        self._frames.clear()
+
+
 def build_join_chain(
-    dfs: dict[str, DataFrame], order: tuple[str, ...], edges: list[JoinEdge]
+    dfs: dict[str, DataFrame],
+    order: tuple[str, ...],
+    edges: list[JoinEdge],
+    progress: PrefixProgress | None = None,
 ) -> DataFrame:
     """Materialize a left-deep join order as a DataFrame chain; every edge
     whose both sides are bound attaches at the earliest position (the
     reference's predicate placement, LeftDeepPlan.java:54-124 — Catalyst would
-    do the same, we just keep the order pinned)."""
+    do the same, we just keep the order pinned). With ``progress`` set
+    (exploration episodes only), each partial join is persisted and reused
+    across episodes — see :class:`PrefixProgress`."""
     acc = dfs[order[0]]
     bound = {order[0]}
     used: set[int] = set()
     for t in order[1:]:
+        hit = progress.get(frozenset(bound | {t})) if progress is not None else None
+        if hit is not None:
+            acc = hit
+            bound.add(t)
+            # edges inside the cached prefix are already applied there
+            for i, e in enumerate(edges):
+                if e.left_table in bound and e.right_table in bound:
+                    used.add(i)
+            continue
         conds = []
         for i, e in enumerate(edges):
             if i in used or not e.touches(t):
@@ -130,6 +183,8 @@ def build_join_chain(
             cond = cond & c
         acc = acc.join(dfs[t], cond)
         bound.add(t)
+        if progress is not None:
+            acc = progress.put(frozenset(bound), acc)
     return acc
 
 
@@ -213,6 +268,9 @@ class AdaptiveJoinResult:
     df: DataFrame
     best_order: tuple[str, ...]
     episodes: list[EpisodeStats] = field(default_factory=list)
+    #: partial-join results resumed from a prior episode's persisted blocks
+    #: (the ProgressTracker analogue, see PrefixProgress)
+    prefix_hits: int = 0
 
 
 def adaptive_join(
@@ -224,6 +282,7 @@ def adaptive_join(
     max_orders: int = 16,
     seed: int = 42,
     episode_budget_s: float | None = None,
+    share_progress: bool = True,
 ) -> AdaptiveJoinResult:
     """Bandit-chosen join order, learned from sampled execution.
 
@@ -234,8 +293,12 @@ def adaptive_join(
     ``episode_budget_s`` set, an episode exceeding the wall-clock budget is
     CANCELLED and penalized (see :func:`budgeted_count` — the reference's
     500-step episode budget in Spark idiom); the winner always executes in
-    full, unbudgeted. Results are identical for every order (inner joins
-    commute); only the physical plan differs.
+    full, unbudgeted. With ``share_progress`` (default), partial-join
+    results are persisted per bound-table set and REUSED across episodes —
+    the ProgressTracker analogue (:class:`PrefixProgress`): repeated or
+    prefix-sharing orders resume instead of redoing work, exploration-only.
+    Results are identical for every order (inner joins commute); only the
+    physical plan differs.
     """
     tables = list(dfs)
     fact = fact or tables[0]
@@ -252,14 +315,24 @@ def adaptive_join(
     sampled[fact] = dfs[fact].sample(fraction=sample_fraction, seed=seed)
     bandit = UCB1(len(cands))
     stats: list[EpisodeStats] = []
-    for _ in range(episodes):
-        arm = bandit.select()
-        rows, dt = budgeted_count(
-            build_join_chain(sampled, cands[arm], edges), episode_budget_s
-        )
-        timed_out = rows is None
-        reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
-        bandit.update(arm, reward)
-        stats.append(EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out))
+    progress = PrefixProgress() if share_progress else None
+    try:
+        for _ in range(episodes):
+            arm = bandit.select()
+            rows, dt = budgeted_count(
+                build_join_chain(sampled, cands[arm], edges, progress),
+                episode_budget_s,
+            )
+            timed_out = rows is None
+            reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
+            bandit.update(arm, reward)
+            stats.append(
+                EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)
+            )
+    finally:
+        hits = progress.hits if progress is not None else 0
+        if progress is not None:
+            progress.clear()
     best = cands[bandit.best()]
-    return AdaptiveJoinResult(build_join_chain(dfs, best, edges), best, stats)
+    # the winner executes in full on a FRESH plan — never from episode blocks
+    return AdaptiveJoinResult(build_join_chain(dfs, best, edges), best, stats, hits)
