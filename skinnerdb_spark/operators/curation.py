@@ -842,3 +842,77 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing (r7): the standard multilingual /
+# multi-source LLM training mix (alpha-smoothed sampling) — weight each
+# source by size^alpha so small sources are up-sampled without letting the
+# biggest source dominate. alpha is pinned to 0.5 because SQRT is
+# IEEE-correctly-rounded in BOTH engines (POW is libm and is not) — the
+# cross-engine-exact discipline every entry here follows; the weights are
+# then rounded ONCE into int64 ppm space so every downstream ratio is pure
+# integer arithmetic (no double sums whose order could differ).
+# --------------------------------------------------------------------------
+
+MIX_BUDGET = 10_000  # documents drawn in the planned mix
+
+
+@register(
+    "sample_temperature_mix",
+    f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n_docs, n_chars,
+               CAST(ROUND(SQRT(CAST(n_chars AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS sqrt_weight
+        FROM per),
+    t AS (SELECT CAST(SUM(sqrt_weight) AS BIGINT) AS tw FROM w)
+    SELECT source, n_docs, n_chars, sqrt_weight,
+           CAST(1000000 * sqrt_weight // tw AS BIGINT) AS mix_ppm,
+           CAST({MIX_BUDGET} * sqrt_weight // tw AS BIGINT) AS expected_draws
+    FROM w, t
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned per-source draw counts for a temperature-mixed sample of
+    MIX_BUDGET documents: weight_i = sqrt(chars_i), share_i = w_i / sum(w).
+
+    Exactness: sqrt is correctly rounded (IEEE) in both engines, rounded
+    once into int64 ppm; the shares and draw counts are then integer
+    floor-divisions — no double accumulation anywhere, so the whole mix
+    plan is hash-exact. Scale shape: one map-side-combinable aggregate over
+    the corpus + a broadcast 1-row total; at 100 TB the per-source char
+    sums come straight off parquet statistics-sized scans of two columns.
+    (At extreme source sizes > ~8.5e9 chars the e6-scaled weight still fits
+    int64 up to ~9e12 larger; re-scale ppm -> ppb before that point.)"""
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w = per.withColumn(
+        "sqrt_weight",
+        F.round(F.sqrt(F.col("n_chars").cast("double")) * 1000000, 0).cast("bigint"),
+    )
+    tot = w.agg(F.sum("sqrt_weight").cast("bigint").alias("tw"))
+    return (
+        w.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "sqrt_weight",
+            F.expr("CAST(1000000 * sqrt_weight div tw AS BIGINT)").alias("mix_ppm"),
+            F.expr(f"CAST({MIX_BUDGET} * sqrt_weight div tw AS BIGINT)").alias(
+                "expected_draws"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1073,3 +1073,106 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("inter_n"))
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document verbatim-span detection (r7): which document PAIRS share
+# exact word-level 8-gram spans, and how many — the substring-dedup signal
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better")
+# at n-gram granularity, distinct from dedup_ngram_jaccard (set similarity)
+# and contamination_check (overlap vs an external benchmark list): this one
+# finds verbatim copying WITHIN the corpus.
+# --------------------------------------------------------------------------
+
+VERBATIM_N = 8       # words per span
+VERBATIM_TOP = 50    # reported pairs
+#: spans shared by more than this many docs are boilerplate, not copying —
+#: and unbounded they make the pair join quadratic (the hot-bucket cap
+#: pattern used by every LSH family here; the cap is part of the contract
+#: and the oracle applies the same bound)
+VERBATIM_MAX_DOCS = 16
+
+
+@register(
+    "dedup_verbatim_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(w[i.i + 1 : i.i + {VERBATIM_N}], ' ') AS g
+        FROM toks, UNNEST(generate_series(0, len(w) - {VERBATIM_N})) AS i(i)
+        WHERE len(w) >= {VERBATIM_N}),
+    ok AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(*) > 1 AND COUNT(*) <= {VERBATIM_MAX_DOCS}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_spans
+        FROM grams a JOIN ok USING (g) JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    ranked AS (
+        SELECT doc_a, doc_b, shared_spans,
+               ROW_NUMBER() OVER (ORDER BY shared_spans DESC, doc_a, doc_b)
+                   AS rnk
+        FROM pairs)
+    SELECT doc_a, doc_b, shared_spans, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {VERBATIM_TOP}
+    ORDER BY rnk
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document pairs by count of shared verbatim word 8-grams.
+
+    Plan shape: tokenize -> per-doc DISTINCT spans (one explode, no UDF —
+    the span build is a JVM-side ``transform(sequence)`` higher-order
+    expression) -> span-keyed self-join restricted to spans shared by
+    2..{cap} docs (boilerplate/hot-span cap, applied BEFORE the join so the
+    pair explosion is bounded by cap^2 per span) -> pair aggregate ->
+    bounded ranked_topk. At 100 TB the span strings would be int64 rolling
+    hashes (the dedup_prefix_filter trick); strings are kept here because
+    the oracle compares the actual spans."""
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    ).filter(F.size("w") >= VERBATIM_N)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {VERBATIM_N}),"
+                f" i -> array_join(slice(w, i + 1, {VERBATIM_N}), ' '))"
+            )
+        ).alias("g"),
+    ).distinct()
+    ok = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") > 1) & (F.col("nd") <= VERBATIM_MAX_DOCS))
+        .select("g")
+    )
+    bounded = grams.join(ok, "g")
+    pairs = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+    )
+    out = ranked_topk(
+        pairs, [("shared_spans", "desc"), ("doc_a", "asc"), ("doc_b", "asc")],
+        VERBATIM_TOP,
+    )
+    return out.select(
+        "doc_a", "doc_b", "shared_spans", F.col("rnk").cast("bigint").alias("rnk")
+    )
