@@ -14,15 +14,16 @@ loud ``NotImplementedError``). Implements the public VP8L bitstream spec
   ``_CL_ORDER``, zero-run codes 17/18, repeat code 16)
 - literal pixels (G, R, B, A trees), LZ77 backward references (length +
   linear distance prefix values), and the hash-indexed color cache
-- encoder: no transforms, single prefix-code group, optional color cache +
-  distance-1 run LZ77; decoder additionally handles arbitrary linear
-  distances and any cache size
+- encoder: single prefix-code group, optional color cache + distance-1 run
+  LZ77 + the SUBTRACT_GREEN transform; decoder additionally handles
+  arbitrary linear distances and any cache size
 
-Honest scope guards (raise, never silently wrong): the four VP8L
-transforms (predictor/color/subtract-green/palette), meta prefix codes,
-and the 120-entry 2D distance map (an encoder-side near-distance
-optimization; this encoder always writes linear distance codes, which any
-spec decoder accepts). No third-party decoder exists in this container to
+Honest scope guards (raise, never silently wrong): the three payload-
+carrying VP8L transforms (predictor/color/palette — SUBTRACT_GREEN is
+implemented both ways), meta prefix codes, and the 120-entry 2D distance
+map (an encoder-side near-distance optimization; this encoder always
+writes linear distance codes, which any spec decoder accepts). No
+third-party decoder exists in this container to
 cross-check against, so compliance is pinned by exhaustive round-trips +
 structural bit-layout tests (tests/test_webp.py) the same way jpeg.py is.
 
@@ -331,9 +332,18 @@ class _Encoder:
 # encode
 # ---------------------------------------------------------------------------
 
+#: VP8L transform type codes (spec §3)
+_T_PREDICTOR, _T_COLOR, _T_SUBTRACT_GREEN, _T_PALETTE = 0, 1, 2, 3
+
+
 def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
-                cache_bits: int = 6, use_lz77: bool = True) -> bytes:
-    """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP."""
+                cache_bits: int = 6, use_lz77: bool = True,
+                subtract_green: bool = False) -> bytes:
+    """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP.
+
+    ``subtract_green`` applies the spec's SUBTRACT_GREEN transform (r -= g,
+    b -= g mod 256) before entropy coding — it decorrelates the channels,
+    so gradient-ish content compresses tighter; the decoder inverts it."""
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
     if len(pixels) != width * height * channels:
@@ -342,8 +352,11 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
     for i in range(width * height):
         o = i * channels
         a = pixels[o + 3] if channels == 4 else 255
-        argb.append((a << 24) | (pixels[o] << 16) | (pixels[o + 1] << 8)
-                    | pixels[o + 2])
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        if subtract_green:
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+        argb.append((a << 24) | (r << 16) | (g << 8) | b)
 
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
@@ -415,7 +428,10 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
     bw.write(height - 1, 14)
     bw.write(1 if channels == 4 else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(_T_SUBTRACT_GREEN, 2)  # no payload for this transform
+    bw.write(0, 1)  # end of transforms
     if cache_size:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -483,10 +499,15 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
-    if br.read(1):
-        raise NotImplementedError(
-            "VP8L transforms (predictor/color/subtract-green/palette) "
-            "not supported by this decoder")
+    transforms: list[int] = []
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype != _T_SUBTRACT_GREEN:
+            raise NotImplementedError(
+                "only the SUBTRACT_GREEN VP8L transform is supported "
+                "(predictor/color/palette carry coded payloads this "
+                "decoder does not implement)")
+        transforms.append(ttype)
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
@@ -534,6 +555,17 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             if idx >= cache_size or cache[idx] is None:
                 raise ValueError("color cache miss on read")
             pixels.append(cache[idx])
+
+    # inverse transforms, in reverse stream order (spec: last read, first
+    # inverted) — only SUBTRACT_GREEN reaches here
+    for _ in reversed(transforms):
+        pixels = [
+            (px & 0xFF000000)
+            | ((((px >> 16) + (px >> 8)) & 0xFF) << 16)
+            | (px & 0xFF00)
+            | ((px + (px >> 8)) & 0xFF)
+            for px in pixels
+        ]
 
     has_alpha = any((px >> 24) != 255 for px in pixels)
     ch = 4 if has_alpha else 3

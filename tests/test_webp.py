@@ -120,3 +120,43 @@ def test_encode_validates_inputs():
         encode_webp(4, 4, b"\x00" * 10, channels=3)  # wrong buffer size
     with pytest.raises(ValueError):
         encode_webp(2, 2, b"\x00" * 8, channels=2)   # bad channel count
+
+
+def test_subtract_green_transform_roundtrip():
+    px = _gradient(31, 17)
+    data = encode_webp(31, 17, px, channels=3, subtract_green=True)
+    dw, dh, dc, out = decode_webp(data)
+    assert (dw, dh, dc) == (31, 17, 3)
+    assert out == px
+    # decorrelated channels should not be larger on gradient content
+    plain = encode_webp(31, 17, px, channels=3)
+    assert len(data) <= len(plain) * 1.1
+
+
+def test_subtract_green_with_alpha_and_cache_matrix():
+    px = bytearray()
+    for i in range(20 * 9):
+        px += bytes((i % 256, (i * 3) % 256, (i * 7) % 256, 50 + i % 200))
+    for kw in ({}, {"cache_bits": 0}, {"use_lz77": False}):
+        dw, dh, dc, out = decode_webp(
+            encode_webp(20, 9, bytes(px), channels=4, subtract_green=True, **kw))
+        assert dc == 4 and out == bytes(px)
+
+
+def test_unsupported_transform_guarded():
+    # hand-build a header announcing a PREDICTOR transform (type 0)
+    from skinnerdb_spark.operators.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(3, 14)  # w-1
+    bw.write(3, 14)  # h-1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # PREDICTOR
+    payload = bw.bytes() + b"\x00" * 8
+    data = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(NotImplementedError, match="SUBTRACT_GREEN"):
+        decode_webp(data)
