@@ -185,8 +185,12 @@ def hypercube_generic_join(
     tagged = []
     for i, (df, vs) in enumerate(atoms):
         missing = [v for v in variables if v not in vs]
+        # pad missing variables with 0, NOT NULL: a nullable int64 column
+        # crosses Arrow into pandas as float64, silently losing precision
+        # for keys above 2^53 — the padded cells are never read (each
+        # atom's rows are sliced to its own variables via __rel)
         cols = [
-            (F.col(v) if v in vs else F.lit(None)).cast("bigint").alias(v)
+            (F.col(v) if v in vs else F.lit(0)).cast("bigint").alias(v)
             for v in variables
         ]
         t = df.select(F.lit(i).alias("__rel"), *cols)

@@ -9,6 +9,7 @@ variable-order selectors.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from skinnerdb_spark.operators.wcoj import (
@@ -115,3 +116,38 @@ def test_reserved_variable_names_rejected(spark):
         assert "reserved" in str(exc)
     else:  # pragma: no cover
         raise AssertionError("expected ValueError for reserved variable name")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_generic_join_cell_matches_bruteforce(seed):
+    """Property test of the in-cell GenericJoin (pure pandas, no Spark):
+    random edge sets, triangle query, compared against brute-force
+    enumeration over all variable assignments."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from skinnerdb_spark.operators.wcoj import _generic_join_cell
+
+    rng = random.Random(seed)
+    nodes = list(range(10))
+    edges = sorted({(u, v) for u in nodes for v in nodes
+                    if u < v and rng.random() < 0.3})
+    atoms_vars = (("a", "b"), ("b", "c"), ("a", "c"))
+    rows = []
+    for rel, (x, y) in enumerate(atoms_vars):
+        for u, v in edges:
+            rows.append({"__rel": rel, "a": 0, "b": 0, "c": 0})
+            rows[-1][x], rows[-1][y] = u, v
+    pdf = pd.DataFrame(rows)
+    got = _generic_join_cell(pdf, atoms_vars, ("a", "b", "c"))
+    got_set = set(map(tuple, got.to_numpy().tolist()))
+
+    eset = set(edges)
+    want = {
+        (a, b, c)
+        for a, b, c in itertools.permutations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+    assert got_set == want
