@@ -96,6 +96,9 @@ _REVERIFY = [
     "multimodal_decode_stats",
     # r6 gate hygiene misses (changed in r6, never re-sampled — VERDICT item 3)
     "dedup_prefix_filter", "name_edit_distance_pairs",
+    # r7 continuation: episode progress sharing (PrefixProgress) can change
+    # the bandit's winning order -> the built plan differs
+    "adaptive_star_join",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

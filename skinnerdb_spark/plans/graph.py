@@ -708,6 +708,9 @@ def adaptive_reorder(
     try:
         for _ in range(episodes):
             arm = bandit.select()
+            # first play of an arm is timed cold (record-only) so rewards
+            # stay comparable; repeats resume from the persisted blocks
+            progress.record_only = bandit.n[arm] == 0
             rows, dt = _budgeted_count(
                 build_graph_chain(graph, cands[arm], leaves=sampled, progress=progress),
                 episode_budget_s,

@@ -121,14 +121,28 @@ class PrefixProgress:
     def __init__(self) -> None:
         self._frames: dict[frozenset[str], DataFrame] = {}
         self.hits = 0
+        #: while True, get() misses on purpose (puts still record): the
+        #: FIRST play of each bandit arm is timed cold so wall-clock
+        #: rewards stay comparable across arms — resuming another arm's
+        #: blocks would make later-played arms look artificially fast.
+        #: Repeat plays flip this off and resume (the ProgressTracker win).
+        self.record_only = False
 
     def get(self, bound: frozenset[str]) -> DataFrame | None:
+        if self.record_only:
+            return None
         df = self._frames.get(bound)
         if df is not None:
             self.hits += 1
         return df
 
     def put(self, bound: frozenset[str], df: DataFrame) -> DataFrame:
+        if bound in self._frames:
+            # only reachable in record_only mode (a lookup would have hit
+            # first otherwise): another arm already recorded this set —
+            # keep its blocks, don't persist a duplicate (which would also
+            # leak the old frame on overwrite)
+            return df
         from pyspark import StorageLevel
 
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -319,6 +333,8 @@ def adaptive_join(
     try:
         for _ in range(episodes):
             arm = bandit.select()
+            if progress is not None:
+                progress.record_only = bandit.n[arm] == 0
             rows, dt = budgeted_count(
                 build_join_chain(sampled, cands[arm], edges, progress),
                 episode_budget_s,

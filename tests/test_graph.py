@@ -527,9 +527,10 @@ def test_adaptive_join_shares_progress_across_episodes(spark):
 
 
 def test_adaptive_reorder_episodes_share_progress(spark):
-    """The arbitrary-SQL path (plans/graph.py) shares episode progress too;
-    on a 3-table query any two distinct complete orders meet at the full
-    table set, so >= 1 resume is structural."""
+    """The arbitrary-SQL path (plans/graph.py) shares episode progress too.
+    First plays are record-only (cold, comparable rewards), so resumes
+    appear on REPEAT plays: this query has 4 connected orders, so 6
+    episodes guarantee >= 2 repeats, each resuming its own full chain."""
     import os
 
     from skinnerdb_spark.plans import graph
@@ -545,8 +546,8 @@ def test_adaptive_reorder_episodes_share_progress(spark):
     graph._ORDER_CACHE.pop(g.signature, None)
     graph._ORDER_CACHE.pop(g.shape_sig, None)
     graph._ORDER_CACHE.pop(g.transfer_sig, None)
-    res = graph.adaptive_reorder(df, episodes=3, use_cache=False)
+    res = graph.adaptive_reorder(df, episodes=6, use_cache=False)
     assert res.episodes, "episodes must have run"
-    assert res.prefix_hits >= 1, "orders meeting at the full set must resume"
+    assert res.prefix_hits >= 1, "repeat plays must resume persisted prefixes"
     assert res.df.collect()[0]["n"] == df.collect()[0]["n"]
     assert sc._jsc.getPersistentRDDs().size() == persisted_before
