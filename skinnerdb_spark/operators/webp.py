@@ -15,15 +15,16 @@ loud ``NotImplementedError``). Implements the public VP8L bitstream spec
 - literal pixels (G, R, B, A trees), LZ77 backward references (length +
   linear distance prefix values), and the hash-indexed color cache
 - encoder: single prefix-code group, optional color cache + distance-1 run
-  LZ77 + the SUBTRACT_GREEN transform; decoder additionally handles
-  arbitrary linear distances and any cache size
+  LZ77 + the SUBTRACT_GREEN and PREDICTOR transforms (per-16x16-block mode
+  selection, mode meta-image entropy-coded as a sub-stream); decoder
+  additionally handles arbitrary linear distances, any cache size, any
+  predictor block size, and all 14 spec predictor modes
 
-Honest scope guards (raise, never silently wrong): the three payload-
-carrying VP8L transforms (predictor/color/palette — SUBTRACT_GREEN is
-implemented both ways), meta prefix codes, and the 120-entry 2D distance
-map (an encoder-side near-distance optimization; this encoder always
-writes linear distance codes, which any spec decoder accepts). No
-third-party decoder exists in this container to
+Honest scope guards (raise, never silently wrong): the COLOR and PALETTE
+transforms, meta prefix codes, and the 120-entry 2D distance map (an
+encoder-side near-distance optimization; this encoder always writes
+linear distance codes, which any spec decoder accepts). No third-party
+decoder exists in this container to
 cross-check against, so compliance is pinned by exhaustive round-trips +
 structural bit-layout tests (tests/test_webp.py) the same way jpeg.py is.
 
@@ -336,28 +337,12 @@ class _Encoder:
 _T_PREDICTOR, _T_COLOR, _T_SUBTRACT_GREEN, _T_PALETTE = 0, 1, 2, 3
 
 
-def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
-                cache_bits: int = 6, use_lz77: bool = True,
-                subtract_green: bool = False) -> bytes:
-    """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP.
-
-    ``subtract_green`` applies the spec's SUBTRACT_GREEN transform (r -= g,
-    b -= g mod 256) before entropy coding — it decorrelates the channels,
-    so gradient-ish content compresses tighter; the decoder inverts it."""
-    if channels not in (3, 4):
-        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer does not match dimensions")
-    argb = []
-    for i in range(width * height):
-        o = i * channels
-        a = pixels[o + 3] if channels == 4 else 255
-        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
-        if subtract_green:
-            r = (r - g) & 0xFF
-            b = (b - g) & 0xFF
-        argb.append((a << 24) | (r << 16) | (g << 8) | b)
-
+def _encode_image_stream(bw: _BitWriter, argb: list[int], cache_bits: int,
+                         use_lz77: bool, top_level: bool) -> None:
+    """Entropy-coded image substream: color-cache info, (main image only)
+    the meta-prefix-codes bit, the 5 prefix code definitions, and the pixel
+    token stream. Used for the main image AND for transform meta-images
+    (which are entropy images without the meta bit)."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
 
@@ -422,22 +407,13 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
     r_enc, b_enc, a_enc = (_Encoder(f, 256) for f in (rf, bf, af))
     d_enc = _Encoder(df, 40)
 
-    bw = _BitWriter()
-    bw.write(0x2F, 8)
-    bw.write(width - 1, 14)
-    bw.write(height - 1, 14)
-    bw.write(1 if channels == 4 else 0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)  # a transform follows
-        bw.write(_T_SUBTRACT_GREEN, 2)  # no payload for this transform
-    bw.write(0, 1)  # end of transforms
     if cache_size:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
+    if top_level:
+        bw.write(0, 1)  # no meta prefix codes
     for enc in (g_enc, r_enc, b_enc, a_enc, d_enc):
         enc.write_def(bw)
     for kind, v in toks:
@@ -458,6 +434,191 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
             if debits:
                 bw.write(dextra, debits)
 
+
+# ---------------------------------------------------------------------------
+# the PREDICTOR transform (type 0): per-block spatial prediction modes in a
+# subsampled meta-image, residuals entropy-coded as the main image
+# ---------------------------------------------------------------------------
+
+def _unpack(px: int) -> tuple[int, int, int, int]:
+    return (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _avg2(x: int, y: int) -> int:
+    return _pack(*[(p + q) >> 1 for p, q in zip(_unpack(x), _unpack(y))])
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """The 14 spec predictors. Neighbor addressing is LINEAR-ARRAY (spec):
+    for the rightmost column, 'top-right' wraps to the first pixel of the
+    current row (index i - width + 1), which is already reconstructed."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:  # Select
+        l4, t4, tl4 = _unpack(left), _unpack(top), _unpack(tl)
+        p = [lc + tc - tlc for lc, tc, tlc in zip(l4, t4, tl4)]
+        p_l = sum(abs(pc - lc) for pc, lc in zip(p, l4))
+        p_t = sum(abs(pc - tc) for pc, tc in zip(p, t4))
+        return left if p_l <= p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        return _pack(*[
+            _clamp(lc + tc - tlc)
+            for lc, tc, tlc in zip(_unpack(left), _unpack(top), _unpack(tl))
+        ])
+    if mode == 13:  # ClampAddSubtractHalf
+        out = []
+        for lc, tc, tlc in zip(_unpack(left), _unpack(top), _unpack(tl)):
+            ave = (lc + tc) >> 1
+            out.append(_clamp(ave + ((ave - tlc) >> 1)))
+        return _pack(*out)
+    raise ValueError(f"predictor mode {mode} out of range")
+
+
+def _predicted_at(i: int, w: int, data: list[int], modes: list[int],
+                  meta_w: int, block_bits: int) -> int:
+    """Prediction for linear pixel i given already-known pixels data[:i]."""
+    x, y = i % w, i // w
+    if i == 0:
+        return 0xFF000000
+    if y == 0:
+        return data[i - 1]           # top row: forced L
+    if x == 0:
+        return data[i - w]           # left column: forced T
+    mode = modes[(y >> block_bits) * meta_w + (x >> block_bits)]
+    left = data[i - 1]
+    top = data[i - w]
+    tl = data[i - w - 1]
+    tr = data[i - w + 1]  # wraps to row start for the last column (spec)
+    return _predict(mode, left, top, tl, tr)
+
+
+def _residual(px: int, pred: int) -> int:
+    return _pack(*[(p - q) & 0xFF for p, q in zip(_unpack(px), _unpack(pred))])
+
+
+def _apply_inverse_predictor(pixels: list[int], w: int, modes: list[int],
+                             meta_w: int, block_bits: int) -> list[int]:
+    out: list[int] = []
+    for i, res in enumerate(pixels):
+        pred = _predicted_at(i, w, out, modes, meta_w, block_bits)
+        out.append(_pack(*[
+            (rc + pc) & 0xFF for rc, pc in zip(_unpack(res), _unpack(pred))
+        ]))
+    return out
+
+
+#: encoder block size 2^4 = 16; modes evaluated per block (cheap subset —
+#: the decoder supports all 14)
+_ENC_BLOCK_BITS = 4
+_ENC_MODES = (0, 1, 2, 7)
+
+
+def _build_predictor_plan(argb: list[int], w: int, h: int,
+                          ) -> tuple[list[int], list[int], int, int]:
+    """(residuals, block modes, meta_w, block_bits): per block, pick the
+    _ENC_MODES member with the smallest sum-abs residual."""
+    bb = _ENC_BLOCK_BITS
+    meta_w = (w + (1 << bb) - 1) >> bb
+    meta_h = (h + (1 << bb) - 1) >> bb
+    modes = [0] * (meta_w * meta_h)
+    for by in range(meta_h):
+        for bx in range(meta_w):
+            best, best_cost = 0, None
+            for mode in _ENC_MODES:
+                trial = [mode] * (meta_w * meta_h)
+                cost = 0
+                for y in range(by << bb, min((by + 1) << bb, h)):
+                    for x in range(bx << bb, min((bx + 1) << bb, w)):
+                        i = y * w + x
+                        pred = _predicted_at(i, w, argb, trial, meta_w, bb)
+                        cost += sum(
+                            min(d, 256 - d)
+                            for d in _unpack(_residual(argb[i], pred))
+                        )
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = mode, cost
+            modes[by * meta_w + bx] = best
+    full = [
+        _residual(px, _predicted_at(i, w, argb, modes, meta_w, bb))
+        for i, px in enumerate(argb)
+    ]
+    return full, modes, meta_w, bb
+
+
+def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
+                cache_bits: int = 6, use_lz77: bool = True,
+                subtract_green: bool = False, predictor: bool = False) -> bytes:
+    """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP.
+
+    ``subtract_green`` applies the spec's SUBTRACT_GREEN transform (r -= g,
+    b -= g mod 256) before entropy coding; ``predictor`` applies the
+    PREDICTOR transform (per-16x16-block spatial prediction, residuals
+    coded). They are mutually exclusive here to keep the inverse order
+    unambiguous."""
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    if subtract_green and predictor:
+        raise ValueError("subtract_green and predictor are mutually exclusive")
+    argb = []
+    for i in range(width * height):
+        o = i * channels
+        a = pixels[o + 3] if channels == 4 else 255
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        if subtract_green:
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+        argb.append((a << 24) | (r << 16) | (g << 8) | b)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if channels == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(_T_SUBTRACT_GREEN, 2)  # no payload for this transform
+    if predictor:
+        argb, modes, meta_w, bb = _build_predictor_plan(argb, width, height)
+        bw.write(1, 1)
+        bw.write(_T_PREDICTOR, 2)
+        bw.write(bb - 2, 3)  # block size exponent - 2
+        meta = [_pack(0xFF, 0, m, 0) for m in modes]  # mode rides GREEN
+        _encode_image_stream(bw, meta, cache_bits=0, use_lz77=use_lz77,
+                             top_level=False)
+    bw.write(0, 1)  # end of transforms
+    _encode_image_stream(bw, argb, cache_bits, use_lz77, top_level=True)
+
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
@@ -470,48 +631,13 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
 # decode
 # ---------------------------------------------------------------------------
 
-def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a lossless WebP -> (width, height, channels, pixel bytes).
-
-    channels is 4 (RGBA) when any alpha sample != 255, else 3 (RGB)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a RIFF/WEBP container")
-    pos = 12
-    payload = None
-    while pos + 8 <= len(data):
-        tag = data[pos:pos + 4]
-        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
-        if tag == b"VP8L":
-            payload = data[pos + 8:pos + 8 + size]
-            break
-        if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "lossy/extended WebP not supported (lossless VP8L only)")
-        pos += 8 + size + (size & 1)
-    if payload is None:
-        raise ValueError("no VP8L chunk found")
-
-    br = _BitReader(payload)
-    if br.read(8) != 0x2F:
-        raise ValueError("bad VP8L signature")
-    width = br.read(14) + 1
-    height = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    transforms: list[int] = []
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype != _T_SUBTRACT_GREEN:
-            raise NotImplementedError(
-                "only the SUBTRACT_GREEN VP8L transform is supported "
-                "(predictor/color/palette carry coded payloads this "
-                "decoder does not implement)")
-        transforms.append(ttype)
+def _decode_image_stream(br: _BitReader, n: int, top_level: bool) -> list[int]:
+    """Entropy-coded image substream -> n ARGB ints (mirror of
+    :func:`_encode_image_stream`)."""
     cache_bits = br.read(4) if br.read(1) else 0
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
-    if br.read(1):
+    if top_level and br.read(1):
         raise NotImplementedError("meta prefix codes not supported")
 
     g_dec = _read_prefix_code(br, 256 + 24 + cache_size)
@@ -520,7 +646,6 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     a_dec = _read_prefix_code(br, 256)
     d_dec = _read_prefix_code(br, 40)
 
-    n = width * height
     pixels: list[int] = []
     cache = [None] * cache_size
 
@@ -555,17 +680,73 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             if idx >= cache_size or cache[idx] is None:
                 raise ValueError("color cache miss on read")
             pixels.append(cache[idx])
+    return pixels
+
+
+def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a lossless WebP -> (width, height, channels, pixel bytes).
+
+    channels is 4 (RGBA) when any alpha sample != 255, else 3 (RGB)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP not supported (lossless VP8L only)")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk found")
+
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms: list[tuple[int, tuple]] = []
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == _T_SUBTRACT_GREEN:
+            transforms.append((ttype, ()))
+        elif ttype == _T_PREDICTOR:
+            block_bits = br.read(3) + 2
+            meta_w = (width + (1 << block_bits) - 1) >> block_bits
+            meta_h = (height + (1 << block_bits) - 1) >> block_bits
+            meta = _decode_image_stream(br, meta_w * meta_h, top_level=False)
+            modes = [(px >> 8) & 0xFF for px in meta]
+            transforms.append((ttype, (block_bits, meta_w, modes)))
+        else:
+            raise NotImplementedError(
+                "only the SUBTRACT_GREEN and PREDICTOR VP8L transforms are "
+                "supported (color/palette carry payloads this decoder does "
+                "not implement)")
+
+    pixels = _decode_image_stream(br, width * height, top_level=True)
 
     # inverse transforms, in reverse stream order (spec: last read, first
-    # inverted) — only SUBTRACT_GREEN reaches here
-    for _ in reversed(transforms):
-        pixels = [
-            (px & 0xFF000000)
-            | ((((px >> 16) + (px >> 8)) & 0xFF) << 16)
-            | (px & 0xFF00)
-            | ((px + (px >> 8)) & 0xFF)
-            for px in pixels
-        ]
+    # inverted)
+    for ttype, targs in reversed(transforms):
+        if ttype == _T_SUBTRACT_GREEN:
+            pixels = [
+                (px & 0xFF000000)
+                | ((((px >> 16) + (px >> 8)) & 0xFF) << 16)
+                | (px & 0xFF00)
+                | ((px + (px >> 8)) & 0xFF)
+                for px in pixels
+            ]
+        else:  # PREDICTOR
+            block_bits, meta_w, modes = targs
+            pixels = _apply_inverse_predictor(
+                pixels, width, modes, meta_w, block_bits)
 
     has_alpha = any((px >> 24) != 255 for px in pixels)
     ch = 4 if has_alpha else 3

@@ -144,7 +144,7 @@ def test_subtract_green_with_alpha_and_cache_matrix():
 
 
 def test_unsupported_transform_guarded():
-    # hand-build a header announcing a PREDICTOR transform (type 0)
+    # hand-build a header announcing a COLOR transform (type 1, unsupported)
     from skinnerdb_spark.operators.webp import _BitWriter
 
     bw = _BitWriter()
@@ -154,9 +154,59 @@ def test_unsupported_transform_guarded():
     bw.write(0, 1)
     bw.write(0, 3)
     bw.write(1, 1)  # transform present
-    bw.write(0, 2)  # PREDICTOR
+    bw.write(1, 2)  # COLOR
     payload = bw.bytes() + b"\x00" * 8
     data = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
             + b"VP8L" + struct.pack("<I", len(payload)) + payload)
     with pytest.raises(NotImplementedError, match="SUBTRACT_GREEN"):
         decode_webp(data)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (33, 21), (7, 5), (1, 1), (40, 3)])
+def test_predictor_transform_roundtrip(w, h):
+    px = _gradient(w, h)
+    data = encode_webp(w, h, px, channels=3, predictor=True)
+    dw, dh, dc, out = decode_webp(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert out == px
+
+
+def test_predictor_compresses_smooth_content():
+    # smooth gradients predict almost perfectly -> residuals are tiny
+    px = _gradient(64, 64)
+    pred = encode_webp(64, 64, px, channels=3, predictor=True)
+    plain = encode_webp(64, 64, px, channels=3)
+    assert len(pred) < len(plain)
+    assert decode_webp(pred)[3] == px
+
+
+def test_predictor_on_noise_and_alpha():
+    rng = random.Random(11)
+    px = bytearray()
+    for i in range(24 * 18):
+        px += bytes((rng.randrange(256), rng.randrange(256),
+                     rng.randrange(256), 1 + rng.randrange(255)))
+    data = encode_webp(24, 18, bytes(px), channels=4, predictor=True)
+    dw, dh, dc, out = decode_webp(data)
+    assert dc == 4 and out == bytes(px)
+
+
+def test_predictor_and_subtract_green_mutually_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(2, 2, b"\x00" * 12, channels=3,
+                    predictor=True, subtract_green=True)
+
+
+def test_all_fourteen_predictor_modes_roundtrip(monkeypatch):
+    """Force the encoder to consider every spec predictor mode so each
+    mode's encode/decode pair is exercised (the default encoder uses a
+    cheap subset)."""
+    import skinnerdb_spark.operators.webp as W
+
+    monkeypatch.setattr(W, "_ENC_MODES", tuple(range(14)))
+    px = _noisy_runs(48, 33, seed=3)
+    data = encode_webp(48, 33, px, channels=3, predictor=True)
+    assert decode_webp(data)[3] == px
+    grad = _gradient(37, 29)
+    assert decode_webp(encode_webp(37, 29, grad, channels=3,
+                                   predictor=True))[3] == grad
