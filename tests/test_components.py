@@ -329,10 +329,22 @@ def test_stream_stateful_user_counts(spark, sf_dir):
 # multimodal — stub gating + Arrow batch plumbing
 # --------------------------------------------------------------------------
 def test_multimodal_stubs_raise():
+    import struct
+
+    # lossless WebP decodes for real as of r7; LOSSY WebP stays guarded
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + b"\x00" * 8
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"RIFFxxxxWEBP")  # WebP: genuinely absent
+        multimodal.decode_image(lossy)
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(b"\x00\x00\x00 ftypmp42", every_n=10)
+
+
+def test_multimodal_decode_image_routes_webp():
+    from skinnerdb_spark.operators.webp import encode_webp
+
+    px = b"".join(bytes(((x * 7) % 256, (x * 2) % 256, (255 - x) % 256))
+                  for x in range(6 * 4))
+    assert multimodal.decode_image(encode_webp(6, 4, px, channels=3)) == (6, 4, 3, px)
 
 
 def test_sample_video_frames_real_avi_demux():
@@ -1226,11 +1238,15 @@ def test_codecs_roundtrip_all_png_filters_and_bmp():
         assert decode_png(png_with_filter(w, h, px, ft)) == (w, h, 3, px), ft
 
     # JPEG dispatches to the real r7 decoder now: a truncated stream fails
-    # loudly INSIDE it, and genuinely-absent codecs still name what works
+    # loudly INSIDE it; WebP routes to the real VP8L decoder, whose
+    # lossy-WebP guard names the supported subset
     with pytest.raises(ValueError, match="SOS"):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
-    with pytest.raises(NotImplementedError, match="PNG, BMP, and baseline JPEG"):
-        decode_image(b"RIFFxxxxWEBPVP8 ")
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_image(lossy)
+    with pytest.raises(NotImplementedError, match="PNG, BMP"):
+        decode_image(b"\x00unknown-format")
 
 
 def test_stream_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
