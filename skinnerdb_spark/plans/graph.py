@@ -587,7 +587,8 @@ def build_graph_chain(
         bound.add(t)
         acc = attach_post(acc)
         if progress is not None:
-            acc = progress.put(frozenset(bound), acc)
+            acc = progress.put(
+                frozenset(bound), acc, terminal=len(bound) == len(order))
     # edges between leaves both bound before either side joined (shouldn't
     # happen in left-deep orders, but stay safe) + any leftover post conds
     for i, c in enumerate(graph.edge_cols):

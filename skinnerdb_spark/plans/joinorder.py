@@ -109,14 +109,18 @@ class PrefixProgress:
     State.java:87-108): SkinnerDB stores per-join-order-prefix progress so
     a later episode whose order shares a prefix with an earlier one never
     redoes the shared work. Spark cannot resume a join mid-tuple, but the
-    unit of progress it CAN share is a materialized partial-join result:
-    each exploration episode persists every partial join it executes,
-    keyed by the SET of bound tables (inner joins commute, so a set key
-    shares strictly more than the reference's order-prefix key — order
-    (A,B,C) seeds order (B,A,D) here, which the reference cannot), and any
-    later episode reaching the same table set resumes from the persisted
-    blocks. Exploration-only, like the reference: the winning order's full
-    execution is always a fresh unpersisted plan."""
+    unit of progress it CAN share is a materialized join result, keyed by
+    the SET of bound tables (inner joins commute, so a set key shares
+    strictly more than the reference's order-prefix key). MEASURED design
+    point (PERFORMANCE.md r7): persisting every mid-chain prefix is a NET
+    LOSS — each persist() inserts an InMemoryRelation boundary that forces
+    full materialization of every intermediate, defeating Spark's
+    pipelined join execution (79 s vs 34 s over 10 episodes of a 15-way
+    chain). Only the TERMINAL frame of each episode is persisted: a repeat
+    episode's chain collapses onto the cached full-set frame at its last
+    extension and costs ~nothing, while first plays keep their fully
+    pipelined single-pass plans. Exploration-only, like the reference: the
+    winning order's full execution is always a fresh unpersisted plan."""
 
     def __init__(self) -> None:
         self._frames: dict[frozenset[str], DataFrame] = {}
@@ -136,7 +140,11 @@ class PrefixProgress:
             self.hits += 1
         return df
 
-    def put(self, bound: frozenset[str], df: DataFrame) -> DataFrame:
+    def put(self, bound: frozenset[str], df: DataFrame,
+            terminal: bool = True) -> DataFrame:
+        if not terminal:
+            # mid-chain persistence measured as a net loss (see class doc)
+            return df
         if bound in self._frames:
             # only reachable in record_only mode (a lookup would have hit
             # first otherwise): another arm already recorded this set —
@@ -198,7 +206,8 @@ def build_join_chain(
         acc = acc.join(dfs[t], cond)
         bound.add(t)
         if progress is not None:
-            acc = progress.put(frozenset(bound), acc)
+            acc = progress.put(
+                frozenset(bound), acc, terminal=len(bound) == len(order))
     return acc
 
 

@@ -494,9 +494,10 @@ def test_prefix_progress_resumes_partial_joins(spark):
     c2 = build_join_chain(dfs, ("f", "b", "a"), edges, prog)
     assert prog.hits == 1
     assert sorted(map(tuple, c2.collect())) == [tuple(r) for r in want]
-    # identical order: every extension resumes (2 more hits)
+    # identical order: resumes at the terminal set (mid-chain prefixes are
+    # deliberately not persisted — measured net loss, see PrefixProgress)
     build_join_chain(dfs, ("f", "a", "b"), edges, prog)
-    assert prog.hits == 3
+    assert prog.hits == 2
     prog.clear()
     assert sc._jsc.getPersistentRDDs().size() == persisted_before
 
