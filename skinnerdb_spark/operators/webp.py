@@ -15,16 +15,18 @@ loud ``NotImplementedError``). Implements the public VP8L bitstream spec
 - literal pixels (G, R, B, A trees), LZ77 backward references (length +
   linear distance prefix values), and the hash-indexed color cache
 - encoder: single prefix-code group, optional color cache + distance-1 run
-  LZ77 + the SUBTRACT_GREEN and PREDICTOR transforms (per-16x16-block mode
-  selection, mode meta-image entropy-coded as a sub-stream); decoder
-  additionally handles arbitrary linear distances, any cache size, any
-  predictor block size, and all 14 spec predictor modes
+  LZ77 + three of the four spec transforms — SUBTRACT_GREEN, PREDICTOR
+  (per-16x16-block mode selection), and COLOR (per-block channel
+  correlation multipliers), each with its mode/multiplier meta-image
+  entropy-coded as a sub-stream; decoder additionally handles arbitrary
+  linear distances, any cache size, any block size, and all 14 spec
+  predictor modes
 
-Honest scope guards (raise, never silently wrong): the COLOR and PALETTE
-transforms, meta prefix codes, and the 120-entry 2D distance map (an
-encoder-side near-distance optimization; this encoder always writes
-linear distance codes, which any spec decoder accepts). No third-party
-decoder exists in this container to
+Honest scope guards (raise, never silently wrong): the PALETTE
+(color-indexing) transform with its sub-byte pixel bundling, meta prefix
+codes, and the 120-entry 2D distance map (an encoder-side near-distance
+optimization; this encoder always writes linear distance codes, which any
+spec decoder accepts). No third-party decoder exists in this container to
 cross-check against, so compliance is pinned by exhaustive round-trips +
 structural bit-layout tests (tests/test_webp.py) the same way jpeg.py is.
 
@@ -541,6 +543,102 @@ _ENC_BLOCK_BITS = 4
 _ENC_MODES = (0, 1, 2, 7)
 
 
+# ---------------------------------------------------------------------------
+# the COLOR transform (type 1): per-block signed 3.5-fixed-point channel
+# correlation multipliers (green->red, green->blue, red->blue) in a meta
+# image; same block/meta machinery as PREDICTOR
+# ---------------------------------------------------------------------------
+
+def _int8(v: int) -> int:
+    """Byte -> signed int8 (the spec interprets channel/multiplier bytes
+    as two's-complement for the color-transform delta)."""
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8 multiplier * int8 channel) >> 5."""
+    return (_int8(t) * _int8(c)) >> 5
+
+
+def _color_forward(px: int, g2r: int, g2b: int, r2b: int) -> int:
+    a, r, g, b = _unpack(px)
+    new_r = (r - _ct_delta(g2r, g)) & 0xFF
+    # the decoder restores red BEFORE blue, so blue's red-delta uses the
+    # ORIGINAL red value
+    new_b = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+    return _pack(a, new_r, g, new_b)
+
+
+def _color_inverse(px: int, g2r: int, g2b: int, r2b: int) -> int:
+    a, r, g, b = _unpack(px)
+    red = (r + _ct_delta(g2r, g)) & 0xFF
+    blue = (b + _ct_delta(g2b, g) + _ct_delta(r2b, red)) & 0xFF
+    return _pack(a, red, g, blue)
+
+
+#: encoder multiplier candidates (small search; decoder accepts any byte)
+_CT_CANDIDATES = (0, 16, 32, 64, 128 + 64, 128 + 96, 128 + 112)  # 0, +, and - values
+
+
+def _build_color_plan(argb: list[int], w: int, h: int,
+                      ) -> tuple[list[int], list[int], int, int]:
+    """(transformed pixels, meta pixels, meta_w, block_bits): per block,
+    greedily pick g2r/g2b/r2b from the candidate set minimizing wrap-aware
+    residual magnitude of the transformed red/blue channels."""
+    bb = _ENC_BLOCK_BITS
+    meta_w = (w + (1 << bb) - 1) >> bb
+    meta_h = (h + (1 << bb) - 1) >> bb
+    out = list(argb)
+    meta: list[int] = []
+    for by in range(meta_h):
+        for bx in range(meta_w):
+            idxs = [
+                y * w + x
+                for y in range(by << bb, min((by + 1) << bb, h))
+                for x in range(bx << bb, min((bx + 1) << bb, w))
+            ]
+
+            def cost(chan_vals: list[int]) -> int:
+                return sum(min(v, 256 - v) for v in chan_vals)
+
+            def red_after(t: int) -> list[int]:
+                return [
+                    ((_unpack(argb[i])[1] - _ct_delta(t, _unpack(argb[i])[2]))
+                     & 0xFF)
+                    for i in idxs
+                ]
+
+            g2r = min(_CT_CANDIDATES, key=lambda t: cost(red_after(t)))
+
+            def blue_after(g2b: int, r2b: int) -> list[int]:
+                vals = []
+                for i in idxs:
+                    _, r, g, b = _unpack(argb[i])
+                    vals.append(
+                        (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF)
+                return vals
+
+            g2b = min(_CT_CANDIDATES, key=lambda t: cost(blue_after(t, 0)))
+            r2b = min(_CT_CANDIDATES, key=lambda t: cost(blue_after(g2b, t)))
+            for i in idxs:
+                out[i] = _color_forward(argb[i], g2r, g2b, r2b)
+            # spec byte layout: g2r rides the BLUE byte, g2b the GREEN
+            # byte, r2b the RED byte of the meta pixel
+            meta.append(_pack(0xFF, r2b, g2b, g2r))
+    return out, meta, meta_w, bb
+
+
+def _apply_inverse_color(pixels: list[int], w: int, meta: list[int],
+                         meta_w: int, block_bits: int) -> list[int]:
+    out = []
+    for i, px in enumerate(pixels):
+        x, y = i % w, i // w
+        m = meta[(y >> block_bits) * meta_w + (x >> block_bits)]
+        _, r2b, g2b, g2r = _unpack(m)
+        out.append(_color_inverse(px, g2r, g2b, r2b))
+    return out
+
+
 def _build_predictor_plan(argb: list[int], w: int, h: int,
                           ) -> tuple[list[int], list[int], int, int]:
     """(residuals, block modes, meta_w, block_bits): per block, pick the
@@ -575,20 +673,24 @@ def _build_predictor_plan(argb: list[int], w: int, h: int,
 
 def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
                 cache_bits: int = 6, use_lz77: bool = True,
-                subtract_green: bool = False, predictor: bool = False) -> bytes:
+                subtract_green: bool = False, predictor: bool = False,
+                color_transform: bool = False) -> bytes:
     """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP.
 
     ``subtract_green`` applies the spec's SUBTRACT_GREEN transform (r -= g,
     b -= g mod 256) before entropy coding; ``predictor`` applies the
     PREDICTOR transform (per-16x16-block spatial prediction, residuals
-    coded). They are mutually exclusive here to keep the inverse order
-    unambiguous."""
+    coded); ``color_transform`` applies the COLOR transform (per-block
+    channel-correlation multipliers). One transform at a time here, to
+    keep the inverse order unambiguous."""
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    if subtract_green and predictor:
-        raise ValueError("subtract_green and predictor are mutually exclusive")
+    if subtract_green + predictor + color_transform > 1:
+        raise ValueError(
+            "subtract_green / predictor / color_transform are mutually "
+            "exclusive in this encoder")
     argb = []
     for i in range(width * height):
         o = i * channels
@@ -614,6 +716,13 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
         bw.write(_T_PREDICTOR, 2)
         bw.write(bb - 2, 3)  # block size exponent - 2
         meta = [_pack(0xFF, 0, m, 0) for m in modes]  # mode rides GREEN
+        _encode_image_stream(bw, meta, cache_bits=0, use_lz77=use_lz77,
+                             top_level=False)
+    if color_transform:
+        argb, meta, meta_w, bb = _build_color_plan(argb, width, height)
+        bw.write(1, 1)
+        bw.write(_T_COLOR, 2)
+        bw.write(bb - 2, 3)
         _encode_image_stream(bw, meta, cache_bits=0, use_lz77=use_lz77,
                              top_level=False)
     bw.write(0, 1)  # end of transforms
@@ -717,18 +826,18 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         ttype = br.read(2)
         if ttype == _T_SUBTRACT_GREEN:
             transforms.append((ttype, ()))
-        elif ttype == _T_PREDICTOR:
+        elif ttype in (_T_PREDICTOR, _T_COLOR):
             block_bits = br.read(3) + 2
             meta_w = (width + (1 << block_bits) - 1) >> block_bits
             meta_h = (height + (1 << block_bits) - 1) >> block_bits
             meta = _decode_image_stream(br, meta_w * meta_h, top_level=False)
-            modes = [(px >> 8) & 0xFF for px in meta]
-            transforms.append((ttype, (block_bits, meta_w, modes)))
+            if ttype == _T_PREDICTOR:
+                meta = [(px >> 8) & 0xFF for px in meta]  # mode in GREEN
+            transforms.append((ttype, (block_bits, meta_w, meta)))
         else:
             raise NotImplementedError(
-                "only the SUBTRACT_GREEN and PREDICTOR VP8L transforms are "
-                "supported (color/palette carry payloads this decoder does "
-                "not implement)")
+                "the PALETTE (color-indexing) VP8L transform is not "
+                "implemented (SUBTRACT_GREEN, PREDICTOR, and COLOR are)")
 
     pixels = _decode_image_stream(br, width * height, top_level=True)
 
@@ -743,10 +852,14 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
                 | ((px + (px >> 8)) & 0xFF)
                 for px in pixels
             ]
-        else:  # PREDICTOR
+        elif ttype == _T_PREDICTOR:
             block_bits, meta_w, modes = targs
             pixels = _apply_inverse_predictor(
                 pixels, width, modes, meta_w, block_bits)
+        else:  # COLOR
+            block_bits, meta_w, meta = targs
+            pixels = _apply_inverse_color(
+                pixels, width, meta, meta_w, block_bits)
 
     has_alpha = any((px >> 24) != 255 for px in pixels)
     ch = 4 if has_alpha else 3

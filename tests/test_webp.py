@@ -144,7 +144,8 @@ def test_subtract_green_with_alpha_and_cache_matrix():
 
 
 def test_unsupported_transform_guarded():
-    # hand-build a header announcing a COLOR transform (type 1, unsupported)
+    # hand-build a header announcing a PALETTE transform (type 3, the one
+    # transform still unimplemented)
     from skinnerdb_spark.operators.webp import _BitWriter
 
     bw = _BitWriter()
@@ -154,11 +155,11 @@ def test_unsupported_transform_guarded():
     bw.write(0, 1)
     bw.write(0, 3)
     bw.write(1, 1)  # transform present
-    bw.write(1, 2)  # COLOR
+    bw.write(3, 2)  # PALETTE
     payload = bw.bytes() + b"\x00" * 8
     data = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
             + b"VP8L" + struct.pack("<I", len(payload)) + payload)
-    with pytest.raises(NotImplementedError, match="SUBTRACT_GREEN"):
+    with pytest.raises(NotImplementedError, match="PALETTE"):
         decode_webp(data)
 
 
@@ -210,3 +211,37 @@ def test_all_fourteen_predictor_modes_roundtrip(monkeypatch):
     grad = _gradient(37, 29)
     assert decode_webp(encode_webp(37, 29, grad, channels=3,
                                    predictor=True))[3] == grad
+
+
+def _correlated(w, h, seed=5):
+    """Channels correlated with green (the COLOR transform's target)."""
+    rng = random.Random(seed)
+    px = bytearray()
+    for _ in range(w * h):
+        g = rng.randrange(256)
+        px += bytes(((g + rng.randrange(-20, 21)) & 0xFF, g,
+                     (255 - g + rng.randrange(-20, 21)) & 0xFF))
+    return bytes(px)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (33, 21), (5, 3), (1, 1)])
+def test_color_transform_roundtrip(w, h):
+    px = _correlated(w, h)
+    data = encode_webp(w, h, px, channels=3, color_transform=True)
+    dw, dh, dc, out = decode_webp(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert out == px
+
+
+def test_color_transform_alpha_and_noise():
+    rng = random.Random(13)
+    px = bytes(rng.randrange(256) for _ in range(20 * 11 * 4))
+    dw, dh, dc, out = decode_webp(
+        encode_webp(20, 11, px, channels=4, color_transform=True))
+    assert out == px
+
+
+def test_single_transform_at_a_time():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_webp(2, 2, b"\x00" * 12, channels=3,
+                    predictor=True, color_transform=True)
