@@ -15,18 +15,18 @@ loud ``NotImplementedError``). Implements the public VP8L bitstream spec
 - literal pixels (G, R, B, A trees), LZ77 backward references (length +
   linear distance prefix values), and the hash-indexed color cache
 - encoder: single prefix-code group, optional color cache + distance-1 run
-  LZ77 + three of the four spec transforms — SUBTRACT_GREEN, PREDICTOR
-  (per-16x16-block mode selection), and COLOR (per-block channel
-  correlation multipliers), each with its mode/multiplier meta-image
-  entropy-coded as a sub-stream; decoder additionally handles arbitrary
-  linear distances, any cache size, any block size, and all 14 spec
-  predictor modes
+  LZ77 + ALL FOUR spec transforms — SUBTRACT_GREEN, PREDICTOR
+  (per-16x16-block mode selection), COLOR (per-block channel correlation
+  multipliers), and PALETTE (color indexing incl. the sub-byte index
+  bundling for <= 16 colors), each meta-image/palette entropy-coded as a
+  sub-stream; decoder additionally handles arbitrary linear distances,
+  any cache size, any block size, and all 14 spec predictor modes
 
-Honest scope guards (raise, never silently wrong): the PALETTE
-(color-indexing) transform with its sub-byte pixel bundling, meta prefix
-codes, and the 120-entry 2D distance map (an encoder-side near-distance
+Honest scope guards (raise, never silently wrong): meta prefix codes,
+the 120-entry 2D distance map (an encoder-side near-distance
 optimization; this encoder always writes linear distance codes, which any
-spec decoder accepts). No third-party decoder exists in this container to
+spec decoder accepts), palette combined with other transforms, and lossy
+VP8/VP8X. No third-party decoder exists in this container to
 cross-check against, so compliance is pinned by exhaustive round-trips +
 structural bit-layout tests (tests/test_webp.py) the same way jpeg.py is.
 
@@ -671,26 +671,98 @@ def _build_predictor_plan(argb: list[int], w: int, h: int,
     return full, modes, meta_w, bb
 
 
+# ---------------------------------------------------------------------------
+# the PALETTE / color-indexing transform (type 3): distinct colors in a
+# delta-coded 1-row sub-image; pixels become indices riding the GREEN
+# channel, sub-byte-BUNDLED for palettes of <= 16 colors (8/4/2 indices
+# per coded pixel), which also shrinks the coded image width
+# ---------------------------------------------------------------------------
+
+def _palette_width_bits(size: int) -> int:
+    if size <= 2:
+        return 3  # 8 indices per coded pixel (1 bit each)
+    if size <= 4:
+        return 2  # 4 per pixel (2 bits)
+    if size <= 16:
+        return 1  # 2 per pixel (4 bits)
+    return 0
+
+
+def _build_palette_plan(argb: list[int], w: int, h: int,
+                        ) -> tuple[list[int], list[int], int]:
+    """(packed coded pixels, delta-coded palette image, width_bits)."""
+    palette: list[int] = []
+    index: dict[int, int] = {}
+    for px in argb:
+        if px not in index:
+            index[px] = len(palette)
+            palette.append(px)
+    if len(palette) > 256:
+        raise ValueError(
+            f"palette transform needs <= 256 distinct colors, got {len(palette)}")
+    wb = _palette_width_bits(len(palette))
+    ppb = 1 << wb          # indices per coded pixel
+    bits_per_idx = 8 >> wb
+    packed_w = (w + ppb - 1) >> wb
+    packed: list[int] = []
+    for y in range(h):
+        for px_x in range(packed_w):
+            acc = 0
+            for k in range(ppb):
+                x = (px_x << wb) + k
+                if x < w:
+                    acc |= index[argb[y * w + x]] << (k * bits_per_idx)
+            packed.append(0xFF000000 | (acc << 8))
+    # delta-code the palette component-wise vs the previous entry (prev=0)
+    deltas: list[int] = []
+    prev = 0
+    for px in palette:
+        deltas.append(_pack(*[
+            (c - p) & 0xFF for c, p in zip(_unpack(px), _unpack(prev))
+        ]))
+        prev = px
+    return packed, deltas, wb
+
+
+def _apply_inverse_palette(pixels: list[int], w: int, h: int,
+                           palette: list[int], wb: int) -> list[int]:
+    ppb = 1 << wb
+    bits_per_idx = 8 >> wb
+    mask = (1 << bits_per_idx) - 1
+    packed_w = (w + ppb - 1) >> wb
+    out: list[int] = []
+    for y in range(h):
+        for x in range(w):
+            coded = pixels[y * packed_w + (x >> wb)]
+            idx = ((coded >> 8) >> ((x & (ppb - 1)) * bits_per_idx)) & mask
+            if idx >= len(palette):
+                raise ValueError("palette index out of range")
+            out.append(palette[idx])
+    return out
+
+
 def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
                 cache_bits: int = 6, use_lz77: bool = True,
                 subtract_green: bool = False, predictor: bool = False,
-                color_transform: bool = False) -> bytes:
+                color_transform: bool = False, palette: bool = False) -> bytes:
     """Encode interleaved RGB/RGBA rows as a lossless VP8L WebP.
 
     ``subtract_green`` applies the spec's SUBTRACT_GREEN transform (r -= g,
     b -= g mod 256) before entropy coding; ``predictor`` applies the
     PREDICTOR transform (per-16x16-block spatial prediction, residuals
     coded); ``color_transform`` applies the COLOR transform (per-block
-    channel-correlation multipliers). One transform at a time here, to
-    keep the inverse order unambiguous."""
+    channel-correlation multipliers); ``palette`` applies the color-
+    indexing transform (<= 256 distinct colors, sub-byte index bundling
+    for <= 16). One transform at a time here, to keep the inverse order
+    unambiguous."""
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    if subtract_green + predictor + color_transform > 1:
+    if subtract_green + predictor + color_transform + palette > 1:
         raise ValueError(
-            "subtract_green / predictor / color_transform are mutually "
-            "exclusive in this encoder")
+            "subtract_green / predictor / color_transform / palette are "
+            "mutually exclusive in this encoder")
     argb = []
     for i in range(width * height):
         o = i * channels
@@ -724,6 +796,13 @@ def encode_webp(width: int, height: int, pixels: bytes, channels: int = 3,
         bw.write(_T_COLOR, 2)
         bw.write(bb - 2, 3)
         _encode_image_stream(bw, meta, cache_bits=0, use_lz77=use_lz77,
+                             top_level=False)
+    if palette:
+        argb, deltas, _wb = _build_palette_plan(argb, width, height)
+        bw.write(1, 1)
+        bw.write(_T_PALETTE, 2)
+        bw.write(len(deltas) - 1, 8)
+        _encode_image_stream(bw, deltas, cache_bits=0, use_lz77=use_lz77,
                              top_level=False)
     bw.write(0, 1)  # end of transforms
     _encode_image_stream(bw, argb, cache_bits, use_lz77, top_level=True)
@@ -834,12 +913,29 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             if ttype == _T_PREDICTOR:
                 meta = [(px >> 8) & 0xFF for px in meta]  # mode in GREEN
             transforms.append((ttype, (block_bits, meta_w, meta)))
-        else:
-            raise NotImplementedError(
-                "the PALETTE (color-indexing) VP8L transform is not "
-                "implemented (SUBTRACT_GREEN, PREDICTOR, and COLOR are)")
+        else:  # PALETTE / color indexing
+            size = br.read(8) + 1
+            deltas = _decode_image_stream(br, size, top_level=False)
+            pal: list[int] = []
+            prev = 0
+            for d in deltas:  # component-wise cumulative sum mod 256
+                prev = _pack(*[
+                    (dc + pc) & 0xFF for dc, pc in zip(_unpack(d), _unpack(prev))
+                ])
+                pal.append(prev)
+            transforms.append((ttype, (_palette_width_bits(size), pal)))
 
-    pixels = _decode_image_stream(br, width * height, top_level=True)
+    pal_entries = [t for t in transforms if t[0] == _T_PALETTE]
+    if pal_entries and len(transforms) > 1:
+        raise NotImplementedError(
+            "palette combined with other transforms is not supported")
+    if pal_entries:
+        wb = pal_entries[0][1][0]
+        coded_w = (width + (1 << wb) - 1) >> wb
+        n_coded = coded_w * height
+    else:
+        n_coded = width * height
+    pixels = _decode_image_stream(br, n_coded, top_level=True)
 
     # inverse transforms, in reverse stream order (spec: last read, first
     # inverted)
@@ -856,10 +952,13 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             block_bits, meta_w, modes = targs
             pixels = _apply_inverse_predictor(
                 pixels, width, modes, meta_w, block_bits)
-        else:  # COLOR
+        elif ttype == _T_COLOR:
             block_bits, meta_w, meta = targs
             pixels = _apply_inverse_color(
                 pixels, width, meta, meta_w, block_bits)
+        else:  # PALETTE
+            wb, pal = targs
+            pixels = _apply_inverse_palette(pixels, width, height, pal, wb)
 
     has_alpha = any((px >> 24) != 255 for px in pixels)
     ch = 4 if has_alpha else 3

@@ -143,9 +143,9 @@ def test_subtract_green_with_alpha_and_cache_matrix():
         assert dc == 4 and out == bytes(px)
 
 
-def test_unsupported_transform_guarded():
-    # hand-build a header announcing a PALETTE transform (type 3, the one
-    # transform still unimplemented)
+def test_meta_prefix_codes_guarded():
+    # all four transforms decode now; meta prefix codes are the remaining
+    # honest guard — hand-build a header announcing them
     from skinnerdb_spark.operators.webp import _BitWriter
 
     bw = _BitWriter()
@@ -154,12 +154,13 @@ def test_unsupported_transform_guarded():
     bw.write(3, 14)  # h-1
     bw.write(0, 1)
     bw.write(0, 3)
-    bw.write(1, 1)  # transform present
-    bw.write(3, 2)  # PALETTE
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
     payload = bw.bytes() + b"\x00" * 8
     data = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
             + b"VP8L" + struct.pack("<I", len(payload)) + payload)
-    with pytest.raises(NotImplementedError, match="PALETTE"):
+    with pytest.raises(NotImplementedError, match="meta prefix"):
         decode_webp(data)
 
 
@@ -245,3 +246,42 @@ def test_single_transform_at_a_time():
     with pytest.raises(ValueError, match="mutually exclusive"):
         encode_webp(2, 2, b"\x00" * 12, channels=3,
                     predictor=True, color_transform=True)
+
+
+@pytest.mark.parametrize("n_colors,wb_px", [(2, 8), (4, 4), (16, 2), (100, 1)])
+def test_palette_transform_roundtrip(n_colors, wb_px):
+    """Color indexing across every bundling tier: 2 colors -> 8 indices
+    per coded pixel, 4 -> 4, 16 -> 2, >16 -> none."""
+    rng = random.Random(n_colors)
+    colors = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(n_colors)]
+    w, h = 21, 13  # deliberately not a multiple of any bundling factor
+    px = bytearray()
+    for i in range(w * h):
+        px += bytes(colors[(i * 7 + i // w) % n_colors])
+    data = encode_webp(w, h, bytes(px), channels=3, palette=True)
+    dw, dh, dc, out = decode_webp(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert out == bytes(px)
+
+
+def test_palette_compresses_few_color_content():
+    px = bytearray()
+    for i in range(64 * 64):
+        px += bytes((255, 0, 0) if (i // 64 + i) % 3 else (0, 0, 255))
+    pal = encode_webp(64, 64, bytes(px), channels=3, palette=True)
+    plain = encode_webp(64, 64, bytes(px), channels=3)
+    assert len(pal) < len(plain)
+    assert decode_webp(pal)[3] == bytes(px)
+
+
+def test_palette_with_alpha_and_too_many_colors():
+    px = bytearray()
+    for i in range(10 * 10):
+        px += bytes((i % 3, (i % 3) * 40, 7, 128 + (i % 2)))
+    data = encode_webp(10, 10, bytes(px), channels=4, palette=True)
+    assert decode_webp(data)[3] == bytes(px)
+    rng = random.Random(99)
+    big = bytes(rng.randrange(256) for _ in range(40 * 40 * 3))
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_webp(40, 40, big, channels=3, palette=True)
