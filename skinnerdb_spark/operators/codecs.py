@@ -194,11 +194,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes. PNG, BMP, baseline JPEG, and lossless WebP
-    (VP8L, operators/webp.py — r7) decode for real, pure stdlib; anything
-    else (lossy WebP, video, progressive JPEG) raises — those codecs
-    genuinely are not in this container, and silently faking them would
-    poison downstream features."""
+    """Dispatch on magic bytes. PNG, BMP, baseline JPEG, lossless WebP
+    (VP8L, operators/webp.py — r7), and GIF (operators/gif.py — r7) decode
+    for real, pure stdlib; anything else (lossy WebP, video, progressive
+    JPEG) raises — those codecs genuinely are not in this container, and
+    silently faking them would poison downstream features."""
     if data[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -211,8 +211,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         from skinnerdb_spark.operators.webp import decode_webp
 
         return decode_webp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from skinnerdb_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG, and lossless WebP decode in this "
-        "environment (pure-stdlib codecs); lossy WebP/video need external "
-        "libraries"
+        "only PNG, BMP, baseline JPEG, lossless WebP, and GIF decode in "
+        "this environment (pure-stdlib codecs); lossy WebP/video need "
+        "external libraries"
     )

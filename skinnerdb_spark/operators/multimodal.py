@@ -53,13 +53,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes) -> tuple[int, int, int, bytes]:
-    """REAL image decode for PNG, BMP, baseline JPEG, and lossless WebP —
-    pure-stdlib codecs (operators/codecs.py, jpeg.py, webp.py). Remaining
-    formats (lossy WebP, progressive JPEG) still raise NotImplementedError:
-    those codecs genuinely are not in this container, and the error names
-    what IS supported. Returns (width, height, channels, top-down bytes);
-    exercised end-to-end by the oracle-verified ``multimodal_decode_stats``,
-    ``multimodal_jpeg_roundtrip`` and ``multimodal_webp_roundtrip``
+    """REAL image decode for PNG, BMP, baseline JPEG, lossless WebP, and
+    GIF — pure-stdlib codecs (operators/codecs.py, jpeg.py, webp.py,
+    gif.py). Remaining formats (lossy WebP, progressive JPEG) still raise
+    NotImplementedError: those codecs genuinely are not in this container,
+    and the error names what IS supported. Returns (width, height,
+    channels, top-down bytes); exercised end-to-end by the oracle-verified
+    ``multimodal_decode_stats``, ``multimodal_jpeg_roundtrip``,
+    ``multimodal_webp_roundtrip`` and ``multimodal_gif_roundtrip``
     entries."""
     from skinnerdb_spark.operators.codecs import decode_image as _decode
 
@@ -809,3 +810,110 @@ def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") < WEBP_DOCS
     )
     return ids.repartition(8).mapInPandas(gen, schema=_WEBP_SCHEMA).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF path (r7): pure-stdlib LZW codec (operators/gif.py) exercised
+# end-to-end. GIF is indexed color, so the fixture draws from an 11-color
+# per-document palette (constant rows every 4th line exercise the LZW run
+# path; the diagonal pattern exercises dictionary growth across the
+# variable-width 3..12-bit code schedule). GIF is lossless over palette
+# images, so — like WebP and unlike lossy JPEG — the SQL oracle recomputes
+# EVERY output column including the exact channel sums: any bit-packing,
+# code-width, or palette bug flips a hash-gated value.
+# ---------------------------------------------------------------------------
+
+GIF_DOCS = 300  # bounded probe set: pure-Python LZW per image
+
+
+def _gif_test_pixels(media_id: int) -> tuple[int, int, bytes]:
+    w, h = 14 + media_id % 11, 10 + media_id % 5
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            k = media_id % 11 if y % 4 == 0 else (x * 3 + y * 5 + media_id) % 11
+            px.append((k * 23 + media_id) % 256)
+            px.append((k * 41 + media_id * 7) % 256)
+            px.append((k * 59 + 13) % 256)
+    return w, h, bytes(px)
+
+
+_GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("lossless", T.BooleanType()),
+    ]
+)
+
+_GIF_ORACLE = f"""
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(14 + doc_id % 11 AS BIGINT) AS w,
+               CAST(10 + doc_id % 5 AS BIGINT) AS h
+        FROM documents WHERE doc_id < {GIF_DOCS}),
+    px AS (
+        SELECT p.doc_id, p.w, p.h,
+               CASE WHEN y.y % 4 = 0 THEN p.doc_id % 11
+                    ELSE (x.x * 3 + y.y * 5 + p.doc_id) % 11 END AS k
+        FROM p,
+             UNNEST(generate_series(0, p.w - 1)) AS x(x),
+             UNNEST(generate_series(0, p.h - 1)) AS y(y))
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM((k * 23 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((k * 41 + doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((k * 59 + 13) % 256) AS BIGINT) AS sum_b,
+           TRUE AS lossless
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY media_id
+"""
+
+
+@register("multimodal_gif_roundtrip", _GIF_ORACLE,
+          tags=("multimodal", "pipeline", "codec"))
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode real GIF bytes (LZW, variable-width codes) per
+    document over Arrow batches; exact channel sums SQL-oracled (see module
+    comment). Scale shape: one mapInPandas stage, per-task streaming, zero
+    shuffle; the probe set is bounded (GIF_DOCS) because pure-Python LZW is
+    a test-fixture path — a production decode pass swaps in a native codec
+    behind the same batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.gif import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, px = _gif_test_pixels(mid)
+                data = encode_gif(w, h, px)
+                dw, dh, dc, out = decode_gif(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "channels": dc,
+                        "sum_r": sum(out[0::3]),
+                        "sum_g": sum(out[1::3]),
+                        "sum_b": sum(out[2::3]),
+                        "lossless": out == px and (dw, dh, dc) == (w, h, 3),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _GIF_SCHEMA.fields])
+
+    d = read_table(spark, sf_dir, "documents")
+    ids = d.select(F.col("doc_id").alias("media_id")).filter(
+        F.col("media_id") < GIF_DOCS
+    )
+    return ids.repartition(8).mapInPandas(gen, schema=_GIF_SCHEMA).orderBy("media_id")
