@@ -108,7 +108,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_roundtrip", "multimodal_audio_features",
     "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
     "multimodal_webp_roundtrip", "dedup_verbatim_spans",
-    "sample_temperature_mix", "multimodal_gif_roundtrip",
+    "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
 ]
 
 

@@ -246,3 +246,195 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.expr("CAST(xn + score AS DOUBLE) / 1e12").alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-pairwise-cosine (Abbas et al.,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540 — the published method behind
+# embedding-level pruning of web corpora). K-means partitions the corpus,
+# pairwise cosine runs ONLY within clusters (the quadratic stage is bounded
+# by cluster size, never corpus size), and of each near-duplicate pair the
+# member FARTHER from its centroid is dropped.
+# ---------------------------------------------------------------------------
+
+#: cosine threshold as an exact ratio (2/5 = 0.40 — calibrated to the
+#: near-orthogonal test corpus the way dedup_embed_cosine's 0.30 is; real
+#: deployments use ~0.95+ on semantic encoders).
+SEM_NUM, SEM_DEN = 2, 5
+#: per-cluster comparison cap: only the CAP members closest to the centroid
+#: enter the pair join (rank by exact integer distance, ties by vec_id) —
+#: the hot-bucket discipline every pair generator in this repo carries.
+#: Never binds at bench scale (~62 members/cluster); at 100 TB the operator
+#: expects K sized so clusters stay ~CAP (K ~ N/CAP), which is also how the
+#: paper deploys it (fixed cluster budget, K grows with the corpus).
+SEM_CAP = 256
+
+
+def _semdedup_oracle() -> str:
+    k, dim = KMEANS_K, DIM
+    body = f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cell,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS carr
+           FROM embeddings WHERE vec_id < {k})"""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        body += f""",
+    s{i} AS (SELECT e.vec_id, c.cell,
+               {_oracle_dot_q('c.carr', 'c.carr')}
+                    - 2 * {_oracle_dot_q('e.embedding', 'c.carr')} AS score
+             FROM emb e CROSS JOIN {prev} c),
+    a{i} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY score, cell) AS rn
+               FROM s{i}) WHERE rn = 1),
+    u{i} AS (SELECT a.cell, g.i AS pos,
+               CAST(SUM({_Q.format(x='e.embedding[g.i]')})
+                    AS DOUBLE) / 1e6 / COUNT(*) AS cv
+             FROM a{i} a JOIN emb e USING (vec_id)
+             CROSS JOIN generate_series(1, {dim}) g(i)
+             GROUP BY a.cell, g.i),
+    n{i} AS (SELECT cell, list(cv ORDER BY pos) AS carr
+             FROM u{i} GROUP BY cell),
+    c{i} AS (SELECT p.cell, COALESCE(n{i}.carr, p.carr) AS carr
+             FROM {prev} p LEFT JOIN n{i} USING (cell))"""
+        prev = f"c{i}"
+    body += f""",
+    sf AS (SELECT e.vec_id, c.cell,
+             {_oracle_dot_q('c.carr', 'c.carr')}
+                  - 2 * {_oracle_dot_q('e.embedding', 'c.carr')} AS score,
+             {_oracle_dot_q('e.embedding', 'e.embedding')} AS xn
+           FROM emb e CROSS JOIN {prev} c),
+    af AS (SELECT vec_id, cell, xn, xn + score AS d2i
+           FROM (SELECT vec_id, cell, score, xn,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY score, cell) AS rn
+                 FROM sf) WHERE rn = 1),
+    rk AS (SELECT vec_id, cell, xn, d2i,
+                  ROW_NUMBER() OVER (PARTITION BY cell
+                       ORDER BY d2i, vec_id) AS crn
+           FROM af),
+    qe AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> {_Q.format(x='x')}) AS qa
+           FROM embeddings),
+    pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                  x.d2i AS da, y.d2i AS db
+           FROM rk x JOIN rk y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                 AND x.crn <= {SEM_CAP} AND y.crn <= {SEM_CAP}
+           JOIN qe qx ON qx.vec_id = x.vec_id
+           JOIN qe qy ON qy.vec_id = y.vec_id
+           WHERE CAST({SEM_DEN} * (SELECT CAST(SUM(qx.qa[g.i] * qy.qa[g.i])
+                                        AS BIGINT)
+                                   FROM generate_series(1, {dim}) g(i))
+                      AS DOUBLE)
+                 >= CAST({SEM_NUM} AS DOUBLE)
+                    * SQRT(CAST(x.xn AS DOUBLE))
+                    * SQRT(CAST(y.xn AS DOUBLE))),
+    dr AS (SELECT DISTINCT
+                  CASE WHEN da > db OR (da = db AND a > b) THEN a ELSE b END
+                  AS did
+           FROM pr)
+    SELECT af.vec_id, af.cell, dr.did IS NULL AS kept
+    FROM af LEFT JOIN dr ON af.vec_id = dr.did
+    ORDER BY af.vec_id
+    """
+    return body
+
+
+@register(
+    "dedup_semantic",
+    _semdedup_oracle(),
+    tags=("dedup", "similarity", "pipeline", "clustering"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: the k-means rounds above, then an
+    exact-cosine pair join WITHIN each cluster; of every pair at cosine >=
+    SEM_NUM/SEM_DEN the member farther from its centroid (exact integer
+    distance, ties to the higher vec_id) is marked dropped. Output is one
+    row per vector: (vec_id, cell, kept).
+
+    Exactness: the pair predicate is 5*dot >= 2*sqrt(na)*sqrt(nb) with dot/
+    na/nb EXACT int64 sums of 1e-6-quantized products (all < 2^53, so the
+    int->double casts are lossless) and sqrt/multiply evaluated as the
+    identical IEEE-double expression shape on both engines — the
+    ev_anomaly_hours discipline; no libm transcendentals.
+
+    Scale shape: the quadratic stage is per-cluster and CAPPED (SEM_CAP
+    closest-to-centroid members; rank + both join sides from ONE
+    checkpointed ~|rows|-sized frame), so pair cost is K * CAP^2 regardless
+    of corpus size; production sizes K ~ N/CAP exactly as the paper does,
+    keeping total work linear in N. The k-means stages are the
+    embed_kmeans plan (broadcast component joins, partial aggregation,
+    per-round lineage cuts)."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = _exploded_vectors(e)
+    cents = _init_centroids(e).localCheckpoint(eager=True)
+    for _ in range(KMEANS_ITERS):
+        asn = _assign(ev, cents)
+        cents = _update(ev, asn, cents).localCheckpoint(eager=True)
+    final = _assign(ev, cents)
+    xn = ev.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("xn"))
+    mem = final.join(xn, "vec_id").select(
+        "vec_id", "cell", "xn", (F.col("xn") + F.col("score")).alias("d2i")
+    )
+    q = e.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("qa"),
+    )
+    from pyspark.sql import Window
+
+    side = (
+        mem.withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy("d2i", "vec_id")
+            ),
+        )
+        .filter(F.col("crn") <= SEM_CAP)
+        .join(q, "vec_id")
+        .localCheckpoint(eager=True)  # both pair sides read ONE materialization
+    )
+    x, y = side.alias("x"), side.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(x.qa, y.qa, (a, b) -> a * b), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .filter(
+            F.expr(
+                f"CAST({SEM_DEN} * dot AS DOUBLE) >= "
+                f"CAST({SEM_NUM} AS DOUBLE) "
+                "* SQRT(CAST(x.xn AS DOUBLE)) * SQRT(CAST(y.xn AS DOUBLE))"
+            )
+        )
+        .select(
+            F.when(
+                (F.col("x.d2i") > F.col("y.d2i"))
+                | (
+                    (F.col("x.d2i") == F.col("y.d2i"))
+                    & (F.col("x.vec_id") > F.col("y.vec_id"))
+                ),
+                F.col("x.vec_id"),
+            )
+            .otherwise(F.col("y.vec_id"))
+            .alias("did")
+        )
+        .distinct()
+    )
+    return (
+        mem.join(pairs, mem.vec_id == pairs.did, "left")
+        .select("vec_id", "cell", F.col("did").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )

@@ -81,6 +81,16 @@ def run_replay(
     from tools.datagen_imdb import SCHEMA, generate, register_imdb_views
 
     spark = get_spark(app_name="job-replay")
+    # session.py raises autoBroadcastJoinThreshold to 64 MB for the bench
+    # warehouse's tiny dims. On a cardinality-matched IMDB (scale 100:
+    # cast_info 36M rows) that tuning is WRONG: Spark's estimate is
+    # compressed-parquet bytes, so multi-million-row skew-keyed tables
+    # slip under 64 MB and the LongHashedRelation broadcast build
+    # degenerates (minutes, single-threaded, in findKeyPosition — dense
+    # duplicated long keys). The replay runs at Spark's default 10 MB:
+    # real dims still broadcast, fact-sized relations shuffle-join with
+    # AQE handling skew — the setting that would actually ship at scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     if not os.path.isdir(warehouse) or not all(
         os.path.exists(os.path.join(warehouse, f"{t}.parquet")) for t in SCHEMA
     ):
