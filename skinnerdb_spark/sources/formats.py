@@ -1,4 +1,4 @@
-"""JSONL and ORC ingest/egress — the formats a training-data pipeline meets
+"""JSONL, ORC and XML ingest/egress — the formats a training-data pipeline meets
 beyond CSV/Parquet (reference scope is CSV only, src/diskio/LoadCSV.java;
 this module is beyond-reference surface like the operators tier).
 
@@ -106,3 +106,56 @@ def store_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def load_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Read XML via Spark 4's built-in ``xml`` data source (one row per
+    ``row_tag`` element — feeds, sitemaps, Wikipedia dumps, PubMed).
+
+    Same scale discipline as ``load_jsonl``: an explicit schema is
+    mandatory unless ``infer=True`` (XML inference is a full extra parse
+    of the input), and malformed elements quarantine into
+    ``_corrupt_record`` (PERMISSIVE) instead of failing the job — route
+    them with ``quarantine_split`` exactly like JSONL."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_xml requires an explicit schema at scale "
+            "(schema inference = a full extra pass over the input); "
+            "pass infer=True to opt in for exploration"
+        )
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if CORRUPT_COL not in schema.fieldNames():
+            schema = schema.add(CORRUPT_COL, T.StringType())
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def store_xml(
+    df: DataFrame, path: str, row_tag: str, root_tag: str = "rows",
+    compression: str | None = None,
+) -> None:
+    """Write XML (one ``row_tag`` element per row under ``root_tag`` per
+    file). Optional codec ('gzip', ...)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.save(path)

@@ -1409,3 +1409,41 @@ class TestAviCodec:
         struct.pack_into("<I", avi, i, 9)
         with pytest.raises(ValueError, match="declares"):
             decode_avi(bytes(avi))
+
+
+def test_xml_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """documents -> XML -> back via Spark 4's native xml source: values
+    survive; a malformed element quarantines into _corrupt_record; schema
+    stays mandatory at scale."""
+    import pytest
+
+    from skinnerdb_spark.sources.formats import (
+        load_xml,
+        quarantine_split,
+        store_xml,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_xml")
+    store_xml(docs, out, row_tag="doc", root_tag="docs")
+    back = load_xml(spark, out, row_tag="doc",
+                    schema="doc_id long, lang string, n_chars long")
+    clean, corrupt = quarantine_split(back)
+    assert corrupt.count() == 0
+    a = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    b = {r["doc_id"]: r["n_chars"] for r in clean.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="schema"):
+        load_xml(spark, out, row_tag="doc")
+    bad = tmp_path / "badxml"
+    bad.mkdir()
+    (bad / "part-0.xml").write_text(
+        "<docs><doc><doc_id>1</doc_id><lang>en</lang></doc>"
+        "<doc><doc_id>oops</doc_id><lang>de</lang></doc></docs>"
+    )
+    mixed = load_xml(spark, str(bad), row_tag="doc",
+                     schema="doc_id long, lang string")
+    clean, corrupt = quarantine_split(mixed)
+    assert clean.count() == 1 and corrupt.count() == 1
