@@ -46,6 +46,8 @@ from skinnerdb_spark.plans.joinorder import (
     PrefixProgress,
     budgeted_count as _budgeted_count,
     connected_orders,
+    greedy_orders,
+    is_connected_order,
 )
 
 #: unary operators above the join subtree that replay unchanged over the
@@ -663,7 +665,7 @@ def adaptive_reorder(
     # case for benchmark directories and dashboards) pays no optimizer
     # passes, just the chain rebuild
     cached = None
-    tier = "cached"
+    transferred = None
     if use_cache:
         cached = _cache_get(graph.signature)
         if cached is None and reuse_shape:
@@ -675,22 +677,49 @@ def adaptive_reorder(
             cached = _cache_get(graph.shape_sig)
         if cached is None and reuse_shape and _transfer_enabled():
             # cross-warehouse transfer: same shape learned on ANOTHER
-            # warehouse (scope-free key). A warm start, not authoritative —
-            # it is never written back under this scope's signatures, so
-            # disabling transfer later re-learns from scratch.
-            cached = _cache_get(graph.transfer_sig)
-            tier = "cached-transfer"
+            # warehouse (scope-free key). A warm start, never authoritative:
+            # by default the transferred order enters the episode duel below
+            # as the INCUMBENT arm and must win on THIS warehouse's sampled
+            # rewards before it executes (an order learned at 20 MB ran 40x
+            # behind greedy at the 100x-cardinality JOB replay — blind trust
+            # does not survive a scale jump). SKINNER_ORDER_TRANSFER=trust
+            # restores the r6 zero-episode behavior for same-machine,
+            # same-scale warehouse clones; the validated winner is written
+            # under THIS scope's signatures either way.
+            transferred = _cache_get(graph.transfer_sig)
+            if (
+                transferred is not None
+                and os.environ.get("SKINNER_ORDER_TRANSFER") == "trust"
+                and is_connected_order(transferred, graph.names, graph.edges)
+            ):
+                chain = build_graph_chain(graph, transferred)
+                res = AdaptiveJoinResult(finish(graph, chain), transferred)
+                res.reason = "cached-transfer"  # type: ignore[attr-defined]
+                return res
     if cached is not None and cached in cands:
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)
-        res.reason = tier  # type: ignore[attr-defined]
+        res.reason = "cached"  # type: ignore[attr-defined]
         return res
-    if len(cands) == 1:
+    if len(cands) == 1 and transferred is None:
         chain = build_graph_chain(graph, cands[0])
         return AdaptiveJoinResult(finish(graph, chain), cands[0])
 
+    # arm set: incumbent (validated transfer) first, then selectivity-greedy
+    # seeds, then the DFS enumeration — the bandit plays unplayed arms in
+    # list order, so with few episodes the duel is exactly
+    # "transferred order vs greedy-smallest order"
+    graph.ensure_sizes()
+    seeds: list[tuple[str, ...]] = []
+    if transferred is not None and is_connected_order(
+        transferred, graph.names, graph.edges
+    ):
+        seeds.append(transferred)
+    for g in greedy_orders(graph.names, graph.edges, graph.sizes):
+        if g not in seeds:
+            seeds.append(g)
+    cands = seeds + [c for c in cands if c not in seeds]
     fact = graph.fact
-    cands.sort(key=lambda o: (o[0] != fact, o))
 
     # sampled episodes: shrink the fact side to ~sample_rows using the
     # optimizer's size estimate (row width unknown -> assume bytes/row ~100;

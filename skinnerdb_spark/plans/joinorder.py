@@ -75,6 +75,64 @@ def connected_orders(
     return orders
 
 
+def is_connected_order(
+    order: tuple[str, ...], tables: list[str], edges: list[JoinEdge]
+) -> bool:
+    """True iff ``order`` covers every table and never forms a cartesian
+    product — validity check for orders that arrive from outside the
+    enumeration (cache/transfer tiers)."""
+    if sorted(order) != sorted(tables):
+        return False
+    for i, t in enumerate(order[1:], 1):
+        prefix = order[:i]
+        if not any(e.touches(t) and e.other(t) in prefix for e in edges):
+            return False
+    return True
+
+
+def greedy_orders(
+    tables: list[str],
+    edges: list[JoinEdge],
+    sizes: dict[str, int],
+    starts: int = 4,
+) -> list[tuple[str, ...]]:
+    """Selectivity-seeded left-deep candidates: start from each of the
+    ``starts`` smallest leaves (optimizer size estimates, post-pushdown),
+    then repeatedly append the smallest CONNECTED unjoined table — the
+    classic greedy heuristic (Selinger-style min-size expansion).
+
+    Why this exists: ``connected_orders``'s bounded DFS enumerates in table
+    order and its ``max_orders`` cap can exhaust on permutations that all
+    open with the same (large) tables — for an 8-way join graph, dim-first
+    orders may not appear AT ALL among the first 12. Seeding the candidate
+    list with greedy orders guarantees the bandit always has a
+    small-leading, filter-early arm to play against whatever the DFS
+    produced; learning at a 36M-row warehouse then starts from sane
+    incumbents instead of noise (found via the cardinality-matched JOB
+    replay — the DFS-only arm set learned fact-first orders that ran 40x
+    behind the greedy ones at scale 100)."""
+    out: list[tuple[str, ...]] = []
+    for s in sorted(tables, key=lambda t: (sizes.get(t, 0), t))[:starts]:
+        order = [s]
+        rest = set(tables) - {s}
+        while rest:
+            nxts = [
+                t
+                for t in rest
+                if any(e.touches(t) and e.other(t) in order for e in edges)
+            ]
+            if not nxts:
+                break
+            nxt = min(nxts, key=lambda t: (sizes.get(t, 0), t))
+            order.append(nxt)
+            rest.remove(nxt)
+        if not rest:
+            o = tuple(order)
+            if o not in out:
+                out.append(o)
+    return out
+
+
 class UCB1:
     """UCB1 bandit over a fixed arm set (reference: UctNode UCB1 policy,
     src/joining/uct/UctNode.java:239-262)."""

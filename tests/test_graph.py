@@ -177,9 +177,11 @@ def test_order_cache_not_shared_across_warehouses(spark, sf_dir):
 
 def test_cross_warehouse_order_transfer(spark, sf_dir, monkeypatch):
     """An order learned on one warehouse warm-starts the SAME query shape on
-    a different warehouse (scope-free transfer tier) with zero episodes; the
-    transferred order is never written under the new scope's signatures, and
-    SKINNER_ORDER_TRANSFER=0 restores cold learning."""
+    a different warehouse (scope-free transfer tier). Default contract (r7):
+    the transferred order enters the episode duel as the INCUMBENT arm and
+    the validated winner is written under the new scope's signatures;
+    SKINNER_ORDER_TRANSFER=trust restores the r6 zero-episode behavior
+    (never written back), and =0 restores cold learning."""
     from skinnerdb_spark.plans import graph as G
 
     monkeypatch.setenv("SKINNER_ORDER_CACHE_PERSIST", "0")
@@ -196,14 +198,32 @@ def test_cross_warehouse_order_transfer(spark, sf_dir, monkeypatch):
         # earlier tests (or the persisted file) may already hold an
         # AUTHORITATIVE order for this query at the sf0.01 scope — drop it
         # so the lookup can only hit the transfer tier under test
-        g2 = extract_query_graph(spark.sql(q))
-        G._ORDER_CACHE.pop(g2.signature, None)
-        G._ORDER_CACHE.pop(g2.shape_sig, None)
+        def _pop_scope_sigs():
+            g2 = extract_query_graph(spark.sql(q))
+            G._ORDER_CACHE.pop(g2.signature, None)
+            G._ORDER_CACHE.pop(g2.shape_sig, None)
+            return g2
+
+        # trust mode: zero episodes, never written under the new scope
+        monkeypatch.setenv("SKINNER_ORDER_TRANSFER", "trust")
+        g2 = _pop_scope_sigs()
         r2 = adaptive_reorder(spark.sql(q), episodes=2)
         assert getattr(r2, "reason", None) == "cached-transfer"
         assert r2.best_order == r1.best_order
+        assert not r2.episodes
         assert g2.signature not in G._ORDER_CACHE  # warm start, not authority
+
+        # default (validated): episodes run with the transferred order as
+        # the first arm played, and the winner IS cached under this scope
+        monkeypatch.delenv("SKINNER_ORDER_TRANSFER", raising=False)
+        g2 = _pop_scope_sigs()
+        r4 = adaptive_reorder(spark.sql(q), episodes=2)
+        assert r4.episodes  # duel happened
+        assert r4.episodes[0].order == r1.best_order  # incumbent played first
+        assert g2.signature in G._ORDER_CACHE  # validated winner cached here
+
         monkeypatch.setenv("SKINNER_ORDER_TRANSFER", "0")
+        _pop_scope_sigs()
         r3 = adaptive_reorder(spark.sql(q), episodes=2)
         assert r3.episodes  # transfer disabled -> cold learning again
     finally:
