@@ -1447,3 +1447,55 @@ def test_xml_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
                      schema="doc_id long, lang string")
     clean, corrupt = quarantine_split(mixed)
     assert clean.count() == 1 and corrupt.count() == 1
+
+
+def test_greedy_orders_seed_dim_first():
+    """greedy_orders produces connected, small-leading orders even when the
+    DFS enumeration window would contain only fact-first permutations —
+    the 16b-at-scale-100 regression (an 8-way star whose smallest, most
+    filtered leaves sit last in table order)."""
+    from skinnerdb_spark.plans.joinorder import (
+        JoinEdge,
+        connected_orders,
+        greedy_orders,
+        is_connected_order,
+    )
+
+    tables = ["an", "ci", "cn", "k", "mc", "mk", "n", "t"]
+    E = JoinEdge
+    edges = [
+        E("an", "person_id", "n", "id"),
+        E("n", "id", "ci", "person_id"),
+        E("ci", "movie_id", "t", "id"),
+        E("t", "id", "mk", "movie_id"),
+        E("mk", "keyword_id", "k", "id"),
+        E("t", "id", "mc", "movie_id"),
+        E("mc", "company_id", "cn", "id"),
+        E("an", "person_id", "ci", "person_id"),
+        E("ci", "movie_id", "mc", "movie_id"),
+    ]
+    sizes = {"k": 2, "cn": 10, "mc": 50, "an": 52, "mk": 54,
+             "t": 136, "n": 239, "ci": 843}
+    greedy = greedy_orders(tables, edges, sizes)
+    assert greedy, "no greedy order found on a connected graph"
+    # every greedy order is valid and covers all tables
+    for o in greedy:
+        assert is_connected_order(o, tables, edges)
+    # the first seed starts from the smallest leaf (k) and keeps ci last-ish
+    assert greedy[0][0] == "k"
+    assert greedy[0].index("ci") >= 4
+    # the DFS window at max_orders=12 never opens with k on this graph
+    # (alphabetical DFS exhausts its budget on an-first permutations) —
+    # exactly why the seeds exist
+    dfs = connected_orders(tables, edges, max_orders=12)
+    assert all(o[0] != "k" for o in dfs)
+
+
+def test_is_connected_order_rejects_cartesian_and_partial():
+    from skinnerdb_spark.plans.joinorder import JoinEdge, is_connected_order
+
+    tables = ["a", "b", "c"]
+    edges = [JoinEdge("a", "x", "b", "x"), JoinEdge("b", "y", "c", "y")]
+    assert is_connected_order(("a", "b", "c"), tables, edges)
+    assert not is_connected_order(("a", "c", "b"), tables, edges)  # a-c cartesian
+    assert not is_connected_order(("a", "b"), tables, edges)  # partial
