@@ -109,6 +109,8 @@ _PRIORITY: list[str] = [
     "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
     "multimodal_webp_roundtrip", "dedup_verbatim_spans",
     "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
+    "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
+    "ev_winsorize",
 ]
 
 

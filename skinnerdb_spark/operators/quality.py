@@ -1,0 +1,376 @@
+"""Corpus-quality filters and robust statistics (beyond-reference tier).
+
+Published training-data curation heuristics re-expressed as exact, fully
+distributed column algebra:
+
+  * ``docs_gopher_quality``   — the Gopher paper's rule-based quality filter
+    (word-count bounds, mean-word-length band, stop-word evidence,
+    max-word-frequency cap) as one explode + two-level aggregate.
+  * ``docs_lexical_diversity``— type-token ratio, Simpson repetition index,
+    hapax ratio: the lexical-diversity family used to drop templated text.
+  * ``docs_dsir_weights``     — DSIR-style importance weights from hashed
+    unigram features (target slice vs raw corpus), in exactly comparable
+    arithmetic (integer counts, one correctly-rounded double ratio per
+    bucket, decimal per-doc mean).
+  * ``ev_winsorize``          — per-group winsorized mean with percentiles
+    defined by explicit rank arithmetic (engine-portable; no reliance on
+    percentile_disc tie conventions).
+
+Reference counterpart: none (SkinnerDB stops at SQL analytics —
+src/benchmark/ only runs join workloads); this module is part of the
+LLM-data-pipeline extension tier the build brief requires. All entries are
+zero-UDF, map-side-combinable, and shuffle at most twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+#: stop-word evidence list (Gopher uses an English function-word list; the
+#: synthetic corpus vocabulary contains these members of it)
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+#: Gopher-style bounds tuned to discriminate on the synthetic corpus
+#: (124/500 docs pass at sf0.01 — neither degenerate-keep nor degenerate-drop)
+MIN_WORDS, MAX_WORDS = 30, 90
+MIN_MEAN_WLEN, MAX_MEAN_WLEN = 3.9, 4.5
+MIN_STOPWORD_HITS = 2
+MAX_TOP_WORD_RATIO = 0.11
+
+_WORDS_EXPR = "filter(split(text, ' '), x -> x != '')"
+
+_SQL_STOPSET = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: shared DuckDB CTE: per-(doc, word) instance counts
+_KC_CTE = """
+    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    inst AS (SELECT doc_id, t.w AS w FROM w, UNNEST(ws) t(w)),
+    kc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+           FROM inst GROUP BY doc_id, w)
+"""
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, k): per-document word instance counts — ONE explode of the
+    corpus immediately pre-aggregated (map-side combine), the scale-shape
+    shared by the bigram/PMI/BPE entries."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    inst = d.select("doc_id", F.explode(F.expr(_WORDS_EXPR)).alias("w"))
+    return inst.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+
+
+@register(
+    "docs_gopher_quality",
+    f"""
+    WITH {_KC_CTE},
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_words,
+               CAST(SUM(k * LENGTH(w)) AS BIGINT) AS chars,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(SUM(CASE WHEN w IN ({_SQL_STOPSET}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stopword_hits
+        FROM kc GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           CAST(chars AS DOUBLE) / n_words AS mean_word_len,
+           stopword_hits,
+           CAST(max_k AS DOUBLE) / n_words AS top_word_ratio,
+           CAST(CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                      AND CAST(chars AS DOUBLE) / n_words
+                          BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}
+                      AND stopword_hits >= {MIN_STOPWORD_HITS}
+                      AND CAST(max_k AS DOUBLE) / n_words <= {MAX_TOP_WORD_RATIO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM agg
+    """,
+    tags=("text", "pipeline", "quality", "gopher"),
+)
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1 analogue):
+    keep a document iff its word count, mean word length, stop-word evidence,
+    and most-frequent-word share all sit inside the published-style bounds.
+
+    Exactness: every signal is integer arithmetic except two divisions, each
+    a single correctly-rounded int64/int64 double division compared against
+    identical literals in both engines. Scale shape: one corpus explode with
+    immediate (doc_id, w) pre-aggregation, then a doc_id-partitioned
+    second-level aggregate — two shuffles total, no UDFs, no windows."""
+    kc = _word_counts(spark, sf_dir)
+    agg = kc.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.sum(F.col("k") * F.length("w")).cast("bigint").alias("chars"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stopword_hits"),
+    )
+    mean_wlen = F.col("chars").cast("double") / F.col("n_words")
+    top_ratio = F.col("max_k").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & mean_wlen.between(MIN_MEAN_WLEN, MAX_MEAN_WLEN)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+        & (top_ratio <= MAX_TOP_WORD_RATIO)
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        mean_wlen.alias("mean_word_len"),
+        "stopword_hits",
+        top_ratio.alias("top_word_ratio"),
+        F.when(keep, 1).otherwise(0).cast("bigint").alias("keep_flag"),
+    )
+
+
+@register(
+    "docs_lexical_diversity",
+    f"""
+    WITH {_KC_CTE}
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / SUM(k) AS type_token_ratio,
+           CAST(SUM(k * (k - 1)) AS DOUBLE)
+             / (SUM(k) * (SUM(k) - 1)) AS simpson_index,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM kc GROUP BY doc_id HAVING SUM(k) > 1
+    """,
+    tags=("text", "pipeline", "quality", "diversity"),
+)
+def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio, Simpson
+    repetition index (probability two random token draws are the same word —
+    the Herfindahl concentration used to drop templated/repetitive text),
+    and hapax-legomenon ratio.
+
+    Simpson's numerator/denominator are pure int64 sums; each output is one
+    correctly-rounded double division, so both engines agree bit-for-bit.
+    Same two-shuffle explode/pre-aggregate shape as docs_gopher_quality."""
+    kc = _word_counts(spark, sf_dir)
+    agg = kc.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("k") * (F.col("k") - 1)).cast("bigint").alias("rep_pairs"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+    )
+    return agg.filter(F.col("n_words") > 1).select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_words")).alias("type_token_ratio"),
+        (
+            F.col("rep_pairs").cast("double")
+            / (F.col("n_words") * (F.col("n_words") - 1))
+        ).alias("simpson_index"),
+        (F.col("hapax").cast("double") / F.col("n_types")).alias("hapax_ratio"),
+    )
+
+
+#: DSIR hashed-feature space size and the "target distribution" slice
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+_SQL_TARGETS = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH w AS (SELECT doc_id, source,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    inst AS (SELECT doc_id, source,
+                    ('0x' || substr(md5(t.w), 1, 6))::BIGINT % {DSIR_BUCKETS} AS b
+             FROM w, UNNEST(ws) t(w)),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM inst GROUP BY b),
+    traw AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM raw),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM inst WHERE source IN ({_SQL_TARGETS}) GROUP BY b),
+    ttgt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt FROM tgt),
+    model AS (
+        SELECT r.b,
+               CAST((CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE)
+                     * CAST((SELECT tr FROM traw) + {DSIR_BUCKETS} AS DOUBLE))
+                    / (CAST(r.cr + 1 AS DOUBLE)
+                       * CAST((SELECT tt FROM ttgt) + {DSIR_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(27,12)) AS dp
+        FROM raw r LEFT JOIN tgt g ON r.b = g.b),
+    db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k
+           FROM inst GROUP BY doc_id, b)
+    SELECT db.doc_id,
+           CAST(SUM(db.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(db.k AS DECIMAL(10,0)) * m.dp) AS DOUBLE)
+             / SUM(db.k) AS dsir_weight
+    FROM db JOIN model m ON db.b = m.b
+    GROUP BY db.doc_id
+    """,
+    tags=("text", "pipeline", "sampling", "dsir"),
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weight per document (Xie et al.
+    2023 analogue): hash unigrams into {DSIR_BUCKETS} buckets, estimate the
+    add-one-smoothed bucket distribution of a target slice
+    (source ∈ DSIR_TARGET_SOURCES) and of the raw corpus, and score each doc
+    by the mean target/raw probability ratio of its tokens. Pipelines sample
+    raw data proportionally to these weights to tilt toward the target
+    domain.
+
+    Exactly comparable arithmetic: bucket ids come from md5 hex prefixes
+    (identical in both engines, no RNG); each bucket ratio is one double
+    expression over exact int64 counts with a fixed parenthesization, rounded
+    once into DECIMAL(27,12); per-doc sums of those decimals are exact and
+    associative; the final mean is one decimal→double cast divided by an
+    integer (the docs_bigram_lm_score recipe).
+
+    Scale shape: the corpus explodes ONCE and is immediately pre-aggregated
+    (map-side combine) to a (doc_id, bucket, k) frame whose single shuffle
+    every downstream frame derives from — the raw and target bucket models
+    are second-level sums over it (ReusedExchange, the docs_bigram_lm_score
+    cab→ca recipe), the model is {DSIR_BUCKETS} rows — broadcast by AQE for
+    the scoring join — and the two scalar totals ride broadcast 1-row
+    crossJoins. One corpus-sized shuffle, no UDFs."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 6), 16, 10)
+        .cast("bigint")
+        % DSIR_BUCKETS
+    )
+    inst = d.select(
+        "doc_id", "source", F.explode(F.expr(_WORDS_EXPR)).alias("w")
+    ).select("doc_id", "source", bucket.alias("b"))
+    # ONE corpus-sized shuffle: per-(doc, bucket) counts; is_tgt is constant
+    # per doc so max() is a faithful carry-through
+    dbt = inst.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max(
+            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+        ).alias("is_tgt"),
+    )
+    raw = dbt.groupBy("b").agg(F.sum("k").cast("bigint").alias("cr"))
+    tgt = (
+        dbt.filter(F.col("is_tgt") == 1)
+        .groupBy("b")
+        .agg(F.sum("k").cast("bigint").alias("ct"))
+    )
+    traw = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    ttgt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+    model = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(traw))
+        .join(F.broadcast(ttgt))
+        .select(
+            "b",
+            (
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("tr") + DSIR_BUCKETS).cast("double")
+                )
+                / (
+                    (F.col("cr") + 1).cast("double")
+                    * (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+            )
+            .cast("decimal(27,12)")
+            .alias("dp"),
+        )
+    )
+    return (
+        dbt.join(model, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.expr("CAST(k AS DECIMAL(10,0)) * dp")).cast("double")
+                / F.sum("k")
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+#: winsorization band: clamp below the 5th / above the 95th percentile
+WINSOR_LO_PCT, WINSOR_HI_PCT = 5, 95
+
+
+@register(
+    "ev_winsorize",
+    f"""
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events),
+    b AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+                        THEN value END) AS p_lo,
+               MIN(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+                        THEN value END) AS p_hi
+        FROM r GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           b.p_lo, b.p_hi,
+           CAST(SUM(CAST(CASE WHEN e.value < b.p_lo THEN b.p_lo
+                              WHEN e.value > b.p_hi THEN b.p_hi
+                              ELSE e.value END AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS winsor_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p_lo, b.p_hi
+    """,
+    tags=("events", "analytics", "robust"),
+)
+def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) mean of event value per event type —
+    the robust aggregate a metrics pipeline uses when raw means are
+    dominated by heavy tails.
+
+    Percentiles are DEFINED by rank arithmetic — the value at ascending rank
+    ceil(p·n/100), ties broken by event_id — rather than by each engine's
+    percentile_disc, whose tie conventions differ; ceil-division is the
+    integer form (p·n + 99) div 100. The clamped mean rides DECIMAL(18,6)
+    so the per-group sum is associative (order-independent) across engines.
+
+    Scale shape: the rank window is PARTITIONED by event_type (bounded
+    cardinality, parallel); the bounds frame is |event_type| rows and
+    broadcasts into the clamp join; one corpus shuffle for the window, one
+    for the final aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    lo_rank = F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100")
+    hi_rank = F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100")
+    bounds = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("p_lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("p_hi"),
+    )
+    clamped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        F.when(F.col("value") < F.col("p_lo"), F.col("p_lo"))
+        .when(F.col("value") > F.col("p_hi"), F.col("p_hi"))
+        .otherwise(F.col("value"))
+        .cast("decimal(18,6)")
+        .alias("cv"),
+    )
+    return clamped.groupBy("event_type", "p_lo", "p_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum("cv").cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
+    )

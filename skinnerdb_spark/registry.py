@@ -72,6 +72,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline,
         pq,
         privacy,
+        quality,
         segments,
         similarity,
         spectral,

@@ -1,0 +1,70 @@
+"""Component tests for the corpus-quality / robust-stats tier
+(operators/quality.py). Cross-engine value equality is covered by
+tests/test_oracle.py; these pin the operator-level invariants the oracle
+comparison can't express (discrimination, bound ordering, weight direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.operators.quality import (
+    DSIR_TARGET_SOURCES,
+    docs_dsir_weights,
+    docs_gopher_quality,
+    docs_lexical_diversity,
+    ev_winsorize,
+)
+from skinnerdb_spark.queries.util import read_table
+
+
+def test_gopher_filter_discriminates(spark, sf_dir):
+    """The rule bounds must neither keep nor drop everything — a filter that
+    fires on 0% or 100% of the corpus verifies nothing."""
+    flags = [r.keep_flag for r in docs_gopher_quality(spark, sf_dir).collect()]
+    assert set(flags) == {0, 1}
+
+
+def test_lexical_diversity_ranges(spark, sf_dir):
+    rows = docs_lexical_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 <= r.simpson_index < 1.0
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        # Simpson and TTR move inversely at the extremes: a doc of all-unique
+        # words has TTR 1 and Simpson 0
+        if r.n_types == r.n_words:
+            assert r.simpson_index == 0.0
+
+
+def test_dsir_weights_tilt_toward_target_slice(spark, sf_dir):
+    """Docs drawn FROM the target sources must average a higher importance
+    weight than the rest — the whole point of the estimator."""
+    w = docs_dsir_weights(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = w.join(d, "doc_id").withColumn(
+        "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES).cast("int")
+    )
+    means = {
+        r.is_tgt: r.m
+        for r in j.groupBy("is_tgt").agg(F.avg("dsir_weight").alias("m")).collect()
+    }
+    assert means[1] > means[0]
+
+
+def test_winsorize_bounds_and_mean(spark, sf_dir):
+    rows = ev_winsorize(spark, sf_dir).collect()
+    assert rows
+    e = read_table(spark, sf_dir, "events")
+    raw = {
+        r.event_type: (r.lo, r.hi, r.mu)
+        for r in e.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.avg("value").alias("mu"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi, _ = raw[r.event_type]
+        assert lo <= r.p_lo <= r.p_hi <= hi
+        # the winsorized mean sits inside the clamp band
+        assert r.p_lo <= r.winsor_mean <= r.p_hi
