@@ -110,7 +110,7 @@ _PRIORITY: list[str] = [
     "multimodal_webp_roundtrip", "dedup_verbatim_spans",
     "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
     "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
-    "ev_winsorize",
+    "ev_winsorize", "docs_ccnet_buckets", "ev_rate_limit", "dedup_incremental",
 ]
 
 

@@ -1176,3 +1176,88 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", "shared_spans", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+#: incremental-dedup contract: the "new crawl batch" slice and the novelty
+#: floor below which a batch doc is dropped as mostly-already-seen content
+#: (threshold sits at the corpus median so the verdict is discriminative:
+#: neither keep-all nor drop-all at the gate SF)
+INCR_BATCH_SOURCE = "src19"
+INCR_NOVELTY_T = 0.4
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+    idx AS (SELECT doc_id, source, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+            FROM ws WHERE len(w) >= 3),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+           FROM idx),
+    corpus AS (SELECT DISTINCT s FROM sh WHERE source <> '{INCR_BATCH_SOURCE}'),
+    b AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS seen
+          FROM sh LEFT JOIN corpus c ON sh.s = c.s
+          WHERE sh.source = '{INCR_BATCH_SOURCE}'
+          GROUP BY sh.doc_id)
+    SELECT doc_id, n AS n_shingles, seen AS seen_shingles,
+           1.0 - CAST(seen AS DOUBLE) / n AS novelty,
+           CAST(CASE WHEN 1.0 - CAST(seen AS DOUBLE) / n >= {INCR_NOVELTY_T}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM b
+    """,
+    tags=("dedup", "pipeline", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the production crawl shape: a
+    NEW batch of documents (source = INCR_BATCH_SOURCE) is scored against the
+    ALREADY-INGESTED corpus (every other source), and a batch doc is kept
+    only if enough of its 3-gram shingles are novel (Dolma/CC-style
+    "mostly-already-seen" drop). Unlike the self-join dedup family above,
+    the comparison here is asymmetric: the corpus is the big indexed side,
+    the batch is the small probe side.
+
+    Exactness: novelty = 1 - seen/n over exact distinct-shingle counts — one
+    correctly-rounded int64/int64 double division per doc compared against
+    the same literal in both engines.
+
+    Scale shape (100 TB): the corpus's distinct-shingle index is computed
+    once (at production scale it would be a persisted bucketed table — the
+    sources/bucketing.py layout); the batch explodes its shingles and joins
+    co-partitioned on the shingle key, with AQE free to broadcast whichever
+    side is small. Reuses shared_shingle_sets, so the in-row distinct
+    shingle arrays are shared with the LSH/containment entries in the same
+    session. No UDFs; the only corpus-sized shuffle is the distinct."""
+    sets = shared_shingle_sets(spark, sf_dir)  # (doc_id, sh_set, n) distinct
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s2 = sets.join(src, "doc_id")
+    corpus = (
+        s2.filter(F.col("source") != INCR_BATCH_SOURCE)
+        .select(F.explode("sh_set").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = s2.filter(F.col("source") == INCR_BATCH_SOURCE).select(
+        "doc_id", F.explode("sh_set").alias("s")
+    )
+    scored = (
+        batch.join(corpus, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("seen_shingles"),
+        )
+    )
+    novelty = F.lit(1.0) - F.col("seen_shingles").cast("double") / F.col("n_shingles")
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "seen_shingles",
+        novelty.alias("novelty"),
+        F.when(novelty >= INCR_NOVELTY_T, 1).otherwise(0).cast("bigint").alias("keep_flag"),
+    )

@@ -374,3 +374,126 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.sum("cv").cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
     )
+
+
+def _ccnet_oracle() -> str:
+    # the LM is the hash-verified bigram entry; inline its oracle as a
+    # derived table (DuckDB allows WITH inside a subquery)
+    from skinnerdb_spark.operators.text import _BIGRAM_ORACLE
+
+    return _CCNET_ORACLE_TEMPLATE.format(bigram=_BIGRAM_ORACLE)
+
+
+_CCNET_ORACLE_TEMPLATE = """
+    WITH base AS (SELECT * FROM (
+        {bigram}
+    )),
+    src AS (SELECT doc_id, source FROM documents),
+    r AS (SELECT b.doc_id, s.source, b.lm_score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY s.source
+                                         ORDER BY b.lm_score DESC, b.doc_id)
+                      AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY s.source) AS BIGINT) AS n
+          FROM base b JOIN src s ON b.doc_id = s.doc_id)
+    SELECT source,
+           CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+                                    WHEN 1 THEN 'middle'
+                                    ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(lm_score) AS min_score,
+           MAX(lm_score) AS max_score
+    FROM r GROUP BY source, bucket
+    """
+
+
+@register(
+    "docs_ccnet_buckets",
+    _ccnet_oracle(),
+    tags=("text", "pipeline", "quality", "ccnet"),
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 analogue): rank
+    every document within its source by language-model fluency and split each
+    source into head/middle/tail terciles — the partition CCNet publishes and
+    downstream pipelines sample from ("head" = most fluent third).
+
+    Composes the hash-verified ``docs_bigram_lm_score`` as its LM (operators
+    as building blocks — the docs_curation_gate pattern); tercile boundaries
+    are pure rank arithmetic ((rn-1)*3 div n); the per-bucket outputs are
+    COUNT/MIN/MAX only — selections, not float sums — so no cross-engine
+    summation-order hazard exists.
+
+    Scale shape: the rank window is PARTITIONED by source (parallel across
+    sources); everything upstream inherits the bigram entry's one-explode
+    shape; the final aggregate is |source|x3 rows."""
+    from skinnerdb_spark.operators.text import docs_bigram_lm_score
+
+    base = docs_bigram_lm_score(spark, sf_dir)
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("lm_score"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    r = (
+        base.join(src, "doc_id")
+        .select(
+            "source",
+            "lm_score",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        )
+    )
+    bucket = (
+        F.when(F.expr("((rn - 1) * 3) div n") == 0, "head")
+        .when(F.expr("((rn - 1) * 3) div n") == 1, "middle")
+        .otherwise("tail")
+    )
+    return r.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("lm_score").alias("min_score"),
+        F.max("lm_score").alias("max_score"),
+    )
+
+
+#: rate limiter: keep at most K events per (user, hour)
+RATE_LIMIT_K = 3
+
+
+@register(
+    "ev_rate_limit",
+    f"""
+    SELECT event_id, user_id, hour_ts, rn
+    FROM (
+        SELECT event_id, user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                    AS BIGINT) AS rn
+        FROM events)
+    WHERE rn <= {RATE_LIMIT_K}
+    """,
+    tags=("events", "streaming", "sampling"),
+)
+def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key rate limiter: keep at most {RATE_LIMIT_K} events
+    per (user, hour), selected by md5(event_id) rank — the batch twin of a
+    streaming throttle (and of trainer-side per-user example caps). md5 rank
+    instead of arrival order makes the survivor set a uniform, reproducible
+    sample with no RNG (the sample_* family's recipe).
+
+    Scale shape: one window PARTITIONED by the high-cardinality
+    (user, hour) key — fully parallel, no global sort; the filter drops rows
+    before anything downstream, so the operator is shuffle-once and
+    output-bounded at K x |keys|."""
+    e = read_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts").alias("hour_ts")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), F.asc("event_id")
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            hour,
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= RATE_LIMIT_K)
+    )

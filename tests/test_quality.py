@@ -68,3 +68,52 @@ def test_winsorize_bounds_and_mean(spark, sf_dir):
         assert lo <= r.p_lo <= r.p_hi <= hi
         # the winsorized mean sits inside the clamp band
         assert r.p_lo <= r.winsor_mean <= r.p_hi
+
+
+def test_ccnet_buckets_partition_each_source(spark, sf_dir):
+    """Every source splits into exactly head/middle/tail, and the tercile
+    sizes differ by at most 1 within a source."""
+    from skinnerdb_spark.operators.quality import docs_ccnet_buckets
+
+    rows = docs_ccnet_buckets(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.bucket] = r.n_docs
+        assert r.min_score <= r.max_score
+    for src, buckets in by_src.items():
+        assert set(buckets) == {"head", "middle", "tail"}, src
+        sizes = sorted(buckets.values())
+        assert sizes[-1] - sizes[0] <= 1, (src, buckets)
+
+
+def test_rate_limit_caps_every_key(spark, sf_dir):
+    from skinnerdb_spark.operators.quality import RATE_LIMIT_K, ev_rate_limit
+
+    df = ev_rate_limit(spark, sf_dir)
+    over = (
+        df.groupBy("user_id", "hour_ts")
+        .count()
+        .filter(F.col("count") > RATE_LIMIT_K)
+        .count()
+    )
+    assert over == 0
+    assert df.count() > 0
+
+
+def test_incremental_dedup_discriminates(spark, sf_dir):
+    from skinnerdb_spark.operators.dedup import (
+        INCR_BATCH_SOURCE,
+        dedup_incremental,
+    )
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    batch_n = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == INCR_BATCH_SOURCE)
+        .count()
+    )
+    assert len(rows) == batch_n  # every batch doc gets a verdict
+    for r in rows:
+        assert 0 <= r.seen_shingles <= r.n_shingles
+    assert {r.keep_flag for r in rows} == {0, 1}
