@@ -99,6 +99,9 @@ _REVERIFY = [
     # r7 continuation: episode progress sharing (PrefixProgress) can change
     # the bandit's winning order -> the built plan differs
     "adaptive_star_join",
+    # r7 continuation: single-pass augmented-moment restructure + int64
+    # quantization (was decimal-sum, 2.3x)
+    "embed_power_iteration",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
