@@ -102,6 +102,9 @@ _REVERIFY = [
     # r7 continuation: single-pass augmented-moment restructure + int64
     # quantization (was decimal-sum, 2.3x)
     "embed_power_iteration",
+    # r7 continuation: exact n_distinct via stacked two-level aggs (Expand
+    # removed from the exact path too, 3.5x)
+    "profile_table",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

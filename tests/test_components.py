@@ -1119,8 +1119,11 @@ def test_stats_exact_conf_gates_approx_sketches(spark, sf_dir):
     exact_hist = {r["bucket"]: r["n"] for r in orders_equidepth_hist(spark, sf_dir).collect()}
     exact_q = docs_length_quantiles(spark, sf_dir)
     exact_q_rows = {r["source"]: r["q50"] for r in exact_q.collect()}
+    # r7: the exact path no longer plans a multi-distinct Expand either — it
+    # runs one two-level dedup pipeline per column (the distinct_agg
+    # reformulation), so NEITHER mode may show the expand operator
     exact_plan = profile_table(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan, "multi-col exact distinct should use expand"
+    assert "Expand" not in exact_plan, "exact distinct must use stacked two-level aggs"
 
     prev = spark.conf.get(STATS_EXACT, None)
     spark.conf.set(STATS_EXACT, "false")
