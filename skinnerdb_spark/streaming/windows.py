@@ -399,6 +399,70 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_rate_limit(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator #3: a per-(user, hour) rate
+    limiter — emit at most ``k`` events per key, drop the rest — via
+    applyInPandasWithState. State = one counter per (user, hour) key,
+    persisted across micro-batches so a key that reached its cap in batch 1
+    stays capped in batch 7. The batch twin is the registered
+    ``ev_rate_limit`` entry.
+
+    Selection contract: the stream emits the FIRST k arrivals per key
+    (sorted (ts, event_id) within each micro-batch — deterministic under
+    availableNow replay), which is what a real throttle does; the batch twin
+    instead keeps a uniform md5-rank sample, which a retrospective job can
+    afford because it sees all candidates at once. Both keep exactly
+    min(k, |key|) events per key — the property the component test pins
+    against the batch side."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = events.withColumn("hour_ts", F.date_trunc("hour", "ts"))
+    return keyed.groupBy("user_id", "hour_ts").applyInPandasWithState(
+        _rate_limit_update,
+        outputStructType="user_id long, hour_ts timestamp, event_id long, rn long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: test seam: overrides the cap imported from operators.quality when set
+_RATE_LIMIT_K_OVERRIDE: int | None = None
+
+
+def _rate_limit_update(key, pdfs, state):
+    """Per-group update of :func:`stream_rate_limit` — module-level so the
+    cap arithmetic is unit-testable without the streaming runtime."""
+    import pandas as pd
+
+    if _RATE_LIMIT_K_OVERRIDE is not None:
+        k = _RATE_LIMIT_K_OVERRIDE
+    else:
+        from skinnerdb_spark.operators.quality import RATE_LIMIT_K as k
+    n = state.get[0] if state.exists else 0
+    kept_ids: list[int] = []
+    kept_rn: list[int] = []
+    for pdf in pdfs:
+        if n >= k:
+            break
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid in pdf["event_id"]:
+            if n >= k:
+                break
+            n += 1
+            kept_ids.append(int(eid))
+            kept_rn.append(n)
+    state.update((n,))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]] * len(kept_ids), dtype="int64"),
+            "hour_ts": pd.Series([key[1]] * len(kept_ids), dtype="datetime64[us]"),
+            "event_id": pd.Series(kept_ids, dtype="int64"),
+            "rn": pd.Series(kept_rn, dtype="int64"),
+        }
+    )
+
+
 def stream_enriched(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment join: the static dimension broadcasts into
     every micro-batch (no state, no watermark needed on the static side) —

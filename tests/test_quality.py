@@ -117,3 +117,81 @@ def test_incremental_dedup_discriminates(spark, sf_dir):
     for r in rows:
         assert 0 <= r.seen_shingles <= r.n_shingles
     assert {r.keep_flag for r in rows} == {0, 1}
+
+
+def test_stream_rate_limit_matches_batch_cap(spark, sf_dir):
+    """The stateful streaming throttle keeps exactly min(K, |key|) events
+    per (user, hour) — same cardinality contract as the ev_rate_limit batch
+    twin (the kept SET legitimately differs: first-K arrivals vs md5-rank
+    sample; see stream_rate_limit's selection contract)."""
+    import os
+
+    from skinnerdb_spark.operators.quality import RATE_LIMIT_K
+    from skinnerdb_spark.streaming.windows import (
+        run_stream_once,
+        stream_events,
+        stream_rate_limit,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    rows = run_stream_once(
+        stream_rate_limit(stream_events(spark, src)),
+        "t_stream_rate_limit",
+        output_mode="update",
+    )
+    got: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.user_id, r.hour_ts)
+        got[key] = max(got.get(key, 0), r.rn)
+        assert r.rn <= RATE_LIMIT_K
+    e = read_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.hour_ts): min(RATE_LIMIT_K, r.n)
+        for r in e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_rate_limit_update_caps_across_batches():
+    """Unit contract of the module-level update fn: a key that reached its
+    cap in an earlier micro-batch emits nothing in later ones."""
+    import pandas as pd
+
+    from skinnerdb_spark.streaming import windows as W
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.tup = None
+
+        @property
+        def get(self):
+            return self.tup
+
+        def update(self, t):
+            self.tup = t
+            self.exists = True
+
+    W._RATE_LIMIT_K_OVERRIDE = 2
+    try:
+        state = FakeState()
+        key = (7, pd.Timestamp("2024-01-01 05:00:00"))
+        b1 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 05:03", "2024-01-01 05:01", "2024-01-01 05:02"]),
+             "event_id": [30, 10, 20]}
+        )
+        (out1,) = list(W._rate_limit_update(key, [b1], state))
+        # first K in (ts, event_id) order: 10 then 20
+        assert list(out1.event_id) == [10, 20] and list(out1.rn) == [1, 2]
+        assert state.tup == (2,)
+        b2 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 05:04"]), "event_id": [40]}
+        )
+        (out2,) = list(W._rate_limit_update(key, [b2], state))
+        assert out2.empty and state.tup == (2,)
+    finally:
+        W._RATE_LIMIT_K_OVERRIDE = None
