@@ -105,6 +105,8 @@ _REVERIFY = [
     # r7 continuation: exact n_distinct via stacked two-level aggs (Expand
     # removed from the exact path too, 3.5x)
     "profile_table",
+    # (dedup_verbatim_spans also got a lineage cut this round — it is
+    # already pinned in _PRIORITY above as a new r7 entry)
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -1159,7 +1159,14 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nd") > 1) & (F.col("nd") <= VERBATIM_MAX_DOCS))
         .select("g")
     )
-    bounded = grams.join(ok, "g")
+    # the filtered candidate set (spans shared by 2..cap docs — a small
+    # fraction of the corpus by construction): materialize it once, because
+    # it feeds BOTH sides of the pair self-join and its lineage contains the
+    # whole explode+distinct pipeline, which would otherwise execute twice
+    # more above the reused exchange (the ranked_topk/kmeans lineage-cut
+    # pattern; measured 2.2 -> 1.9 s warm at sf0.1 and — where the
+    # recomputation actually hurts — 5.8 -> 3.3 s at sf1)
+    bounded = grams.join(ok, "g").localCheckpoint(eager=True)
     pairs = (
         bounded.alias("a")
         .join(bounded.alias("b"), "g")
