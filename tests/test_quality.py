@@ -195,3 +195,36 @@ def test_rate_limit_update_caps_across_batches():
         assert out2.empty and state.tup == (2,)
     finally:
         W._RATE_LIMIT_K_OVERRIDE = None
+
+
+def test_sem_dropped_in_cluster_unit():
+    """Unit contract of the per-cluster SemDeDup Arrow stage: exact int64
+    dots, threshold 5*dot >= 2*sqrt(na)*sqrt(nb), drop = farther-from-
+    centroid member (ties to the higher vec_id), symmetric in row order."""
+    import numpy as np
+    import pandas as pd
+
+    from skinnerdb_spark.operators.kmeans import _sem_dropped_in_cluster
+
+    # two identical vectors (cosine 1.0 -> pair fires) + one orthogonal
+    qa = [np.array([1000, 0], dtype="int64"),
+          np.array([1000, 0], dtype="int64"),
+          np.array([0, 1000], dtype="int64")]
+    pdf = pd.DataFrame(
+        {
+            "cell": [0, 0, 0],
+            "vec_id": pd.Series([11, 7, 3], dtype="int64"),
+            "xn": pd.Series([1000000, 1000000, 1000000], dtype="int64"),
+            "d2i": pd.Series([5, 5, 9], dtype="int64"),
+            "qa": qa,
+        }
+    )
+    out = _sem_dropped_in_cluster(pdf)
+    # only the identical pair fires; equal d2i -> higher vec_id (11) drops
+    assert list(out.did) == [11]
+    # row order must not change the verdict
+    out2 = _sem_dropped_in_cluster(pdf.iloc[::-1].reset_index(drop=True))
+    assert list(out2.did) == [11]
+    # singleton cluster: typed-empty frame
+    empty = _sem_dropped_in_cluster(pdf.iloc[:1])
+    assert empty.empty and str(empty.did.dtype) == "int64"
