@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
     "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
     "ev_winsorize", "docs_ccnet_buckets", "ev_rate_limit", "dedup_incremental",
+    "ev_countmin_sketch",
 ]
 
 

@@ -12,9 +12,15 @@ distributed column algebra:
     unigram features (target slice vs raw corpus), in exactly comparable
     arithmetic (integer counts, one correctly-rounded double ratio per
     bucket, decimal per-doc mean).
+  * ``docs_ccnet_buckets``    — CCNet head/middle/tail perplexity terciles
+    per source, composing the verified bigram LM.
+  * ``ev_rate_limit``         — deterministic per-(user, hour) event cap by
+    md5 rank (batch twin of streaming/windows.py::stream_rate_limit).
   * ``ev_winsorize``          — per-group winsorized mean with percentiles
     defined by explicit rank arithmetic (engine-portable; no reliance on
     percentile_disc tie conventions).
+  * ``ev_countmin_sketch``    — Count-Min point estimates verified against
+    exact counts (the third sketch beside HLL and Misra-Gries).
 
 Reference counterpart: none (SkinnerDB stops at SQL analytics —
 src/benchmark/ only runs join workloads); this module is part of the
@@ -496,4 +502,96 @@ def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= RATE_LIMIT_K)
+    )
+
+
+#: Count-Min sketch geometry: d independent hash rows x w counters. w = 64
+#: is deliberately SMALLER than the ~150-user key space at the sf0.01
+#: driver-gate SF, so collisions occur there (91/150 keys overestimate) and
+#: the overestimate mechanics are actually exercised — a sketch wider than
+#: its key space would verify nothing.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@register(
+    "ev_countmin_sketch",
+    f"""
+    WITH h AS (
+        SELECT user_id, d.d AS d,
+               ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                 % {CMS_WIDTH} AS b
+        FROM events CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) d(d)),
+    counters AS (
+        SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY d, b),
+    keys AS (
+        SELECT DISTINCT user_id, d, b FROM h),
+    est AS (
+        SELECT k.user_id, CAST(MIN(c.c) AS BIGINT) AS cms_n
+        FROM keys k JOIN counters c ON k.d = c.d AND k.b = c.b
+        GROUP BY k.user_id),
+    truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY user_id)
+    SELECT t.user_id, t.true_n, e.cms_n,
+           CAST(e.cms_n - t.true_n AS BIGINT) AS overestimate
+    FROM truth t JOIN est e ON t.user_id = e.user_id
+    """,
+    tags=("events", "sketch", "streaming"),
+)
+def ev_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates for per-user event counts, verified
+    against the exact counts — the third classic sketch beside the HLL
+    distinct-count and Misra-Gries heavy-hitter entries. CMS guarantees
+    cms_n >= true_n (never under), with overestimates from bucket
+    collisions; the component test pins both properties and the geometry
+    here (w={CMS_WIDTH} < |users|) forces real collisions.
+
+    Exactness: hash rows are md5 prefixes (the DSIR bucket recipe —
+    identical hex in both engines, no RNG), counters and the min-estimate
+    are pure int64 — nothing floating anywhere.
+
+    Scale shape (the reason CMS exists): the corpus-sized work is ONE
+    explode x{CMS_DEPTH} immediately pre-aggregated (map-side combine) into
+    d*w = {CMS_DEPTH * CMS_WIDTH} counter cells — constant memory at ANY
+    stream size, mergeable across shards/batches by addition (the same
+    contract the streaming rollup uses). The estimate lookup joins the
+    (user, d, bucket) keys against the broadcast {CMS_DEPTH * CMS_WIDTH}-row
+    counter table. The exact `truth` side exists only to verify the sketch
+    at test scale."""
+    e = read_table(spark, sf_dir, "events")
+    d_arr = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+    h = e.select("user_id", d_arr).select("user_id", "d", bucket.alias("b"))
+    counters = h.groupBy("d", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    keys = h.select("user_id", "d", "b").distinct()
+    est = (
+        keys.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+    )
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).cast("bigint").alias("overestimate"),
     )

@@ -228,3 +228,20 @@ def test_sem_dropped_in_cluster_unit():
     # singleton cluster: typed-empty frame
     empty = _sem_dropped_in_cluster(pdf.iloc[:1])
     assert empty.empty and str(empty.did.dtype) == "int64"
+
+
+def test_countmin_never_underestimates_and_collides(spark, sf_dir):
+    """CMS contract: cms_n >= true_n for EVERY key; and wherever the key
+    space outnumbers the sketch width (true at the sf0.01 driver-gate SF:
+    150 users vs w=64, where 91/150 keys overestimate), at least one real
+    collision must surface — at the tiny local-test SF (15 users) zero
+    overestimates is the CORRECT sketch behavior, so the collision
+    assertion is conditional."""
+    from skinnerdb_spark.operators.quality import CMS_WIDTH, ev_countmin_sketch
+
+    rows = ev_countmin_sketch(spark, sf_dir).collect()
+    assert rows
+    assert all(r.cms_n >= r.true_n for r in rows)
+    assert all(r.overestimate == r.cms_n - r.true_n for r in rows)
+    if len(rows) > CMS_WIDTH:
+        assert any(r.overestimate > 0 for r in rows)
