@@ -231,3 +231,22 @@ def test_no_unpartitioned_windows_in_dewindowed_entries(spark, sf_dir):
             seg = plan[m.start() : m.start() + 400]
             assert "user_id" in seg or "partition" in seg.lower(), (name, seg)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_r7_lineage_cut_entries_have_no_scans_in_final_plan(spark, sf_dir):
+    """Round-7 restructures pinned: embed_power_iteration, dedup_semantic,
+    and dedup_verbatim_spans materialize their corpus-sized pipelines ONCE
+    behind eager localCheckpoints — the RETURNED plan must therefore contain
+    no parquet FileScan at all (everything downstream reads the checkpointed
+    RDDs). A FileScan reappearing here means a lineage cut was dropped and
+    the corpus pipeline would re-execute per consumer/iteration again."""
+    for name in (
+        "embed_power_iteration",
+        "dedup_semantic",
+        "dedup_verbatim_spans",
+    ):
+        plan = plan_of(spark, name, sf_dir)
+        assert ".parquet" not in plan, (
+            f"{name}: corpus scan leaked back into the final plan — "
+            "a localCheckpoint lineage cut was removed"
+        )
