@@ -297,3 +297,131 @@ def test_prefix_filter_candidates_complete(sets):
                 assert prefix(a) & prefix(b), (
                     f"qualifying pair pruned: {a} {b} J={jac}"
                 )
+
+
+# --------------------------------------------------------------------------
+# r7 Arrow-stage functions vs pure-Python references (no Spark needed —
+# these are the module-level pandas fns the stateful/grouped ops run)
+# --------------------------------------------------------------------------
+_vec = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_vec, st.integers(min_value=0, max_value=9)),
+        min_size=0,
+        max_size=7,
+    )
+)
+def test_sem_dropped_matches_pure_python(rows):
+    """_sem_dropped_in_cluster == brute-force O(m^2) reference for every
+    random cluster: same multiset of dropped ids."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from skinnerdb_spark.operators.kmeans import (
+        SEM_DEN,
+        SEM_NUM,
+        _sem_dropped_in_cluster,
+    )
+
+    vids = list(range(100, 100 + len(rows)))
+    qa = [np.array(v, dtype="int64") for v, _ in rows]
+    xn = [int(sum(c * c for c in v)) for v, _ in rows]
+    d2i = [d for _, d in rows]
+    pdf = pd.DataFrame(
+        {
+            "cell": [0] * len(rows),
+            "vec_id": pd.Series(vids, dtype="int64"),
+            "xn": pd.Series(xn, dtype="int64"),
+            "d2i": pd.Series(d2i, dtype="int64"),
+            "qa": qa,
+        }
+    )
+    got = sorted(_sem_dropped_in_cluster(pdf).did.tolist())
+
+    ref = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dot = int(sum(int(a) * int(b) for a, b in zip(qa[i], qa[j])))
+            lhs = float(SEM_DEN * dot)
+            rhs = (float(SEM_NUM) * math.sqrt(float(xn[i]))) * math.sqrt(float(xn[j]))
+            if lhs >= rhs:
+                drop_i = (d2i[i] > d2i[j]) or (d2i[i] == d2i[j] and vids[i] > vids[j])
+                ref.append(vids[i] if drop_i else vids[j])
+    assert got == sorted(ref)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(  # batches of (ts_offset_sec, event_id) rows
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3000),
+                st.integers(min_value=0, max_value=10_000),
+            ),
+            min_size=0,
+            max_size=6,
+            unique_by=lambda t: t[1],
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_rate_limit_update_matches_pure_python(batches):
+    """_rate_limit_update across micro-batches == take the first K rows in
+    (batch order, then (ts, event_id) within batch), never more than K
+    total, rn strictly sequential."""
+    import pandas as pd
+
+    from skinnerdb_spark.streaming import windows as W
+
+    # ensure event_ids unique ACROSS batches too (hypothesis only dedups
+    # within a batch)
+    seen: set[int] = set()
+    batches = [
+        [(ts, eid) for ts, eid in b if eid not in seen and not seen.add(eid)]
+        for b in batches
+    ]
+
+    class FakeState:
+        exists = False
+        tup = None
+
+        @property
+        def get(self):
+            return self.tup
+
+        def update(self, t):
+            self.tup = t
+            self.exists = True
+
+    K = 3
+    W._RATE_LIMIT_K_OVERRIDE = K
+    try:
+        state = FakeState()
+        key = (1, pd.Timestamp("2024-01-01 00:00:00"))
+        got: list[int] = []
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(
+                        [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s) for s, _ in b]
+                    ),
+                    "event_id": pd.Series([e for _, e in b], dtype="int64"),
+                }
+            )
+            (out,) = list(W._rate_limit_update(key, [pdf], state))
+            got.extend(out.event_id.tolist())
+        ref: list[int] = []
+        for b in batches:
+            for _, eid in sorted(b):
+                if len(ref) < K:
+                    ref.append(eid)
+        assert got == ref
+        assert state.tup == (len(ref),)
+    finally:
+        W._RATE_LIMIT_K_OVERRIDE = None

@@ -245,3 +245,61 @@ def test_countmin_never_underestimates_and_collides(spark, sf_dir):
     assert all(r.overestimate == r.cms_n - r.true_n for r in rows)
     if len(rows) > CMS_WIDTH:
         assert any(r.overestimate > 0 for r in rows)
+
+
+def test_countmin_counters_buildable_as_streaming_agg(spark, sf_dir):
+    """The CMS counter matrix is an ordinary streaming aggregation (the
+    mergeable-by-addition property the docstring claims): building the same
+    d x w counters over readStream and draining equals the batch counters."""
+    import os
+
+    from skinnerdb_spark.operators.quality import CMS_DEPTH, CMS_WIDTH
+    from skinnerdb_spark.streaming.windows import run_stream_once, stream_events
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+    def counters(df):
+        return (
+            df.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+            )
+            .select("d", bucket.alias("b"))
+            .groupBy("d", "b")
+            .count()
+        )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    rows = run_stream_once(
+        counters(stream_events(spark, src)),
+        "t_stream_cms_counters",
+        output_mode="update",
+    )
+    got: dict[tuple, int] = {}
+    for r in rows:  # update mode re-emits per micro-batch; final = max
+        key = (r.d, r.b)
+        got[key] = max(got.get(key, 0), r["count"])
+    from skinnerdb_spark.queries.util import read_table
+
+    expected = {
+        (r.d, r.b): r["count"]
+        for r in counters(read_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == expected
