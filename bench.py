@@ -50,6 +50,19 @@ def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dic
     from skinnerdb_spark.registry import all_specs
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
+    # SPARK_GRAFT_BENCH_EXCLUDE: comma-separated entry names to skip — used
+    # for the sf10 (100x) scale run, where the OUTPUT-BOUND pair generators
+    # (name_edit_distance_pairs: 3.3M pairs at sf1; dedup_simhash_pairs:
+    # 43M) would dominate the run with result-writing, not operator work.
+    # Exclusions are deliberate, named, and land in the JSON so no run can
+    # silently claim coverage it didn't have.
+    excluded = [
+        e
+        for e in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",")
+        if e and e in specs
+    ]
+    for e in excluded:
+        specs.pop(e)
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
 
@@ -211,6 +224,9 @@ def main() -> None:
         "ann_recall": ann_recall,
         "detail_csv": csv_path,
     }
+    skipped = [e for e in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if e]
+    if skipped:
+        out["excluded"] = skipped
     line = json.dumps(out)
     if len(line) > 1900:  # belt-and-suspenders under the capture limit
         out["queries"] = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:8])

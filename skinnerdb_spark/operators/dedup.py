@@ -1159,14 +1159,20 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nd") > 1) & (F.col("nd") <= VERBATIM_MAX_DOCS))
         .select("g")
     )
-    # the filtered candidate set (spans shared by 2..cap docs — a small
-    # fraction of the corpus by construction): materialize it once, because
-    # it feeds BOTH sides of the pair self-join and its lineage contains the
-    # whole explode+distinct pipeline, which would otherwise execute twice
-    # more above the reused exchange (the ranked_topk/kmeans lineage-cut
-    # pattern; measured 2.2 -> 1.9 s warm at sf0.1 and — where the
-    # recomputation actually hurts — 5.8 -> 3.3 s at sf1)
-    bounded = grams.join(ok, "g").localCheckpoint(eager=True)
+    # the filtered candidate set feeds BOTH sides of the pair self-join and
+    # its lineage contains the whole explode+distinct pipeline, which would
+    # otherwise execute twice more above the reused exchange (measured
+    # 2.2 -> 1.9 s warm at sf0.1 and 5.8 -> 3.3 s at sf1). Materialize it
+    # once — but with DISK_ONLY persist, NOT localCheckpoint: this frame is
+    # corpus-shaped (not a bounded k-row frame), and a checkpointed RDD
+    # carries no stats, so at 100x (sf10) Catalyst happily BROADCAST a
+    # multi-GB candidate frame and OOM'd the executor heap — found by the
+    # sf10 sweep; DISK_ONLY keeps the cost model honest (InMemoryRelation
+    # stats) and never competes for heap.
+    from pyspark import StorageLevel
+
+    bounded = grams.join(ok, "g").persist(StorageLevel.DISK_ONLY)
+    bounded.count()  # materialize before both consumers plan against it
     pairs = (
         bounded.alias("a")
         .join(bounded.alias("b"), "g")

@@ -234,19 +234,34 @@ def test_no_unpartitioned_windows_in_dewindowed_entries(spark, sf_dir):
 
 
 def test_r7_lineage_cut_entries_have_no_scans_in_final_plan(spark, sf_dir):
-    """Round-7 restructures pinned: embed_power_iteration, dedup_semantic,
-    and dedup_verbatim_spans materialize their corpus-sized pipelines ONCE
-    behind eager localCheckpoints — the RETURNED plan must therefore contain
-    no parquet FileScan at all (everything downstream reads the checkpointed
-    RDDs). A FileScan reappearing here means a lineage cut was dropped and
-    the corpus pipeline would re-execute per consumer/iteration again."""
-    for name in (
-        "embed_power_iteration",
-        "dedup_semantic",
-        "dedup_verbatim_spans",
-    ):
+    """Round-7 restructures pinned: embed_power_iteration and dedup_semantic
+    materialize their corpus-sized pipelines ONCE behind eager
+    localCheckpoints (their tiny downstream frames are provably bounded) —
+    the RETURNED plan must contain no parquet FileScan at all. A FileScan
+    reappearing here means a lineage cut was dropped and the corpus
+    pipeline would re-execute per consumer/iteration again."""
+    for name in ("embed_power_iteration", "dedup_semantic"):
         plan = plan_of(spark, name, sf_dir)
         assert ".parquet" not in plan, (
             f"{name}: corpus scan leaked back into the final plan — "
             "a localCheckpoint lineage cut was removed"
         )
+
+
+def test_verbatim_spans_candidate_set_cached_not_checkpointed(spark, sf_dir):
+    """dedup_verbatim_spans' candidate set is CORPUS-shaped, so it must be
+    materialized as a stats-bearing DISK_ONLY cache, not a localCheckpoint:
+    a checkpointed RDD carries no statistics and at 100x (sf10) Catalyst
+    broadcast the multi-GB frame and OOM'd the heap. Pin both properties —
+    the pair join reads the cached relation (InMemoryTableScan on BOTH
+    sides) and no side of the self-join is broadcast."""
+    plan = plan_of(spark, "dedup_verbatim_spans", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "candidate set no longer materialized for both pair-join sides"
+    )
+    import re
+
+    join_nodes = re.findall(r"BroadcastHashJoin \[g", plan)
+    assert not join_nodes, (
+        "pair self-join must not broadcast the corpus-shaped candidate set"
+    )
