@@ -22,12 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
-#: everything the driver's correctness gate sampled in rounds 1-6 (the union
-#: of CORRECTNESS_r01..r06 keys — 160/160 registry entries green cumulatively
-#: as of r6). The gate takes the FIRST 50 queries() entries, so already-green
+#: everything the driver's correctness gate sampled in rounds 1-7 (the union
+#: of CORRECTNESS_r01..r07 keys — 178/178 registry entries green cumulatively
+#: as of r7). The gate takes the FIRST 50 queries() entries, so already-green
 #: entries rotate to the back and any newly added entries get hard driver
 #: rows. The staples keep full local coverage in tests/test_oracle.py.
-_R123456_SAMPLED = frozenset(
+_R1234567_SAMPLED = frozenset(
     ["adaptive_star_join", "setop_union", "setop_intersect_except",
      "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
      "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
@@ -77,6 +77,14 @@ _R123456_SAMPLED = frozenset(
        "embed_norm_qa", "embed_kmeans", "text_bpe_merges",
        "docs_bigram_lm_score", "embed_power_iteration", "docs_pmi_topk",
        "graph_jaccard_links", "orders_skyline", "ev_heavy_hitters"]
+    # r7 sample (CORRECTNESS_r07: 50/50 hash-green)
+    + ["multimodal_jpeg_roundtrip", "multimodal_audio_features",
+       "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
+       "multimodal_webp_roundtrip", "dedup_verbatim_spans",
+       "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
+       "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
+       "ev_winsorize", "docs_ccnet_buckets", "ev_rate_limit",
+       "dedup_incremental", "ev_countmin_sketch"]
 )
 
 #: sampled before, but rotate forward again for re-verification in r7:
@@ -84,56 +92,36 @@ _R123456_SAMPLED = frozenset(
 #: this round — enforced by tools/gate_check.py (plan+oracle fingerprint
 #: diff vs GATE_FINGERPRINTS.json), which closed the r6 hygiene miss where
 #: two changed entries never rotated forward.
-_REVERIFY = [
-    # ranked_topk rewrite (single upstream execution) — all 5 call sites
-    "graph_pagerank", "graph_jaccard_links", "ev_session_paths",
-    "text_token_ids", "docs_pmi_topk",
-    # trainer lineage linearization + int64-quantized kmeans, BPE checkpoints
-    "embed_kmeans", "text_bpe_merges",
-    # exact multi-distinct reformulation (Expand removed)
-    "distinct_agg",
-    # decode_stats channel-sum relabeling
-    "multimodal_decode_stats",
-    # r6 gate hygiene misses (changed in r6, never re-sampled — VERDICT item 3)
-    "dedup_prefix_filter", "name_edit_distance_pairs",
-    # r7 continuation: episode progress sharing (PrefixProgress) can change
-    # the bandit's winning order -> the built plan differs
+_REVERIFY: list[str] = [
+    # r8: exact percentiles restructured to value-domain k-th selection
+    # (no value-buffering percentile aggregate, no global sort)
+    "median_manual", "orders_equidepth_hist",
+    # r8: PPJoin+ suffix filter added to the prefix-filter join
+    "dedup_prefix_filter",
+    # r8: shared-stage lineage cut in the composed LSH pipeline
+    "dedup_pipeline_decisions",
+    # r8: adaptive exploit-only fast path can change episode accounting
+    # (winning order must stay semantically identical — re-verify)
     "adaptive_star_join",
-    # r7 continuation: single-pass augmented-moment restructure + int64
-    # quantization (was decimal-sum, 2.3x)
-    "embed_power_iteration",
-    # r7 continuation: exact n_distinct via stacked two-level aggs (Expand
-    # removed from the exact path too, 3.5x)
-    "profile_table",
-    # (dedup_verbatim_spans also got a lineage cut this round — it is
-    # already pinned in _PRIORITY above as a new r7 entry)
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
 #: this round, listed explicitly so their first driver rows are immune to
 #: registration order.
-_PRIORITY: list[str] = [
-    "multimodal_jpeg_roundtrip", "multimodal_audio_features",
-    "multimodal_video_frames", "wcoj_triangle_listing", "wcoj_clique4",
-    "multimodal_webp_roundtrip", "dedup_verbatim_spans",
-    "sample_temperature_mix", "multimodal_gif_roundtrip", "dedup_semantic",
-    "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
-    "ev_winsorize", "docs_ccnet_buckets", "ev_rate_limit", "dedup_incremental",
-    "ev_countmin_sketch",
-]
+_PRIORITY: list[str] = []
 
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
     front = [n for n in _PRIORITY + _REVERIFY if n in specs]
-    fresh = [n for n in specs if n not in _R123456_SAMPLED and n not in front]
-    rest = [n for n in specs if n in _R123456_SAMPLED and n not in front]
+    fresh = [n for n in specs if n not in _R1234567_SAMPLED and n not in front]
+    rest = [n for n in specs if n in _R1234567_SAMPLED and n not in front]
     return front + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _R123456_SAMPLED)."""
+    never-driver-sampled entries first (see _R1234567_SAMPLED)."""
     specs = all_specs()
     return {name: specs[name].spark for name in _driver_ordered()}
 
