@@ -77,6 +77,12 @@ class _PyReorderer:
         #: py4j call + a set probe instead of the full plan walk +
         #: extraction + nested re-optimization.
         self._noop: set[int] = set()
+        #: order-cache version the memo was built against: a cache-miss
+        #: no-op is only valid until a new order is learned, so the memo is
+        #: cleared whenever plans.graph's order cache gains an entry —
+        #: otherwise a shape first seen before its order was learned would
+        #: never be reordered for the rest of the session (ADVICE r7)
+        self._noop_version = -1
 
     class Java:  # noqa: D106  (py4j contract)
         implements = ["skinner.SkinnerReorderRule$Reorderer"]
@@ -92,6 +98,16 @@ class _PyReorderer:
         if not _BUSY.acquire(blocking=False):
             return None
         try:
+            from skinnerdb_spark.plans.graph import order_cache_version
+
+            v = order_cache_version()
+            if v != self._noop_version:
+                # new orders were learned since the memo was built: every
+                # memoized "no learned order for this shape" decision is
+                # potentially stale — rebuild from scratch (cheap; the memo
+                # repopulates on the next optimizer pass)
+                self._noop.clear()
+                self._noop_version = v
             try:
                 h = jplan.semanticHash()
             except Exception:

@@ -82,6 +82,18 @@ _PASSTHROUGH = {
 _ORDER_CACHE: dict[tuple, tuple[str, ...]] = {}
 _ORDER_CACHE_CAP = 4096
 
+#: bumped on every mutation of _ORDER_CACHE (put or bulk load). Consumers
+#: that memoize "this plan shape had no learned order" (the Catalyst rule's
+#: no-op memo, plans/catalyst_rule.py) compare against this to invalidate
+#: their memo when new orders are learned — otherwise a query shape first
+#: seen before its order was learned would never be reordered for the rest
+#: of the session (ADVICE r7).
+_ORDER_CACHE_VERSION = 0
+
+
+def order_cache_version() -> int:
+    return _ORDER_CACHE_VERSION
+
 #: secondary index for ORDER-INSENSITIVE shape lookup (ADVICE r6 /
 #: VERDICT r6 item 6): canonical (sorted names, scopes, edges) -> the
 #: primary _ORDER_CACHE key. The Catalyst rule's unordered shape lookup
@@ -165,6 +177,8 @@ def load_order_cache(path: str | None = None) -> int:
             xk = ("xfer", key[0], key[2])
             if xk not in _ORDER_CACHE and len(_ORDER_CACHE) < _ORDER_CACHE_CAP:
                 _ORDER_CACHE[xk] = tuple(v)
+    global _ORDER_CACHE_VERSION
+    _ORDER_CACHE_VERSION += 1
     return n
 
 
@@ -195,6 +209,8 @@ def _cache_put(key: tuple, order: tuple[str, ...]) -> None:
         _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
     _ORDER_CACHE[key] = order
     _index_shape(key)
+    global _ORDER_CACHE_VERSION
+    _ORDER_CACHE_VERSION += 1
     if _persist_enabled():
         try:
             save_order_cache()
@@ -696,7 +712,12 @@ def adaptive_reorder(
                 res = AdaptiveJoinResult(finish(graph, chain), transferred)
                 res.reason = "cached-transfer"  # type: ignore[attr-defined]
                 return res
-    if cached is not None and cached in cands:
+    # validity — not membership in the first max_orders DFS candidates —
+    # gates a cache hit: a winner that entered via the greedy seeds (the
+    # 8-way-join case the seeds exist for) is absent from the DFS prefix,
+    # and a membership check would silently discard it and re-run the full
+    # episode loop on every execution (ADVICE r7)
+    if cached is not None and is_connected_order(cached, graph.names, graph.edges):
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)
         res.reason = "cached"  # type: ignore[attr-defined]
@@ -741,12 +762,25 @@ def adaptive_reorder(
             # first play of an arm is timed cold (record-only) so rewards
             # stay comparable; repeats resume from the persisted blocks
             progress.record_only = bandit.n[arm] == 0
+            hits_before = progress.hits
             rows, dt = _budgeted_count(
                 build_graph_chain(graph, cands[arm], leaves=sampled, progress=progress),
                 episode_budget_s,
             )
             timed_out = rows is None
             reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
+            if progress.hits > hits_before:
+                # the episode collapsed onto a persisted TERMINAL frame: its
+                # near-zero dt measures the cache, not the arm's plan, and
+                # feeding it to the bandit would snowball best() onto
+                # whichever arm repeats first (ADVICE r7). A hit implies
+                # every arm already has a cold play (first plays are
+                # record-only misses), and with terminal-only frames no
+                # repeat can add signal — stop exploring.
+                stats.append(
+                    EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)
+                )
+                break
             bandit.update(arm, reward)
             stats.append(
                 EpisodeStats(cands[arm], dt, -1 if timed_out else rows, reward, timed_out)

@@ -442,10 +442,13 @@ def _rate_limit_update(key, pdfs, state):
     n = state.get[0] if state.exists else 0
     kept_ids: list[int] = []
     kept_rn: list[int] = []
-    for pdf in pdfs:
-        if n >= k:
-            break
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState may split one key's micro-batch across several
+    # chunks; sorting per chunk would make "first k arrivals" depend on
+    # chunk boundaries (ADVICE r7). Per-(user, hour) groups are small, so
+    # materializing the group for a global (ts, event_id) sort is safe.
+    chunks = [p for p in pdfs if len(p)]
+    if chunks and n < k:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for eid in pdf["event_id"]:
             if n >= k:
                 break
@@ -644,7 +647,12 @@ def _transition_update(key, pdfs, state):
     last_us, last_type = state.get if state.exists else (None, None)
     counts: collections.Counter = collections.Counter()
     late = 0
-    for pdf in pdfs:
+    # same chunk-boundary hazard as _rate_limit_update (ADVICE r7): one
+    # key's micro-batch may arrive split across chunks — concatenate before
+    # sorting so late-row classification follows the global (ts, event_id)
+    # order, not chunk boundaries
+    chunks = [p for p in pdfs if len(p)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts, etype in zip(pdf["ts"], pdf["event_type"]):
             us = int(pd.Timestamp(ts).value // 1000)

@@ -197,6 +197,47 @@ def test_rate_limit_update_caps_across_batches():
         W._RATE_LIMIT_K_OVERRIDE = None
 
 
+def test_rate_limit_update_sorts_across_chunk_split():
+    """applyInPandasWithState may split ONE key's micro-batch across several
+    pandas chunks; the 'first K arrivals' contract must follow the global
+    (ts, event_id) order, not chunk boundaries (ADVICE r7). Here the
+    globally-earliest row lives in the SECOND chunk."""
+    import pandas as pd
+
+    from skinnerdb_spark.streaming import windows as W
+
+    class FakeState:
+        exists = False
+        tup = None
+
+        @property
+        def get(self):
+            return self.tup
+
+        def update(self, t):
+            self.tup = t
+            self.exists = True
+
+    W._RATE_LIMIT_K_OVERRIDE = 2
+    try:
+        state = FakeState()
+        key = (7, pd.Timestamp("2024-01-01 05:00:00"))
+        c1 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 05:03", "2024-01-01 05:04"]),
+             "event_id": [30, 40]}
+        )
+        c2 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 05:01", "2024-01-01 05:02"]),
+             "event_id": [10, 20]}
+        )
+        (out,) = list(W._rate_limit_update(key, [c1, c2], state))
+        # a per-chunk sort would keep 30, 40; the global sort keeps 10, 20
+        assert list(out.event_id) == [10, 20] and list(out.rn) == [1, 2]
+        assert state.tup == (2,)
+    finally:
+        W._RATE_LIMIT_K_OVERRIDE = None
+
+
 def test_sem_dropped_in_cluster_unit():
     """Unit contract of the per-cluster SemDeDup Arrow stage: exact int64
     dots, threshold 5*dot >= 2*sqrt(na)*sqrt(nb), drop = farther-from-
