@@ -861,17 +861,22 @@ def stats_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_equidepth_hist",
     """
-    WITH b AS (
-        SELECT quantile_cont(o_totalprice, 0.1) AS b1,
-               quantile_cont(o_totalprice, 0.2) AS b2,
-               quantile_cont(o_totalprice, 0.3) AS b3,
-               quantile_cont(o_totalprice, 0.4) AS b4,
-               quantile_cont(o_totalprice, 0.5) AS b5,
-               quantile_cont(o_totalprice, 0.6) AS b6,
-               quantile_cont(o_totalprice, 0.7) AS b7,
-               quantile_cont(o_totalprice, 0.8) AS b8,
-               quantile_cont(o_totalprice, 0.9) AS b9
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER () AS n
         FROM orders),
+    b AS (
+        SELECT MAX(CASE WHEN rn = (1*n+9)//10 THEN o_totalprice END) AS b1,
+               MAX(CASE WHEN rn = (2*n+9)//10 THEN o_totalprice END) AS b2,
+               MAX(CASE WHEN rn = (3*n+9)//10 THEN o_totalprice END) AS b3,
+               MAX(CASE WHEN rn = (4*n+9)//10 THEN o_totalprice END) AS b4,
+               MAX(CASE WHEN rn = (5*n+9)//10 THEN o_totalprice END) AS b5,
+               MAX(CASE WHEN rn = (6*n+9)//10 THEN o_totalprice END) AS b6,
+               MAX(CASE WHEN rn = (7*n+9)//10 THEN o_totalprice END) AS b7,
+               MAX(CASE WHEN rn = (8*n+9)//10 THEN o_totalprice END) AS b8,
+               MAX(CASE WHEN rn = (9*n+9)//10 THEN o_totalprice END) AS b9
+        FROM ranked),
     assigned AS (
         SELECT CAST((CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END
                    + CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END
@@ -897,27 +902,45 @@ def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev_value_histogram) miss on long-tailed measures: each bucket holds
     ~10% of rows whatever the value distribution.
 
-    Scale shape: deliberately NOT the NTILE formulation (a corpus-wide
-    single-partition sort); boundaries come from one exact `percentile`
-    aggregate (map-side partials, bit-equal to DuckDB's quantile_cont —
-    the docs_length_quantiles precedent), broadcast back as a 1-row frame,
-    and bucket assignment + counts are pure map-side algebra plus one tiny
-    aggregation. The exact percentile buffers the full column on one
-    executor — the scale hazard — so ``spark.skinnerdb.stats.exact=false``
-    swaps in approx_percentile boundaries: identical plan shape, one-pass
-    bounded-memory sketch, oracle divergence warned (bucket DEPTHS stay
-    ~10% by construction; tests/test_components.py asserts the approx
-    path's depth error bound)."""
+    Scale shape (r8, VERDICT r7 item 2): deliberately NOT the NTILE
+    formulation (a corpus-wide single-partition sort) and, since r8, NOT
+    the exact `percentile` aggregate either — that aggregate buffers the
+    full column on one executor (the sf10 sweep's 71 s row and a genuine
+    100 TB memory hazard). Boundaries are rank-defined decile values
+    (value at rank ceil(i*n/10) — exact, tie-stable, cross-engine-safe
+    integer arithmetic) computed by distributed value-domain k-th
+    selection (operators/quantiles.py): map-side-combined histogram scans
+    with O(bins) executor state, never a value buffer. They broadcast back
+    as a 1-row frame and bucket assignment + counts stay pure map-side
+    algebra plus one tiny aggregation. ``spark.skinnerdb.stats.exact=
+    false`` swaps in approx_percentile boundaries: identical downstream
+    plan shape, one-pass bounded-memory sketch, oracle divergence warned
+    (bucket DEPTHS stay ~10% by construction; tests/test_components.py
+    asserts the approx path's depth error bound)."""
+    from skinnerdb_spark.operators.quantiles import exact_value_at_ranks
+
     o = read_table(spark, sf_dir, "orders")
-    pcts = [i / 10 for i in range(1, 10)]
-    fn = "percentile" if stats_exact(spark) else "approx_percentile"
-    # ONE array-argument percentile, not nine scalar ones: each scalar
-    # aggregate buffers the full column separately (9x the state, 9x the
-    # partial-merge cost — measured 31 s -> ~8 s at sf1 on the exact path)
-    arr = ",".join(str(p) for p in pcts)
-    b = o.agg(F.expr(f"{fn}(o_totalprice, array({arr}))").alias("bs")).select(
-        *[F.element_at(F.col("bs"), i).alias(f"b{i}") for i in range(1, 10)]
-    )
+    if stats_exact(spark):
+        deciles = exact_value_at_ranks(
+            o,
+            [],
+            "o_totalprice",
+            lambda n: F.array(
+                *[F.floor((i * n + 9) / 10).cast("long") for i in range(1, 10)]
+            ),
+        )
+        b = deciles.agg(
+            *[
+                F.max(F.when(F.col("qi") == i - 1, F.col("value"))).alias(f"b{i}")
+                for i in range(1, 10)
+            ]
+        )
+    else:
+        pcts = [i / 10 for i in range(1, 10)]
+        arr = ",".join(str(p) for p in pcts)
+        b = o.agg(
+            F.expr(f"approx_percentile(o_totalprice, array({arr}))").alias("bs")
+        ).select(*[F.element_at(F.col("bs"), i).alias(f"b{i}") for i in range(1, 10)])
     assigned = o.crossJoin(F.broadcast(b)).select(
         sum(
             [F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0) for i in range(1, 10)],

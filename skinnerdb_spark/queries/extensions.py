@@ -253,22 +253,30 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median by rank selection (middle one or two elements averaged
     with exact arithmetic). Native percentile_cont interpolation arithmetic
-    is not guaranteed bit-identical across engines; rank selection is."""
+    is not guaranteed bit-identical across engines; rank selection is.
+
+    Scale shape (r8, VERDICT r7 item 2): the middle elements come from
+    distributed value-domain k-th selection (operators/quantiles.py) — two
+    map-side-combined histogram scans plus a cumulative count over the
+    distinct values of one leaf cell — instead of the previous
+    row_number window, which sorted the FULL 60M-row lineitem per group
+    (the sf10 sweep's slowest absolute rows). Same exact answer; no
+    per-group full sort, no value buffering."""
+    from skinnerdb_spark.operators.quantiles import exact_value_at_ranks
+
     l = read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("l_returnflag")
-    ranked = l.select(
-        "l_returnflag",
+    mid = exact_value_at_ranks(
+        l,
+        ["l_returnflag"],
         "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        lambda n: F.array(
+            F.floor((n + 1) / 2).cast("long"), F.floor((n + 2) / 2).cast("long")
+        ),
     )
-    mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-    )
+    # odd n requests the same rank twice -> avg of two identical values ==
+    # the oracle's single-row SUM/COUNT (both exact decimal paths)
     return mid.groupBy("l_returnflag").agg(
-        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("median_qty")
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("median_qty")
     )
 
 
