@@ -222,6 +222,11 @@ def main() -> None:
         "runs": [round(sum(p.values()), 4) for p in passes],
         "best_total": round(sum(best_query.values()), 4),
         "ann_recall": ann_recall,
+        # adaptive-tier episode spend this run (VERDICT r7 item 3: the
+        # exploit-only fast path's effect must be observable per run)
+        "adaptive": __import__(
+            "skinnerdb_spark.plans.graph", fromlist=["adaptive_counters"]
+        ).adaptive_counters(),
         "detail_csv": csv_path,
     }
     skipped = [e for e in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if e]

@@ -94,6 +94,33 @@ _ORDER_CACHE_VERSION = 0
 def order_cache_version() -> int:
     return _ORDER_CACHE_VERSION
 
+
+#: process-lifetime observability for the adaptive tier (bench.py emits
+#: these in its JSON so episode spend is visible per run): episodes =
+#: sampled exploration executions actually run; exploit_hits = duels
+#: skipped by the at-scale transfer fast path; cache_hits = zero-episode
+#: signature/shape cache servings.
+_COUNTERS = {"episodes": 0, "exploit_hits": 0, "cache_hits": 0}
+
+
+def adaptive_counters() -> dict[str, int]:
+    return dict(_COUNTERS)
+
+
+def _exploit_rows_threshold() -> int:
+    """Estimated fact-row count at or above which a previously-duelled
+    transferred order is exploited WITHOUT a fresh duel (0 disables).
+
+    Default 16M estimated rows: well above every bench/test warehouse
+    (sf0.1 lineitem ~600k, sf1 ~6M) so local learning behavior is
+    unchanged, and below the sf10/100-TB regime where exploration episodes
+    were measured above-linear (~4.3x at the sf1->sf10 step on deep
+    shapes, VERDICT r7 item 3)."""
+    try:
+        return int(os.environ.get("SKINNER_TRANSFER_EXPLOIT_ROWS", "16000000"))
+    except ValueError:
+        return 16_000_000
+
 #: secondary index for ORDER-INSENSITIVE shape lookup (ADVICE r6 /
 #: VERDICT r6 item 6): canonical (sorted names, scopes, edges) -> the
 #: primary _ORDER_CACHE key. The Catalyst rule's unordered shape lookup
@@ -703,21 +730,49 @@ def adaptive_reorder(
             # same-scale warehouse clones; the validated winner is written
             # under THIS scope's signatures either way.
             transferred = _cache_get(graph.transfer_sig)
-            if (
-                transferred is not None
-                and os.environ.get("SKINNER_ORDER_TRANSFER") == "trust"
-                and is_connected_order(transferred, graph.names, graph.edges)
+            if transferred is not None and is_connected_order(
+                transferred, graph.names, graph.edges
             ):
-                chain = build_graph_chain(graph, transferred)
-                res = AdaptiveJoinResult(finish(graph, chain), transferred)
-                res.reason = "cached-transfer"  # type: ignore[attr-defined]
-                return res
+                reason = None
+                if os.environ.get("SKINNER_ORDER_TRANSFER") == "trust":
+                    reason = "cached-transfer"
+                else:
+                    # exploit-only fast path at scale (VERDICT r7 item 3):
+                    # every transfer-cache entry was written as a DUEL
+                    # WINNER (only _cache_put after the episode loop or a
+                    # validated run writes transfer_sig), so above the
+                    # size threshold re-exploring pays full sampled
+                    # executions at big-SF cost for a bounded, already-
+                    # duelled gain — the measured ~4.3x above-linear step
+                    # on 15/17-way shapes at sf10. Below the threshold the
+                    # duel still runs (cheap, keeps learning); on a cache
+                    # MISS the duel always runs. SKINNER_TRANSFER_EXPLOIT
+                    # _ROWS=0 disables the fast path entirely.
+                    thr = _exploit_rows_threshold()
+                    if thr > 0:
+                        graph.ensure_sizes()
+                        est = max(1, graph.sizes.get(graph.fact, 0) // 100)
+                        if est >= thr:
+                            reason = "transfer-exploit"
+                            _COUNTERS["exploit_hits"] += 1
+                if reason is not None:
+                    # deliberately NOT written under this scope's signature:
+                    # the signature tier means "duel-validated at this
+                    # scope", and both trust and exploit are warm starts,
+                    # not authority — a later run below the threshold (or
+                    # with the fast path disabled) still duels and only its
+                    # winner becomes authoritative here
+                    chain = build_graph_chain(graph, transferred)
+                    res = AdaptiveJoinResult(finish(graph, chain), transferred)
+                    res.reason = reason  # type: ignore[attr-defined]
+                    return res
     # validity — not membership in the first max_orders DFS candidates —
     # gates a cache hit: a winner that entered via the greedy seeds (the
     # 8-way-join case the seeds exist for) is absent from the DFS prefix,
     # and a membership check would silently discard it and re-run the full
     # episode loop on every execution (ADVICE r7)
     if cached is not None and is_connected_order(cached, graph.names, graph.edges):
+        _COUNTERS["cache_hits"] += 1
         chain = build_graph_chain(graph, cached)
         res = AdaptiveJoinResult(finish(graph, chain), cached)
         res.reason = "cached"  # type: ignore[attr-defined]
@@ -768,6 +823,7 @@ def adaptive_reorder(
                 episode_budget_s,
             )
             timed_out = rows is None
+            _COUNTERS["episodes"] += 1
             reward = -math.log(max(dt, 1e-4) * (_TIMEOUT_PENALTY if timed_out else 1.0))
             if progress.hits > hits_before:
                 # the episode collapsed onto a persisted TERMINAL frame: its

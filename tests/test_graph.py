@@ -226,6 +226,30 @@ def test_cross_warehouse_order_transfer(spark, sf_dir, monkeypatch):
         _pop_scope_sigs()
         r3 = adaptive_reorder(spark.sql(q), episodes=2)
         assert r3.episodes  # transfer disabled -> cold learning again
+
+        # exploit-only fast path at scale (VERDICT r7 item 3): with the
+        # size threshold forced below this warehouse, a previously-duelled
+        # transferred order is exploited with ZERO episodes — and stays a
+        # warm start, never authority
+        monkeypatch.delenv("SKINNER_ORDER_TRANSFER", raising=False)
+        monkeypatch.setenv("SKINNER_TRANSFER_EXPLOIT_ROWS", "1")
+        g2 = _pop_scope_sigs()
+        before = G.adaptive_counters()
+        r5 = adaptive_reorder(spark.sql(q), episodes=2)
+        after = G.adaptive_counters()
+        assert getattr(r5, "reason", None) == "transfer-exploit"
+        assert r5.best_order == r1.best_order
+        assert not r5.episodes
+        assert after["exploit_hits"] == before["exploit_hits"] + 1
+        assert after["episodes"] == before["episodes"]
+        assert g2.signature not in G._ORDER_CACHE
+
+        # threshold disabled (=0): the duel runs again even with a
+        # transfer entry present
+        monkeypatch.setenv("SKINNER_TRANSFER_EXPLOIT_ROWS", "0")
+        _pop_scope_sigs()
+        r6 = adaptive_reorder(spark.sql(q), episodes=2)
+        assert r6.episodes
     finally:
         register_views(spark, sf_dir)
 
