@@ -108,7 +108,10 @@ _REVERIFY: list[str] = [
 #: pinned to the very FRONT of the gate window: new registry entries for
 #: this round, listed explicitly so their first driver rows are immune to
 #: registration order.
-_PRIORITY: list[str] = []
+_PRIORITY: list[str] = [
+    # r8 new entries
+    "text_bpe_encode",
+]
 
 
 def _driver_ordered() -> list[str]:

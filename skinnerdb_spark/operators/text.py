@@ -645,7 +645,9 @@ _APPLY_EXPR = (
 )
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_body() -> str:
+    """Shared CTE body: word table -> unrolled merge rounds w0..w{BPE_MERGES}
+    with per-round winners m1..m{BPE_MERGES} (see _bpe_oracle docnotes)."""
     body = """
     WITH w AS (SELECT t.term AS word, CAST(COUNT(*) AS BIGINT) AS cnt
                FROM documents, UNNEST(string_split(text, ' ')) t(term)
@@ -676,11 +678,14 @@ def _bpe_oracle() -> str:
                             THEN acc || s ELSE acc || ' ' || s END) AS sym
              FROM {prev} CROSS JOIN m{k} m)"""
         prev = f"w{k}"
-    body += "\n    " + "\n    UNION ALL ".join(
+    return body
+
+
+def _bpe_oracle() -> str:
+    return _bpe_oracle_body() + "\n    " + "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, pair_cnt FROM m{k}"
         for k in range(1, BPE_MERGES + 1)
     )
-    return body
 
 
 @register(
@@ -721,6 +726,21 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: none — tokenizer training extends the reference's
     surface for the curation tier (SURVEY §6)."""
+    merge_rows, _ = _bpe_rounds(spark, sf_dir, need_final_words=False)
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionAll(mr)
+    return out
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, need_final_words: bool
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """Shared BPE learner loop (see :func:`text_bpe_merges` for the scale
+    and checkpoint rationale). Returns the per-round 1-row merge frames
+    and, when ``need_final_words`` (the encode path), the post-round-
+    {BPE_MERGES} word table (word, cnt, sym) checkpointed for reuse —
+    the merges entry skips that final fold entirely."""
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -762,12 +782,153 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("sym", F.expr(_APPLY_EXPR))
             .select("word", "cnt", "sym")
         )
-        if k < BPE_MERGES:  # the last round's words frame is never consumed
+        if k < BPE_MERGES or need_final_words:
+            # the merges entry never consumes the last round's fold; the
+            # encode entry consumes it TWICE (piece ids + stream join)
             words = words.localCheckpoint(eager=True)
-    out = merge_rows[0]
-    for mr in merge_rows[1:]:
-        out = out.unionAll(mr)
-    return out
+    return merge_rows, (words if need_final_words else None)
+
+
+#: token budget per packed training sequence for the encode entry's seq_id
+#: (mirrors pipeline.PACK_TOKENS but counts BPE pieces, not words)
+BPE_PACK = 2048
+#: rank cap for the BPE piece vocabulary — provably generous: after
+#: {BPE_MERGES} merges the piece alphabet is at most |distinct characters
+#: in the corpus| + {BPE_MERGES} symbols, so the cap can never truncate on
+#: text data (it exists only because ranked_topk requires a finite k)
+BPE_VOCAB_K = 4096
+
+
+def _bpe_encode_oracle() -> str:
+    final = f"w{BPE_MERGES}"
+    return _bpe_oracle_body() + f""",
+    wp AS (SELECT word, cnt, string_split(trim(sym), ' ') AS pieces
+           FROM {final}),
+    pc AS (SELECT t.piece AS piece, CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM wp, UNNEST(wp.pieces) t(piece) GROUP BY t.piece),
+    vocab AS (SELECT piece,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+                          AS BIGINT) AS token_id
+              FROM pc),
+    we AS (SELECT wp.word,
+                  CAST(len(wp.pieces) AS BIGINT) AS n_pieces,
+                  CAST(SUM(v.token_id) AS BIGINT) AS s1,
+                  CAST(SUM(CAST(g.i AS BIGINT) * v.token_id) AS BIGINT) AS s2
+           FROM wp, UNNEST(generate_series(1, len(wp.pieces))) g(i)
+           JOIN vocab v ON v.piece = wp.pieces[CAST(g.i AS INT)]
+           GROUP BY wp.word, len(wp.pieces)),
+    base AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (SELECT doc_id, source, CAST(g.i AS BIGINT) AS pos, t[g.i] AS term
+             FROM base, UNNEST(generate_series(1, len(t), 1)) AS g(i)),
+    enc AS (SELECT t.doc_id, t.source,
+                   CAST(SUM(we.n_pieces) AS BIGINT) AS n_pieces,
+                   CAST(SUM(t.pos * 1000 * we.s1 + we.s2) AS BIGINT)
+                       AS ids_checksum
+            FROM toks t JOIN we ON t.term = we.word
+            GROUP BY t.doc_id, t.source)
+    SELECT doc_id, source, n_pieces, ids_checksum,
+           CAST((SUM(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_pieces) // {BPE_PACK} AS BIGINT) AS seq_id
+    FROM enc
+"""
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_encode_oracle(),
+    tags=("text", "pipeline", "tokenizer", "iterative"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE ENCODING (VERDICT r7 item 4 — closes the tokenizer
+    chain): learn the {BPE_MERGES} merge rules (:func:`_bpe_rounds`, the
+    exact frames text_bpe_merges emits), apply them to every word, assign
+    frequency-ranked piece ids, and encode the FULL corpus to token ids —
+    the actual corpus -> token-id step an LLM pipeline runs between
+    tokenizer training and sequence packing. Output is one row per document
+    with its encoded length, an order-sensitive exact checksum of the id
+    sequence, and the pack_sequences-style training-sequence id the doc
+    starts in — the packer's exact input contract (source, doc order,
+    per-doc token count), now counted in BPE pieces.
+
+    Scale shape — encode the VOCABULARY, not the corpus: merges fold over
+    the (word, cnt) table (corpus scanned once, learner invariant), piece
+    ids rank a provably-tiny piece alphabet (<= |charset| + {BPE_MERGES};
+    ranked_topk, no unpartitioned window), and per-word (n_pieces, s1, s2)
+    summaries broadcast onto the token stream so the corpus side needs ONE
+    map-side hash join + one per-doc aggregate — no per-token explosion of
+    the corpus ever materializes. The checksum is position-exact without a
+    corpus-wide window: contribution of word at position p with piece ids
+    v_1..v_m is p*1000*Σv_i + Σ i*v_i (piece index i < 1000 by word
+    length), so SUM() over words reproduces Σ_tokens id * (1000*word_pos +
+    piece_pos) — pure integer arithmetic, identical in DuckDB.
+
+    Reference analogue: none (tokenizer tier is beyond-reference surface,
+    SURVEY §6)."""
+    from pyspark.sql.window import Window
+
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    _, words = _bpe_rounds(spark, sf_dir, need_final_words=True)
+    wp = words.select("word", "cnt", F.expr("split(trim(sym), ' ')").alias("pieces"))
+    pc = (
+        wp.select(F.explode("pieces").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    vocab = ranked_topk(
+        pc, [("cnt", "desc"), ("piece", "asc")], BPE_VOCAB_K, rnk_col="token_id"
+    ).select("piece", F.col("token_id").cast("bigint").alias("token_id"))
+    pe = wp.select(
+        "word", F.posexplode("pieces").alias("i0", "piece")
+    ).select("word", (F.col("i0") + 1).cast("bigint").alias("i"), "piece")
+    we = (
+        pe.join(F.broadcast(vocab), "piece")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+            F.sum("token_id").cast("bigint").alias("s1"),
+            F.sum(F.col("i") * F.col("token_id")).cast("bigint").alias("s2"),
+        )
+    )
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "pos0", "term"
+        ),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).cast("bigint").alias("pos"), "term"
+    )
+    enc = (
+        toks.join(F.broadcast(we), toks["term"] == we["word"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.col("pos") * 1000 * F.col("s1") + F.col("s2"))
+            .cast("bigint")
+            .alias("ids_checksum"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return enc.select(
+        "doc_id",
+        "source",
+        "n_pieces",
+        "ids_checksum",
+        ((F.sum("n_pieces").over(w) - F.col("n_pieces")) / BPE_PACK)
+        .cast("long")
+        .alias("seq_id"),
+    )
 
 
 _BIGRAM_ORACLE = """
