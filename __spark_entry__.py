@@ -110,7 +110,7 @@ _REVERIFY: list[str] = [
 #: registration order.
 _PRIORITY: list[str] = [
     # r8 new entries
-    "text_bpe_encode",
+    "text_bpe_encode", "docs_html_extract",
 ]
 
 

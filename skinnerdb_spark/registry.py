@@ -66,6 +66,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation,
         curation_gate,
         dedup,
+        htmlx,
         ivf,
         kmeans,
         multimodal,
