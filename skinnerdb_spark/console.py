@@ -13,7 +13,7 @@ Command surface, mapped 1:1 onto the Engine facade:
     exec <file>               run each ';'-terminated statement in a file
     explain <sql>             formatted physical plan
     explain adaptive <sql>    bandit episode log + chosen join order
-    explain adaptive dot <sql>  graphviz DOT of the explored order tree
+    explain adaptive dot [every N] <sql>  graphviz DOT of the explored order tree (every N: snapshot files)
 ops [name ...]            register operator results as op_<name> SQL views
     adaptive on|off           route SQL through the join-order bandit
     <anything else>           SQL -> execute + print rows
@@ -47,7 +47,7 @@ analyze dot <sql>         executed-plan profile graph (graphviz, SQLMetrics)
 vacuum [apply]            inventory (apply: reclaim) persisted artifacts
 explain <sql>             show the physical plan
 explain adaptive <sql>    show bandit episodes + chosen join order
-explain adaptive dot <sql>  graphviz DOT of the explored order tree
+explain adaptive dot [every N] <sql>  graphviz DOT of the explored order tree (every N: snapshot files)
 adaptive on|off           toggle adaptive join ordering for SQL input
 adaptive rule [off]       inject learned orders into Catalyst (plain SQL)
 <sql>                     execute SQL and print the result"""
@@ -166,6 +166,13 @@ class Console:
             if sub.lower() == "adaptive":
                 sub2, _, sql2 = sql.partition(" ")
                 if sub2.lower() == "dot":
+                    sub3, _, sql3 = sql2.partition(" ")
+                    if sub3.lower() == "every":
+                        # full TreePlotter parity (SkinnerCmd.java:246-289
+                        # re-plots the UCT tree every plotAtEach samples):
+                        # N-spaced evolution snapshots written as .dot files
+                        n_str, _, sql4 = sql3.partition(" ")
+                        return self._dot_snapshots(int(n_str), sql4)
                     # TreePlotter parity: graphviz text of the UCT order tree
                     return self.engine.explain_adaptive_dot(sql2)
                 return self.engine.explain_adaptive(sql)
@@ -194,6 +201,24 @@ class Console:
             self.adaptive = arg != "off"
             return f"adaptive join ordering {'on' if self.adaptive else 'off'}"
         return self._sql(line)
+
+    def _dot_snapshots(self, every: int, sql: str) -> str:
+        """`explain adaptive dot every N <sql>`: write one DOT file per N
+        exploration episodes (tree-as-of-episode-k) plus the final tree —
+        the file-series output of the reference's TreePlotter PDFs."""
+        import os
+
+        dots = self.engine.explain_adaptive_dot_snapshots(sql, every=every)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out_dir = os.path.join(repo_root, "spark-warehouse", "uct_snapshots")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, dot in enumerate(dots, 1):
+            p = os.path.join(out_dir, f"uct_ep{i * every:04d}.dot")
+            with open(p, "w") as f:
+                f.write(dot + "\n")
+            paths.append(p)
+        return f"wrote {len(paths)} snapshot(s):\n" + "\n".join(paths)
 
     def _sql(self, text: str) -> str:
         df = self.engine.adaptive_sql(text) if self.adaptive else self.engine.sql(text)

@@ -450,39 +450,32 @@ class Engine:
 
         res = adaptive_reorder(self.spark.sql(text), use_cache=False, **kw)
         self.last_adaptive = res
-        out = ["digraph uct {", '  rankdir=LR; node [shape=box, fontsize=10];']
         if not res.best_order:
-            out.append(
-                f'  fallback [label="not adaptive: '
-                f'{getattr(res, "reason", "ineligible")}"];'
-            )
-            out.append("}")
-            return "\n".join(out)
-        tree: dict[tuple, list] = {}
-        for ep in res.episodes:
-            for d in range(1, len(ep.order) + 1):
-                node = tree.setdefault(tuple(ep.order[:d]), [0, 0.0])
-                node[0] += 1
-                node[1] += ep.reward
+            return _render_uct_dot(None, [], getattr(res, "reason", "ineligible"))
+        return _render_uct_dot(tuple(res.best_order), res.episodes)
+
+    def explain_adaptive_dot_snapshots(
+        self, text: str, every: int = 1, **kw
+    ) -> list[str]:
+        """N-spaced EVOLUTION snapshots of the explored order tree — full
+        TreePlotter parity (the reference re-renders the UCT tree every
+        ``plotAtEach`` samples, src/console/SkinnerCmd.java:246-289): one
+        DOT per ``every`` episodes showing the tree as it stood after
+        episodes 1..k, with the final full tree always last. The episode
+        loop runs ONCE; snapshots are re-renders of its cumulative prefix
+        stats, so the cost is the same single exploration the plain DOT
+        export pays."""
+        if every < 1:
+            raise ValueError(f"every must be >= 1, got {every}")
+        from skinnerdb_spark.plans.graph import adaptive_reorder
+
+        res = adaptive_reorder(self.spark.sql(text), use_cache=False, **kw)
+        self.last_adaptive = res
+        if not res.best_order:
+            return [_render_uct_dot(None, [], getattr(res, "reason", "ineligible"))]
         best = tuple(res.best_order)
-        ids = {p: f"n{i}" for i, p in enumerate(sorted(tree, key=lambda p: [str(x) for x in p]))}
-        for prefix, (n, rsum) in tree.items():
-            on_best = prefix == best[: len(prefix)]
-            style = ', style=bold, color=blue' if on_best else ""
-            out.append(
-                f'  {ids[prefix]} [label="{prefix[-1]}\\nn={n} '
-                f'r={rsum / n:+.3f}"{style}];'
-            )
-            if len(prefix) > 1:
-                parent = prefix[:-1]
-                estyle = " [style=bold, color=blue]" if on_best and parent == best[: len(parent)] else ""
-                out.append(f"  {ids[parent]} -> {ids[prefix]}{estyle};")
-        if not tree:
-            out.append(
-                f'  only [label="{" > ".join(best)}\\n(single connected order)"];'
-            )
-        out.append("}")
-        return "\n".join(out)
+        cuts = list(range(every, len(res.episodes), every)) + [len(res.episodes)]
+        return [_render_uct_dot(best, res.episodes[:k]) for k in cuts]
 
     def explain(self, text: str) -> str:
         return self.spark.sql(text)._jdf.queryExecution().explainString(
@@ -537,3 +530,41 @@ class Engine:
                 row["join_order"] = list(getattr(self.last_adaptive, "best_order", ()))
             results.append(row)
         return results
+
+
+def _render_uct_dot(
+    best: tuple | None, episodes: list, fallback_reason: str | None = None
+) -> str:
+    """One graphviz DOT frame of the explored join-order prefix tree (shared
+    by the final-state export and the N-spaced evolution snapshots): node =
+    order prefix with visit count and mean episode reward; the winning path
+    (as of the episodes rendered) is bold."""
+    out = ["digraph uct {", '  rankdir=LR; node [shape=box, fontsize=10];']
+    if best is None:
+        out.append(f'  fallback [label="not adaptive: {fallback_reason}"];')
+        out.append("}")
+        return "\n".join(out)
+    tree: dict[tuple, list] = {}
+    for ep in episodes:
+        for d in range(1, len(ep.order) + 1):
+            node = tree.setdefault(tuple(ep.order[:d]), [0, 0.0])
+            node[0] += 1
+            node[1] += ep.reward
+    ids = {p: f"n{i}" for i, p in enumerate(sorted(tree, key=lambda p: [str(x) for x in p]))}
+    for prefix, (n, rsum) in tree.items():
+        on_best = prefix == best[: len(prefix)]
+        style = ', style=bold, color=blue' if on_best else ""
+        out.append(
+            f'  {ids[prefix]} [label="{prefix[-1]}\\nn={n} '
+            f'r={rsum / n:+.3f}"{style}];'
+        )
+        if len(prefix) > 1:
+            parent = prefix[:-1]
+            estyle = " [style=bold, color=blue]" if on_best and parent == best[: len(parent)] else ""
+            out.append(f"  {ids[parent]} -> {ids[prefix]}{estyle};")
+    if not tree:
+        out.append(
+            f'  only [label="{" > ".join(best)}\\n(single connected order)"];'
+        )
+    out.append("}")
+    return "\n".join(out)

@@ -97,6 +97,42 @@ def test_explain_adaptive_dot(console):
     assert out.startswith("digraph uct {")
 
 
+def test_explain_adaptive_dot_every_writes_snapshots(console):
+    """`explain adaptive dot every N <sql>` — TreePlotter evolution parity
+    (SkinnerCmd.java:246-289 re-plots every plotAtEach samples): one DOT
+    file per N episodes plus the final tree, each a valid digraph, each
+    later snapshot covering at least the episodes of the previous one."""
+    import os
+
+    out = console.handle(
+        "explain adaptive dot every 1 SELECT COUNT(*) AS n "
+        "FROM lineitem, orders, supplier "
+        "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey"
+    )
+    assert out.startswith("wrote ")
+    paths = out.splitlines()[1:]
+    assert paths, out
+    sizes = []
+    for p in paths:
+        assert os.path.isfile(p), p
+        dot = open(p).read()
+        assert dot.startswith("digraph uct {") and dot.rstrip().endswith("}")
+        sizes.append(dot.count("->"))
+    # cumulative rendering: the explored tree can only grow
+    assert sizes == sorted(sizes)
+
+    # engine API: snapshots partition the episode log at the given stride
+    eng = console.engine
+    dots = eng.explain_adaptive_dot_snapshots(
+        "SELECT COUNT(*) AS n FROM lineitem, orders, supplier "
+        "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey",
+        every=2,
+        episodes=4,
+    )
+    n_eps = len(eng.last_adaptive.episodes)
+    assert len(dots) == max(0, n_eps - 1) // 2 + 1
+
+
 def test_ops_command_registers_views(console):
     out = console.handle("ops text_langid")
     assert "1 operator views" in out and "op_text_langid" in out
