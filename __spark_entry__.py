@@ -103,6 +103,9 @@ _REVERIFY: list[str] = [
     # r8: adaptive exploit-only fast path can change episode accounting
     # (winning order must stay semantically identical — re-verify)
     "adaptive_star_join",
+    # r8: learner loop refactored into the shared _bpe_rounds helper
+    # (fingerprint diff -> rotate forward per protocol)
+    "text_bpe_merges",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
