@@ -113,7 +113,7 @@ _REVERIFY: list[str] = [
 #: registration order.
 _PRIORITY: list[str] = [
     # r8 new entries
-    "text_bpe_encode", "docs_html_extract",
+    "text_bpe_encode", "docs_html_extract", "docs_hybrid_rrf",
 ]
 
 

@@ -74,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pq,
         privacy,
         quality,
+        retrieval,
         segments,
         similarity,
         spectral,
