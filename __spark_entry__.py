@@ -114,6 +114,7 @@ _REVERIFY: list[str] = [
 _PRIORITY: list[str] = [
     # r8 new entries
     "text_bpe_encode", "docs_html_extract", "docs_hybrid_rrf",
+    "dedup_keep_best",
 ]
 
 

@@ -604,6 +604,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: keep-best representative selection per duplicate cluster — the decision
+#: stage a production dedup pipeline runs AFTER clustering: of each
+#: near-dup cluster keep the highest-quality member, drop the rest, and
+#: account for the tokens removed. Quality = the text_quality_lr linear
+#: score (exact rationals, one IEEE division per doc); argmax tie-break is
+#: doc_id, so the choice is fully deterministic cross-engine.
+_CLUSTERS_CTE_BODY = _CLUSTERS_ORACLE[: _CLUSTERS_ORACLE.index("    SELECT l.doc_id")]
+
+_KEEP_BEST_ORACLE = _CLUSTERS_CTE_BODY.rstrip().rstrip(",") + f""",
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
+            FROM lbl GROUP BY cluster_id),
+    feats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, t -> list_contains(
+                   ['the', 'a', 'and', 'of', 'to'], t))) AS n_stop,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, t -> length(t) >= 6)) AS n_long
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND LENGTH(text) > 0)),
+    q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(3 * n_stop + 4 * n_uniq + 2 * n_long - n_tokens AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) AS score
+          FROM feats WHERE n_tokens > 0),
+    r AS (SELECT l.cluster_id, l.doc_id, q.n_tokens, q.score,
+                 ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.score DESC, l.doc_id) AS rnk
+          FROM lbl l JOIN q ON q.doc_id = l.doc_id)
+    SELECT r.cluster_id, s.cluster_n,
+           MAX(CASE WHEN rnk = 1 THEN r.doc_id END) AS kept_doc,
+           MAX(CASE WHEN rnk = 1 THEN score END) AS kept_score,
+           CAST(COUNT(CASE WHEN rnk > 1 THEN 1 END) AS BIGINT) AS dropped_docs,
+           CAST(COALESCE(SUM(CASE WHEN rnk > 1 THEN n_tokens END), 0) AS BIGINT)
+               AS dropped_tokens
+    FROM r JOIN csz s USING (cluster_id)
+    GROUP BY r.cluster_id, s.cluster_n
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE, tags=("dedup", "pipeline", "lsh"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per duplicate cluster (r8): compose
+    :func:`dedup_clusters` (transitive near-dup groups) with the
+    text_quality_lr score and keep the highest-quality member of each
+    cluster — (cluster_id, cluster_n, kept_doc, kept_score, dropped_docs,
+    dropped_tokens). This is the decision table a curation run applies to
+    the corpus: every production dedup ends with exactly this
+    cluster -> one-survivor policy plus a tokens-removed accounting row.
+
+    Scale shape: the cluster labels are verified-pair-graph-sized (a small
+    fraction of the corpus), the quality score is one map-side projection,
+    and the argmax is a window PARTITIONED by cluster_id (bounded by
+    cluster size — never a corpus-wide sort). Deterministic by
+    construction: score is a single IEEE division of exact integers and
+    ties break on doc_id."""
+    from skinnerdb_spark.operators.text import text_quality_lr
+
+    labels = dedup_clusters(spark, sf_dir)
+    qual = text_quality_lr(spark, sf_dir).select("doc_id", "n_tokens", "score")
+    j = labels.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = j.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id", "cluster_n").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rnk") == 1, F.col("score"))).alias("kept_score"),
+        F.count(F.when(F.col("rnk") > 1, F.lit(1))).cast("bigint").alias("dropped_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("rnk") > 1, F.col("n_tokens"))), F.lit(0)
+        ).cast("bigint").alias("dropped_tokens"),
+    )
+
+
 def star_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
     """(doc, lbl) component labels via alternating large-star / small-star
     rounds (the MapReduce-CC formulation) — O(log n) rounds on ANY graph
