@@ -96,9 +96,11 @@ _REVERIFY: list[str] = [
     # r8: exact percentiles restructured to value-domain k-th selection
     # (no value-buffering percentile aggregate, no global sort)
     "median_manual", "orders_equidepth_hist",
-    # r8: PPJoin+ suffix filter added to the prefix-filter join
+    # r8: realvocab 100x measurement + docstring scale contract updated
+    # (gate fingerprint diff -> rotate forward per protocol)
     "dedup_prefix_filter",
-    # r8: shared-stage lineage cut in the composed LSH pipeline
+    # r8: re-verify after the residual-pair root-cause analysis (no code
+    # change — fingerprint unchanged; prudence rotation only)
     "dedup_pipeline_decisions",
     # r8: adaptive exploit-only fast path can change episode accounting
     # (winning order must stay semantically identical — re-verify)
