@@ -1097,7 +1097,25 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       buckets: the recall-1.0 guarantee cannot survive truly degenerate
       shingles at 100 TB, so past the cap the operator drops the bucket
       loudly (same warn-on-non-default + report protocol as
-      :func:`lsh_candidates`; the default never fires on healthy data)."""
+      :func:`lsh_candidates`; the default never fires on healthy data).
+
+    Why not PPJoin+'s suffix filter (considered r8, rejected with
+    reasoning): the positional filter here already enforces the
+    pair-dependent required overlap α = ceil((n_a+n_b)/3) — algebraically,
+    3*(1 + min(n_a-rn_a, n_b-rn_b)) >= n_a+n_b is equivalent to BOTH
+    rn_a <= n_a-α+1 and rn_b <= n_b-α+1, i.e. PPJoin's tightened
+    per-pair prefix bounds (including the 2t/(1+t) "indexing prefix" as
+    the equal-size special case) are implied, so adding them is a no-op on
+    output. PPJoin+'s suffix filter goes further only by probing the two
+    docs' actual suffix CONTENT (divide-and-conquer Hamming bound) — a
+    per-pair computation that in this join shape can only run at the
+    verify stage, where the cost is already one vectorized int64
+    `array_intersect` per deduped pair; the stage it would save is not the
+    bottleneck. The quadratic term is the bucket-join ENUMERATION itself
+    (Σ bucket² inside codegen), which no join-predicate or verify-stage
+    filter reduces — only bucket size does, which is why the measured
+    scale contract above is stated against vocabulary realism (bucket
+    sparsity) plus the hot-bucket cap rather than more per-pair filters."""
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     if cap != _LSH_MAX_BUCKET_DEFAULT:
         import warnings
