@@ -119,3 +119,38 @@ def test_fallback_when_jar_absent():
         cwd="/root/repo",
     )
     assert "FALLBACK_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_noop_memo_invalidated_when_orders_learned(spark):
+    """ADVICE r7: a plan memoized as a no-op BEFORE its order was learned
+    must be re-examined after the order cache gains entries — otherwise the
+    shape is never reordered for the rest of the session. Driven with a
+    mock jplan so the memo/version logic is exercised in isolation (the
+    mock fails extraction, which reorder() reports as an error without
+    touching the memo; the memo entry is planted directly)."""
+    from skinnerdb_spark.plans.catalyst_rule import _PyReorderer
+
+    r = _PyReorderer(spark)
+
+    class MockPlan:
+        def semanticHash(self):
+            return 424242
+
+    # sync the memo version, then plant the no-op
+    r.reorder(MockPlan())
+    r._mark_noop(424242)
+    before = r.skips
+    r.reorder(MockPlan())
+    assert r.skips == before + 1, "memoized no-op must short-circuit"
+
+    # learning ANY order bumps the cache version -> memo must clear
+    key = ("test-shape", "test-scope", "test-edges", "noop-memo-test")
+    graph._cache_put(key, ("a", "b", "c"))
+    try:
+        before_skips = r.skips
+        r.reorder(MockPlan())
+        assert r.skips == before_skips, (
+            "stale no-op memo must be cleared after new orders are learned"
+        )
+    finally:
+        graph._ORDER_CACHE.pop(key, None)

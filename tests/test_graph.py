@@ -596,3 +596,32 @@ def test_adaptive_reorder_episodes_share_progress(spark):
     assert res.prefix_hits >= 1, "repeat plays must resume persisted prefixes"
     assert res.df.collect()[0]["n"] == df.collect()[0]["n"]
     assert sc._jsc.getPersistentRDDs().size() == persisted_before
+
+
+def test_episode_loop_stops_at_first_progress_hit(spark, monkeypatch):
+    """ADVICE r7: an episode served from a persisted TERMINAL frame measures
+    the cache, not the arm — its reward must not feed the bandit, and since
+    a hit implies every arm already has a cold play (first plays are
+    record-only misses) the loop stops: prefix_hits can never exceed 1 and
+    episode count is bounded by arms+1 even when far more episodes are
+    requested."""
+    from skinnerdb_spark.plans import graph as G
+
+    monkeypatch.setenv("SKINNER_ORDER_CACHE_PERSIST", "0")
+    q = ("SELECT COUNT(*) AS c FROM customer, orders, nation "
+         "WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey "
+         "AND o_totalprice > 777.0")
+    g = G.extract_query_graph(spark.sql(q))
+    for k in (g.signature, g.shape_sig, g.transfer_sig):
+        G._ORDER_CACHE.pop(k, None)
+    res = G.adaptive_reorder(spark.sql(q), episodes=12, use_cache=False)
+    assert res.best_order
+    assert res.prefix_hits <= 1, (
+        "terminal-frame hits beyond the first add no signal — loop must stop"
+    )
+    assert len(res.episodes) <= 12
+    # every bandit-scored episode is a cold play of a distinct arm: orders
+    # among the non-hit episodes must be unique
+    if res.prefix_hits:
+        cold = res.episodes[:-1]
+        assert len({e.order for e in cold}) == len(cold)
