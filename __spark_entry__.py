@@ -117,6 +117,8 @@ _PRIORITY: list[str] = [
     # r8 new entries
     "text_bpe_encode", "docs_html_extract", "docs_hybrid_rrf",
     "dedup_keep_best",
+    # r8 late additions: Spark-4 SQL surfaces (native recursive CTE, VARIANT)
+    "rcte_order_chains", "events_variant_props",
 ]
 
 

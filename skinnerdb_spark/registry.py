@@ -85,6 +85,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from skinnerdb_spark.sources import binaryfile  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401
     from skinnerdb_spark.queries import (  # noqa: F401
+        modern_sql,
         tpch_surplus,
         adaptive,
         extensions,
