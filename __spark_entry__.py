@@ -117,8 +117,10 @@ _PRIORITY: list[str] = [
     # r8 new entries
     "text_bpe_encode", "docs_html_extract", "docs_hybrid_rrf",
     "dedup_keep_best",
-    # r8 late additions: Spark-4 SQL surfaces (native recursive CTE, VARIANT)
-    "rcte_order_chains", "events_variant_props",
+    # r8 late additions: Spark-4 SQL surfaces (native recursive CTE, VARIANT,
+    # Python UDTF) + JL random projection with distortion certificate
+    "rcte_order_chains", "events_variant_props", "text_word_offsets_udtf",
+    "embed_jl_distortion",
 ]
 
 

@@ -611,3 +611,203 @@ def embed_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: reduce DIM -> JL_OUT with a
+# deterministic +-1 sign matrix (Achlioptas 2003: database-friendly random
+# projections — +-1 entries satisfy the JL lemma with the same O(log n / eps^2)
+# target dimension as Gaussian matrices, and integer arithmetic). Plane
+# coefficients derive from md5('rp<j>_<i>') — independent of the sign-LSH
+# family's 'p<j>_<i>' planes.
+# --------------------------------------------------------------------------
+JL_OUT = 16  # target dimensionality (4x reduction)
+#: corpus-side sample bound for the distortion certificate's pair stage —
+#: md5-ranked (deterministic, engine-portable), so the certificate costs
+#: O(N_QUERIES * JL_PAIR_CAP) at ANY scale while the projection itself stays
+#: full-corpus. At the oracle-gate SF the whole corpus is under the cap, so
+#: the capped and uncapped results coincide there.
+JL_PAIR_CAP = 5000
+
+
+def _rp_sign_rows() -> str:
+    """SQL literal array-of-arrays of the JL +-1 coefficients (driver-side
+    twin of the oracle's runtime md5 derivation, same _sign_rows protocol)."""
+    import hashlib
+
+    rows = []
+    for j in range(JL_OUT):
+        signs = [
+            "1" if hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[0] in "89abcdef" else "-1"
+            for i in range(1, DIM + 1)
+        ]
+        rows.append("array(" + ",".join(signs) + ")")
+    return "array(" + ",".join(rows) + ")"
+
+
+def _rp_sign_sql(j: str, i: str) -> str:
+    """+1/-1 JL coefficient (DuckDB SQL) for output dim j, input dim i."""
+    ch = "SUBSTR(md5('rp' || " + j + " || '_' || " + i + "), 1, 1)"
+    return f"CASE WHEN {hex_high_sql(ch)} THEN 1 ELSE -1 END"
+
+
+_JL_ORACLE = f"""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+    proj AS (
+        SELECT e.vec_id, g.j,
+               SUM(({_rp_sign_sql('g.j', 'd.i')}) * e.q[d.i]) AS p
+        FROM qe e,
+             generate_series(0, {JL_OUT - 1}) AS g(j),
+             generate_series(1, {DIM}) AS d(i)
+        GROUP BY e.vec_id, g.j),
+    pv AS (SELECT vec_id, list(p ORDER BY j) AS pvec FROM proj GROUP BY vec_id),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               (SELECT SUM((qq.pvec[i] - cc.pvec[i]) * (qq.pvec[i] - cc.pvec[i]))
+                FROM generate_series(1, {JL_OUT}) AS g(i)) AS pd2,
+               (SELECT SUM((qv.q[i] - cv.q[i]) * (qv.q[i] - cv.q[i]))
+                FROM generate_series(1, {DIM}) AS g(i)) AS od2
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        JOIN pv qq ON qq.vec_id = q.vec_id
+        JOIN pv cc ON cc.vec_id = c.vec_id
+        JOIN qe qv ON qv.vec_id = q.vec_id
+        JOIN qe cv ON cv.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+          AND c.vec_id IN (SELECT vec_id FROM embeddings
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                           LIMIT {JL_PAIR_CAP})),
+    scored AS (
+        SELECT query_id,
+               CAST(pd2 AS DOUBLE)
+                   / ({float(JL_OUT)} * CAST(od2 AS DOUBLE)) AS ratio
+        FROM pairs WHERE od2 > 0)
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ratio >= 2.0/3 AND ratio <= 1.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1_5x,
+           CAST(SUM(CASE WHEN ratio >= 0.5 AND ratio <= 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2x,
+           MIN(ratio) AS min_ratio,
+           MAX(ratio) AS max_ratio
+    FROM scored GROUP BY query_id
+"""
+
+
+@register(
+    "embed_jl_distortion",
+    _JL_ORACLE,
+    tags=("similarity", "pipeline", "embedding", "jl"),
+)
+def embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 random projection (DIM -> JL_OUT = 4x
+    reduction) WITH its quality certificate: for the query set x corpus,
+    the per-pair squared-distance ratio (projected/JL_OUT) / original and
+    how many pairs land inside the 1.5x / 2x distortion bands — the
+    measured JL guarantee, not just the transform. This is the
+    cheap-dim-reduction step in front of brute-force/ANN search: at 100 TB
+    a 4x-smaller vector column is 4x less scan I/O and dot-product compute
+    for any downstream consumer willing to take the measured distortion.
+
+    Exactness recipe: each vector is quantized ONCE to int64 micro-units
+    (ROUND(x*1e6) — round-half-away-from-zero in both engines), and from
+    there EVERYTHING is integer arithmetic: +-1 projections are int64
+    sums, projected and original squared distances are int64 sums of
+    squared differences, and the 1e12 quantization scales CANCEL in the
+    ratio — so each ratio is a single double division of two
+    cross-engine-identical int64 values. No decimal folds, no libm. (The
+    first draft folded decimals per element; the all-integer rewrite is
+    ~3x faster on the projection stage and strictly simpler to prove.)
+    The oracle re-derives the +-1 matrix at runtime from the same
+    md5('rp<j>_<i>') rule the literal Spark-side matrix was generated
+    from.
+
+    Scale shape: the projection is one explode(JL_OUT) + in-row fold per
+    vector (map-side, no shuffle — the shared_bits structure that measured
+    fastest) over the FULL corpus; the certificate's pair stage is bounded
+    by construction at N_QUERIES x JL_PAIR_CAP pairs (md5-ranked corpus
+    sample via TakeOrderedAndProject, broadcast semi-join — the capped
+    candidate protocol of dedup_semantic/contamination_check), so its cost
+    is scale-independent; the aggregate is N_QUERIES rows. At the oracle
+    SF the corpus is under the cap, so the gate checks uncapped semantics."""
+    e = read_table(spark, sf_dir, "embeddings")
+    # one-time int64 micro-unit quantization per vector
+    qe = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    planes = fan_out(qe).select(
+        "vec_id",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(JL_OUT - 1))).alias("j"),
+    )
+    p = F.expr(
+        f"aggregate(zip_with(element_at({_rp_sign_rows()}, j + 1), q, "
+        "(s, v) -> s * v), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    proj = planes.select("vec_id", "j", p.alias("p"))
+    pv = proj.groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, p))), s -> s.p)").alias(
+            "pvec"
+        )
+    )
+    ej = qe.join(pv, "vec_id")
+    qs = ej.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("pvec").alias("q_pvec"),
+    )
+    # certificate pair stage bounded by construction: md5-ranked corpus
+    # sample (TakeOrderedAndProject — per-partition top-k, JL_PAIR_CAP rows
+    # merged on the driver), broadcast back as a semi-join filter.
+    sample = (
+        e.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(JL_PAIR_CAP)
+        .select("vec_id")
+    )
+    pairs = ej.join(F.broadcast(sample), "vec_id").join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    )
+    pd2 = F.expr(
+        "aggregate(zip_with(q_pvec, pvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    od2 = F.expr(
+        "aggregate(zip_with(q_q, q, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    sc = pairs.select("query_id", pd2.alias("pd2"), od2.alias("od2")).filter(
+        F.col("od2") > 0
+    )
+    ratio = F.col("pd2").cast("double") / (
+        F.lit(float(JL_OUT)) * F.col("od2").cast("double")
+    )
+    return (
+        sc.withColumn("ratio", ratio)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when((F.col("ratio") >= 2.0 / 3) & (F.col("ratio") <= 1.5), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within_1_5x"),
+            F.sum(
+                F.when((F.col("ratio") >= 0.5) & (F.col("ratio") <= 2.0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within_2x"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+    )
