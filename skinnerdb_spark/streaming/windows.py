@@ -118,6 +118,63 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_session_window_native",
+    f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts >= LAG(ts) OVER w + INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events, {DS('value')} AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("events", "session", "streaming"),
+)
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator (the one that also runs in
+    Structured Streaming with session-state merge) — vs ``ev_sessionization``
+    which builds the same sessions manually from lag + running sum. The
+    oracle pins the native operator's exact merge rule, which differs from
+    the manual entry at one boundary: ``session_window`` merges on window
+    OVERLAP, so an event arriving exactly gap minutes after its predecessor
+    starts a NEW session (``ts >= prev + gap``), while the manual rule keeps
+    it (``ts > prev + gap``). ``window.end`` is ``last_ts + gap`` (the
+    watermark-expiry instant), not ``max(ts)`` — both divergences are
+    deliberately encoded in the oracle so the two entries document the two
+    session definitions side by side.
+
+    Scale shape: one shuffle on the grouping key; within partitions Spark
+    sorts and merges adjacent overlapping windows (UpdatingSessionsExec) —
+    the same plan the streaming version uses per micro-batch."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
     "ev_rollup_merge",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -359,6 +416,30 @@ def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataF
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_session_counts(events: DataFrame) -> DataFrame:
+    """Streaming NATIVE session windows (gap = SESSION_GAP_MIN): the same
+    ``session_window`` plan as :func:`ev_session_window_native`, executed
+    per micro-batch with session-state merge — adjacent micro-batches'
+    partial sessions for a key are merged in the state store until the
+    watermark closes them. Complete-mode drain equals the batch twin
+    exactly; append mode emits only sessions the watermark has CLOSED
+    (sessions still inside the final watermark horizon are withheld) —
+    both pinned in tests."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
             "n_events",
         )
     )

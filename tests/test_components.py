@@ -24,6 +24,7 @@ from skinnerdb_spark.sources.csv import load_csv
 from skinnerdb_spark.streaming.windows import (
     run_stream_once,
     stream_events,
+    stream_session_counts,
     stream_stream_join,
     stream_tumbling_counts,
     stream_user_counts,
@@ -134,6 +135,46 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     )
     expect = {(r.ws, r.event_type): r.n for r in batch}
     assert got == expect
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """Native session_window in a REAL stream: complete-mode availableNow
+    drain equals the batch twin (ev_session_window_native) row-for-row;
+    append mode emits a strict subset — exactly the sessions the final
+    watermark has closed (tail sessions withheld). Both halves pin the
+    operator's streaming semantics, not just its batch plan."""
+    from skinnerdb_spark.streaming.windows import ev_session_window_native
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stream = stream_events(spark, src)
+    except Exception as e:
+        pytest.skip(f"stream source unavailable: {e}")
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    got = {key(r) for r in run_stream_once(stream_session_counts(stream), "t_sess_c")}
+    batch = {
+        key(r)
+        for r in ev_session_window_native(spark, sf_dir)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert got == batch and len(batch) > 0
+    appended = {
+        key(r)
+        for r in run_stream_once(
+            stream_session_counts(stream_events(spark, src)), "t_sess_a", output_mode="append"
+        )
+    }
+    assert appended <= batch, "append mode must never invent sessions"
+    withheld = batch - appended
+    assert withheld, "watermark horizon should withhold the tail sessions"
+    horizon = max(r[2] for r in batch)  # latest session_end
+    import datetime
+
+    for _, _, s_end, _ in withheld:
+        assert horizon - s_end <= datetime.timedelta(hours=2), (
+            "only sessions near the final watermark horizon may be withheld"
+        )
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
