@@ -120,7 +120,7 @@ _PRIORITY: list[str] = [
     # r8 late additions: Spark-4 SQL surfaces (native recursive CTE, VARIANT,
     # Python UDTF) + JL random projection with distortion certificate
     "rcte_order_chains", "events_variant_props", "text_word_offsets_udtf",
-    "embed_jl_distortion", "ev_session_window_native",
+    "embed_jl_distortion", "ev_session_window_native", "stats_skew_report",
 ]
 
 

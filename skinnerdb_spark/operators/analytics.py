@@ -1118,3 +1118,37 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return surv.select("c.o_orderkey", "c.o_totalprice", "c.o_orderdate")
+
+
+@register(
+    "stats_skew_report",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+    r AS (SELECT user_id, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT)
+                     AS rnk
+          FROM c)
+    SELECT rnk, user_id, cnt,
+           cnt * 1000000 // total AS share_ppm,
+           cnt * n_keys * 100 // total AS hot_x100
+    FROM r, t WHERE rnk <= 20
+    """,
+    tags=("stats", "skew", "planning"),
+)
+def stats_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-shuffle skew diagnostic (plans/skew.py::skew_report) run over
+    the events stream's join/aggregation key: the 20 hottest user_ids with
+    exact counts, corpus share in ppm, and hotness vs the mean key (x100)
+    — the table that decides between plain shuffle, AQE skew-split, and
+    explicit salting (its driver-side twin, plans/skew.py::recommend_salts,
+    turns the same two aggregates into an n_salts value for
+    salted_join/aggregate_two_phase). Derived measures are integer
+    floor-divisions of exact counts — no doubles, hash-exact. Plan shape:
+    one map-side-combinable count, TakeOrderedAndProject top-k, broadcast
+    1-row totals; the corpus never reshuffles wider than the key."""
+    from skinnerdb_spark.plans.skew import skew_report
+
+    e = read_table(spark, sf_dir, "events")
+    return skew_report(e, "user_id", topk=20)

@@ -94,3 +94,60 @@ def aggregate_two_phase(
     return partial.groupBy(*keys).agg(
         *[_MERGE_FNS[merges[n]](n).alias(n) for n in aggs]
     )
+
+
+def skew_report(df: DataFrame, key: str, topk: int = 20) -> DataFrame:
+    """Pre-join skew diagnostic: the ``topk`` hottest values of ``key`` with
+    their exact counts, corpus share (ppm) and hotness vs the mean key
+    (x100) — the table a planner reads before deciding between plain
+    shuffle, AQE skew-split, and explicit salting. Cost shape at 100 TB:
+    one map-side-combinable count aggregate (|keys| rows), a
+    TakeOrderedAndProject top-k, and a broadcast 1-row total — the corpus
+    itself is scanned once and never reshuffled by anything wider than the
+    key. All derived measures are integer floor-divisions of exact counts
+    (engine-portable, no doubles)."""
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = ranked_topk(counts, [("cnt", "desc"), (key, "asc")], topk)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        key,
+        "cnt",
+        F.expr("cnt * 1000000 DIV total").alias("share_ppm"),
+        F.expr("cnt * n_keys * 100 DIV total").alias("hot_x100"),
+    )
+
+
+def recommend_salts(
+    df: DataFrame,
+    key: str,
+    factor: int = 2,
+    cap: int = 64,
+    partitions: int | None = None,
+) -> int:
+    """How many salts (1 = don't salt) a shuffle on ``key`` needs so the
+    hottest key's rows spread to roughly the ideal per-partition share:
+    with P shuffle partitions and ``ideal = total/P`` rows per partition,
+    a key staying under ``factor * ideal`` is AQE's problem, not ours
+    (return 1); above it, fan the key out over ``ceil(max_cnt / ideal)``
+    salts, capped. The two-row aggregate is the only driver-side data —
+    bounded at any scale. Feeds :func:`salted_join` /
+    :func:`aggregate_two_phase` n_salts."""
+    p = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("tot"))
+        .first()
+    )
+    if not row or row.tot is None:
+        return 1
+    ideal = max(1, row.tot // p)
+    if row.mx <= factor * ideal:
+        return 1
+    return int(min(cap, -(-row.mx // ideal)))

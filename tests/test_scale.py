@@ -19,6 +19,29 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert salted == plain
 
 
+def test_recommend_salts_flips_on_hot_key(spark, sf_dir):
+    """The salting recommender: a near-uniform key stays unsalted (AQE's
+    problem), a key where one value dominates gets ceil(max/ideal) salts,
+    capped. The hot frame concentrates ~90% of rows on one key with 8
+    shuffle partitions, so ideal ~= total/8 and the hot key needs ~7x."""
+    from skinnerdb_spark.plans.skew import recommend_salts, skew_report
+
+    uniform = spark.range(10_000).select((F.col("id") % 500).alias("k"))
+    assert recommend_salts(uniform, "k", partitions=8) == 1
+    hot = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    n = recommend_salts(hot, "k", partitions=8)
+    assert 4 <= n <= 16, n
+    # the report agrees: hottest key ~900000 ppm, hot_x100 far above 100
+    top = skew_report(hot, "k", topk=1).collect()[0]
+    assert top.k == 7 and top.cnt == 9_000
+    assert 890_000 <= top.share_ppm <= 900_000
+    assert top.hot_x100 > 10_000
+    # capped
+    assert recommend_salts(hot, "k", partitions=8, cap=4) == 4
+
+
 def _purge_tables(spark, names):
     """Drop catalog entries AND stale managed-table directories: a crashed
     session can leave spark-warehouse/<t> behind with no catalog entry, and
