@@ -15,6 +15,12 @@ user migrating TO this engine gains:
   encoding, extract typed fields JVM-side — the Spark-4 upgrade over the
   per-path string re-parse of ``get_json_object`` used by
   ``events_json_extract``.
+  (Known boundary, probed: Spark 4.1 supports only UNION ALL recursion —
+  UNION-dedup recursion, the cycle-safe form for graph reachability, raises
+  UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE. Cyclic-graph traversals therefore
+  stay on the unrolled-rounds path (dedup_clusters' min-label loop), and
+  the recursive entry here walks an acyclic chain with a by-construction
+  depth cap.)
 - text_word_offsets_udtf : a Python user-defined TABLE function
   (``@udtf``, Arrow-optimized) driven through ``LATERAL`` — the reference's
   UDF surface is an unreachable stub (SURVEY §2.10); this completes OUR
