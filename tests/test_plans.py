@@ -265,3 +265,37 @@ def test_verbatim_spans_candidate_set_cached_not_checkpointed(spark, sf_dir):
     assert not join_nodes, (
         "pair self-join must not broadcast the corpus-shaped candidate set"
     )
+
+
+def test_r8_late_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r8 late additions (Spark-4 surfaces + JL + skew):
+    each asserts the structural property its docstring promises."""
+    # skew report: top-k via TakeOrderedAndProject (per-partition top-k,
+    # driver merges k rows), never an unpartitioned row_number window
+    plan = plan_of(spark, "stats_skew_report", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, "global window would single-partition |keys| rows"
+
+    # JL: corpus sample via TakeOrderedAndProject; query/sample sides
+    # broadcast; never a cartesian product or a shuffled pair join
+    plan = plan_of(spark, "embed_jl_distortion", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "pair stage must broadcast, not shuffle"
+
+    # recursive CTE: executed by the native loop operator over the CACHED
+    # seed (InMemoryRelation — without it every round re-scans + re-windows
+    # orders), and the pos <= CHAIN_CAP seed filter compiles to a
+    # WindowGroupLimit (rank-limit pushed below the full window sort)
+    df = SPECS["rcte_order_chains"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert "WindowGroupLimit" in plan
+
+    # native session windows: the dedicated session-merge operator, not a
+    # generic aggregate over a precomputed session id
+    df = SPECS["ev_session_window_native"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MergingSessions" in plan
