@@ -311,3 +311,78 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.zip_with(a, F.reverse(a), lambda x, y: x + y), ",").alias("zip_csv"),
         F.array_join(F.sort_array(a, asc=False), ",").alias("desc_csv"),
     )
+
+
+@register(
+    "scalar_try_surface",
+    """
+    WITH t AS (
+        SELECT o_orderkey,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                             THEN CAST(o_orderkey AS VARCHAR)
+                             ELSE o_orderstatus END AS BIGINT) AS mixed_int,
+               TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+               o_totalprice / NULLIF(o_orderkey % 5, 0) AS safe_div,
+               CASE WHEN o_orderkey <= 1000
+                    THEN (9223372036854775807 - 1000) + o_orderkey
+                    ELSE NULL END AS guarded_add
+        FROM orders)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(mixed_int) AS cast_ok,
+           CAST(SUM(CASE WHEN mixed_int IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS cast_null,
+           CAST(SUM(prio_digit) AS BIGINT) AS prio_digit_sum,
+           COUNT(safe_div) AS div_ok,
+           MIN(safe_div) AS div_min,
+           MAX(safe_div) AS div_max,
+           COUNT(guarded_add) AS add_ok,
+           CAST(SUM(guarded_add % 1000000007) AS BIGINT) AS add_mod_sum
+    FROM t
+    """,
+    tags=("scalar", "try", "dirty-data"),
+)
+def scalar_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRY_* dirty-data surface: at 100 TB some fraction of every raw
+    feed fails to parse, and the difference between TRY_CAST/try_divide/
+    try_add (NULL) and their throwing forms (job abort at 99%% progress) is
+    operational. Every expression has BOTH classes firing by construction:
+    mixed_int casts a string that is numeric on every third row and a
+    status letter otherwise; try_divide sees a zero divisor on every fifth
+    row; try_add overflows int64 for every orderkey past 1000. The oracle
+    mirrors semantics, not syntax — DuckDB has TRY_CAST but no try_divide/
+    try_add, so it guards with NULLIF and an explicit CASE bound, proving
+    the NULL-on-error contract equal from both directions. div_min/div_max
+    are single IEEE divisions of identical inputs (deterministic); all
+    sums are exact integers (the overflow sum compares modulo 1e9+7 to
+    stay in range)."""
+    o = read_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.expr(
+            "TRY_CAST(CASE WHEN o_orderkey % 3 = 0 "
+            "THEN CAST(o_orderkey AS STRING) "
+            "ELSE o_orderstatus END AS BIGINT)"
+        ).alias("mixed_int"),
+        F.expr("TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_digit"
+        ),
+        F.expr("try_divide(o_totalprice, o_orderkey % 5)").alias("safe_div"),
+        F.expr(
+            "CASE WHEN o_orderkey <= 1000 "
+            "THEN try_add(9223372036854775807 - 1000, o_orderkey) "
+            "ELSE try_add(9223372036854775807, o_orderkey) END"
+        ).alias("guarded_add"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("mixed_int").alias("cast_ok"),
+        F.sum(F.when(F.col("mixed_int").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cast_null"),
+        F.sum("prio_digit").cast("bigint").alias("prio_digit_sum"),
+        F.count("safe_div").alias("div_ok"),
+        F.min("safe_div").alias("div_min"),
+        F.max("safe_div").alias("div_max"),
+        F.count("guarded_add").alias("add_ok"),
+        F.sum(F.col("guarded_add") % 1000000007).cast("bigint").alias("add_mod_sum"),
+    )
