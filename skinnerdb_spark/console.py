@@ -39,6 +39,7 @@ load <tbl> <csv> [sep]    register a CSV file as table <tbl>
 compress [tbl]            rewrite table(s) as dictionary+zstd parquet, re-point views
 index all | index <tbl>   cache table(s) in memory
 profile <tbl>             per-column nulls/distinct/min/max (one scan)
+skew <tbl> <col> [k]      hottest keys + salting recommendation (plans/skew.py)
 layout zorder|range <tbl> <cols...>  rewrite with a pruning layout, re-point view
 bench <dir>               run every .sql file in <dir>, print per-query stats
 exec <file>               execute ';'-separated statements from a file
@@ -149,6 +150,25 @@ class Console:
                 f"{rep['table']}: {rep['mode']} on {','.join(rep['cols'])} "
                 f"-> {rep['n_files']} files at {rep['path']}"
             )
+        if cmd == "skew":
+            # extension: pre-shuffle skew diagnostic + salting recommendation
+            args = rest.split()
+            if len(args) < 2:
+                return "usage: skew <tbl> <col> [topk]"
+            from skinnerdb_spark.plans.skew import recommend_salts, skew_report
+
+            df = self.engine.spark.table(args[0])
+            topk = int(args[2]) if len(args) > 2 else 10
+            body = skew_report(df, args[1], topk=topk)._show_string(
+                self.max_rows, 60, False
+            )
+            n = recommend_salts(df, args[1])
+            hint = (
+                "no salting needed (AQE handles this skew level)"
+                if n == 1
+                else f"recommend n_salts={n} for salted_join/aggregate_two_phase"
+            )
+            return f"{body}{hint}"
         if cmd == "profile":
             # extension: the data-quality summary (operators/analytics
             # profile_frame) for any registered table, one scan

@@ -253,3 +253,10 @@ def test_vacuum_repoints_cached_views(console, spark, sf_dir):
     assert "5" in console.handle("SELECT COUNT(*) AS n FROM region")
     assert spark.catalog.isCached("region"), "the index intent must survive"
     spark.catalog.uncacheTable("region")
+
+
+def test_skew_command(console):
+    out = console.handle("skew events user_id 5")
+    assert "share_ppm" in out and "hot_x100" in out
+    assert "no salting needed" in out or "recommend n_salts=" in out
+    assert console.handle("skew events") == "usage: skew <tbl> <col> [topk]"
