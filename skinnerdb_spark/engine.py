@@ -282,8 +282,15 @@ class Engine:
         self.spark.read.parquet(dst).createOrReplaceTempView(name)
         return {"table": name, "mode": mode, "cols": cols, "n_files": n_files, "path": dst}
 
-    def sql(self, text: str) -> DataFrame:
-        return self.spark.sql(text)
+    def sql(self, text: str, args: dict | list | None = None) -> DataFrame:
+        """SQL passthrough, with Spark 4 parameterized queries: ``args``
+        binds ``:name`` markers (dict) or ``?`` markers (list) as LITERALS
+        at parse time — injection-safe templating for programmatic callers
+        (a user-supplied threshold never string-concatenates into the
+        query). The reference console interpolates raw strings
+        (src/console/SkinnerCmd.java); this is the safe Spark-native form.
+        """
+        return self.spark.sql(text, args=args) if args is not None else self.spark.sql(text)
 
     def adaptive_sql(self, text: str, **kw) -> DataFrame:
         """Run SQL through runtime-adaptive join ordering — the reference's

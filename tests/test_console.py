@@ -260,3 +260,27 @@ def test_skew_command(console):
     assert "share_ppm" in out and "hot_x100" in out
     assert "no salting needed" in out or "recommend n_salts=" in out
     assert console.handle("skew events") == "usage: skew <tbl> <col> [topk]"
+
+
+def test_engine_parameterized_sql(console):
+    """Spark-4 parameterized SQL through Engine.sql: named (:name) and
+    positional (?) markers bind as literals at parse time (injection-safe)."""
+    eng = console.engine
+    named = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :lo AND o_totalprice < :hi",
+        args={"lo": 1000.0, "hi": 200000.0},
+    ).collect()[0].n
+    positional = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ? AND o_totalprice < ?",
+        args=[1000.0, 200000.0],
+    ).collect()[0].n
+    literal = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 1000.0 AND o_totalprice < 200000.0"
+    ).collect()[0].n
+    assert named == positional == literal > 0
+    # a malicious "value" stays a literal, not SQL
+    evil = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :s",
+        args={"s": "F' OR '1'='1"},
+    ).collect()[0].n
+    assert evil == 0
