@@ -121,7 +121,7 @@ _PRIORITY: list[str] = [
     # Python UDTF) + JL random projection with distortion certificate
     "rcte_order_chains", "events_variant_props", "text_word_offsets_udtf",
     "embed_jl_distortion", "ev_session_window_native", "stats_skew_report",
-    "scalar_try_surface",
+    "scalar_try_surface", "docs_quality_prune_budget", "ev_mad_outliers",
 ]
 
 

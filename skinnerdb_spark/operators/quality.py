@@ -595,3 +595,200 @@ def ev_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("true_n")).cast("bigint").alias("overestimate"),
     )
+
+
+#: per-source token budget for quality-ordered data pruning — FIXED by the
+#: training plan, not by corpus size, so the kept set (and this entry's
+#: output) is budget-bounded at any scale factor. 800 sits below every
+#: source's sf0.01 volume (~1.1-1.6k tokens), so the cutoff class FIRES at
+#: the oracle-gate SF too (kept ~60%, dropped ~40%), not only at scale.
+PRUNE_BUDGET_TOKENS = 800
+
+
+@register(
+    "docs_quality_prune_budget",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               3 * len(list_filter(toks, t -> list_contains(
+                       ['the', 'a', 'and', 'of', 'to'], t)))
+                 + 4 * len(list_distinct(toks))
+                 + 2 * len(list_filter(toks, t -> length(t) >= 6))
+                 - len(toks) AS num
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND LENGTH(text) > 0)),
+    scored AS (
+        SELECT f.doc_id, d.source, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+               CAST(f.num AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) AS score
+        FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+        WHERE f.n_tokens > 0),
+    ranked AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM scored
+        WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id))
+    SELECT source, rnk, doc_id, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {PRUNE_BUDGET_TOKENS}
+    """,
+    tags=("pipeline", "pruning", "quality"),
+)
+def docs_quality_prune_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered data pruning under a token budget — the
+    DataComp/FineWeb-style selection step: rank each source's documents by
+    the verified linear quality score (text_quality_lr's margin — operator
+    COMPOSITION, the dedup_keep_best pattern) and keep the best documents
+    until the per-source token budget is exhausted (a straddling document
+    is dropped, budget never exceeded). The budget is fixed by the
+    training plan, NOT by corpus size, so the kept set is budget-bounded
+    at any scale: 100x more candidate documents means a pickier selection,
+    not a bigger output.
+
+    Exactness: the ordering key is the classifier margin (one IEEE
+    division of exact integers — bit-identical both engines) with doc_id
+    tie-break, so the per-source order, the running token sums over it,
+    and the cutoff row are all cross-engine identical; every OUTPUT column
+    is an exact integer.
+
+    Scale shape: one in-row scoring projection, a doc_id-co-partitioned
+    join for the source column, ONE window shuffle on source (the same
+    bounded-cardinality partitioning as the mixture entries); output rows
+    are bounded by budget / min-tokens regardless of corpus size."""
+    from skinnerdb_spark.operators.text import text_quality_lr
+
+    q = text_quality_lr(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = q.join(d, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= PRUNE_BUDGET_TOKENS).select(
+        "source", "rnk", "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
+@register(
+    "ev_mad_outliers",
+    """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        FROM r GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.event_id, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+    dr AS (
+        SELECT event_type, med, adev,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY adev, event_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM dev),
+    mad AS (
+        SELECT event_type, med,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+        FROM dr GROUP BY event_type, med)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           m.med, m.mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    tags=("events", "analytics", "robust"),
+)
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type — the
+    robust counterpart of ev_anomaly_hours' 2-sigma rule (one wild value
+    moves a mean and sigma; it moves a median and MAD almost not at all)
+    and the third member of the robust-stats family with ev_winsorize.
+
+    Exactness: both medians are DEFINED by rank — the value at ascending
+    rank ceil(n/2) — never an engine median() whose interpolation/tie
+    conventions differ. (The oracle's event_id tie-break cannot change the
+    selected VALUE: tied rows share it.) Deviations are single IEEE
+    subtractions of identical inputs, the flag threshold one multiply +
+    compare — identical expression shapes both engines, so med, mad, and
+    every outlier count are bit-identical.
+
+    Scale shape — chosen by measurement across three designs:
+    (1) per-type rank windows sort the corpus on |event_type| ~ 5
+    partitions — 8x at the sf1→sf10 step, rejected; (2) two rounds of the
+    distributed k-th selection (operators/quantiles.py) scale flat but pay
+    ~9-13 s of fixed multi-level job latency per call pair — right for
+    UNBOUNDED value domains, wrong here; (3) this one: events.value is
+    2-decimal fixed-point (cents — 54k distinct values at 10M rows), so
+    ONE map-side-combinable (event_type, value) count aggregate reduces
+    the corpus to a bounded distinct-value frame and every median, MAD,
+    and outlier count derives from CUMULATIVE COUNTS over that tiny frame
+    — a single corpus scan total, windows only over aggregated rows. The
+    moment a value domain is unbounded, design (2) is the documented
+    fallback; for quantized metric data, (3) is the production shape."""
+    e = read_table(spark, sf_dir, "events")
+    # the ONLY corpus-sized stage: per-(type, value) counts, map-side combined
+    vc = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wn = Window.partitionBy("event_type")
+
+    def rank_value(counts: DataFrame, col: str, out: str) -> DataFrame:
+        """Value at ascending rank (n+1) div 2 from a (type, value, cnt)
+        frame: the row whose cumulative-count interval covers the rank."""
+        c = counts.select(
+            "event_type",
+            col,
+            "cnt",
+            F.sum("cnt").over(wn.orderBy(col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+            F.sum("cnt").over(wn).alias("n"),
+        )
+        k = F.expr("(n + 1) div 2")
+        return c.filter((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)).select(
+            "event_type", F.col(col).alias(out)
+        )
+
+    med = rank_value(vc, "value", "med")
+    # deviations per DISTINCT value, weights carried as counts — no corpus rescan
+    devc = (
+        vc.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+            "cnt",
+        )
+        .groupBy("event_type", "med", "adev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = rank_value(devc, "adev", "mad")
+    return (
+        devc.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+    )
