@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "rcte_order_chains", "events_variant_props", "text_word_offsets_udtf",
     "embed_jl_distortion", "ev_session_window_native", "stats_skew_report",
     "scalar_try_surface", "docs_quality_prune_budget", "ev_mad_outliers",
+    "asof_first_shipment",
 ]
 
 

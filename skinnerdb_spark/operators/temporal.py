@@ -36,16 +36,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: attach the right row with the greatest right_ts <=
-    left_ts within the same key (inner semantics — left rows with no prior
-    right row are dropped). Columns of both inputs are preserved (right_ts
-    column included, renamed to its original name).
+    """For each left row: attach the nearest right row within the same key —
+    ``direction="backward"`` (default) the greatest right_ts <= left_ts,
+    ``direction="forward"`` the smallest right_ts >= left_ts. Inner
+    semantics — left rows with no match are dropped. Columns of both
+    inputs are preserved (right_ts column included, renamed to its
+    original name).
 
     ``tiebreak`` names a unique right-side column that breaks ties among
-    right rows sharing (key, right_ts): the row with the greatest tiebreak
-    value wins, deterministically. Without it, ties resolve arbitrarily
-    (Spark's window order among equal sort keys is not stable run-to-run)."""
+    right rows sharing (key, right_ts): backward keeps the GREATEST
+    tiebreak, forward the SMALLEST (each matching its DuckDB arg_max/
+    arg_min oracle dedupe), deterministically. Without it, ties resolve
+    arbitrarily (Spark's window order among equal sort keys is not stable
+    run-to-run)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     rcols = [c for c in right.columns if c != key]
     l_part = left.select(
@@ -66,12 +73,21 @@ def asof_join(
     )
     u = lp.select("__k", "__t", "__is_left", "__l", "__r").unionByName(rp)
     # right rows sort before left rows at equal timestamps so a right row at
-    # exactly left_ts is visible to that left row (ties: <=); among right rows
-    # at the same timestamp, ascending tiebreak puts the winner (max) last,
-    # which is the row F.last carries forward
-    order = [F.col("__t"), F.col("__is_left")]
-    if tiebreak is not None:
-        order.append(F.when(F.col("__is_left") == 0, F.col("__r")[tiebreak]))
+    # exactly left_ts is visible to that left row (ties inclusive: <= / >=);
+    # among right rows at the same timestamp the winner is placed LAST in
+    # walk order (it is the row F.last carries): backward walks timestamps
+    # ascending and keeps max(tiebreak); forward walks DESCENDING (so the
+    # carried row is the nearest following) and keeps min(tiebreak)
+    if direction == "backward":
+        order = [F.col("__t"), F.col("__is_left")]
+        if tiebreak is not None:
+            order.append(F.when(F.col("__is_left") == 0, F.col("__r")[tiebreak]))
+    else:
+        order = [F.col("__t").desc(), F.col("__is_left")]
+        if tiebreak is not None:
+            order.append(
+                F.when(F.col("__is_left") == 0, F.col("__r")[tiebreak]).desc_nulls_first()
+            )
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
@@ -186,4 +202,54 @@ def range_join_ship_window(spark, sf_dir):
     return joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_matches"),
         dsum(F.col("l_quantity")).alias("qty_sum"),
+    )
+
+
+@register(
+    "asof_first_shipment",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(DATE_DIFF('day', o.o_orderdate, s.l_shipdate)) AS BIGINT)
+               AS total_wait_days,
+           {DS('s.first_qty')} AS first_ship_qty
+    FROM orders o
+    ASOF JOIN (SELECT l_orderkey, l_shipdate,
+                      arg_min(l_quantity, l_linenumber) AS first_qty
+               FROM lineitem GROUP BY l_orderkey, l_shipdate) s
+      ON o.o_orderkey = s.l_orderkey AND o.o_orderdate <= s.l_shipdate
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("temporal", "asof", "pipeline"),
+)
+def asof_first_shipment(spark, sf_dir):
+    """FORWARD as-of join — the complement of asof_latest_order's backward
+    lookup: each order matched to its FIRST shipment at or after the order
+    date (the kdb aj-forward / DuckDB `ASOF ... ON l.ts <= r.ts` shape),
+    reporting per priority class the order count, total order-to-ship wait
+    days, and the decimal-exact quantity of the first-shipped line. Ties
+    among same-day lines are pre-deduped to the lowest line number in BOTH
+    engines (arg_min / min_by), so the match is deterministic without
+    relying on either engine's ASOF tie behavior. Same union + descending
+    carry plan as the backward direction — one shuffle on the key, no
+    range explosion."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderdate", "o_orderpriority"
+    )
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_shipdate")
+        .agg(F.expr("min_by(l_quantity, l_linenumber)").alias("first_qty"))
+        .select(F.col("l_orderkey").alias("k"), "l_shipdate", "first_qty")
+    )
+    j = asof_join(
+        o, l, key="k", left_ts="o_orderdate", right_ts="l_shipdate",
+        direction="forward",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("total_wait_days"),
+        dsum(F.col("first_qty")).alias("first_ship_qty"),
     )

@@ -1543,3 +1543,39 @@ def test_is_connected_order_rejects_cartesian_and_partial():
     assert is_connected_order(("a", "b", "c"), tables, edges)
     assert not is_connected_order(("a", "c", "b"), tables, edges)  # a-c cartesian
     assert not is_connected_order(("a", "b"), tables, edges)  # partial
+
+
+def test_asof_join_directions_and_ties(spark):
+    """asof_join semantics on a constructed frame: backward picks the
+    greatest right_ts <= left_ts (ties: greatest tiebreak), forward the
+    smallest right_ts >= left_ts (ties: smallest tiebreak); equal
+    timestamps match in BOTH directions; unmatched left rows drop."""
+    from skinnerdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 5, 101), (1, 12, 200), (2, 99, 300)],
+        "k int, rt int, rid int",
+    )
+    back = {
+        (r.tag): (r.rt, r.rid)
+        for r in asof_join(left, right, "k", "t", "rt", tiebreak="rid").collect()
+    }
+    # t=10 -> rt=5 (latest <=), tie between rid 100/101 -> greatest (101)
+    # t=5  -> rt=5 equal-ts match; t=7 (k=2) -> no rt <= 7 -> dropped
+    assert back == {"a": (5, 101), "b": (5, 101)}
+    fwd = {
+        (r.tag): (r.rt, r.rid)
+        for r in asof_join(
+            left, right, "k", "t", "rt", tiebreak="rid", direction="forward"
+        ).collect()
+    }
+    # t=10 -> rt=12 (earliest >=); t=5 -> rt=5 tie -> SMALLEST rid (100)
+    # t=7 (k=2) -> rt=99
+    assert fwd == {"a": (12, 200), "b": (5, 100), "c": (99, 300)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "t", "rt", direction="sideways")
