@@ -215,7 +215,7 @@ def range_join_ship_window(spark, sf_dir):
            {DS('s.first_qty')} AS first_ship_qty
     FROM orders o
     ASOF JOIN (SELECT l_orderkey, l_shipdate,
-                      arg_min(l_quantity, l_linenumber) AS first_qty
+                      MIN(l_quantity) AS first_qty
                FROM lineitem GROUP BY l_orderkey, l_shipdate) s
       ON o.o_orderkey = s.l_orderkey AND o.o_orderdate <= s.l_shipdate
     GROUP BY o.o_orderpriority
@@ -227,10 +227,13 @@ def asof_first_shipment(spark, sf_dir):
     lookup: each order matched to its FIRST shipment at or after the order
     date (the kdb aj-forward / DuckDB `ASOF ... ON l.ts <= r.ts` shape),
     reporting per priority class the order count, total order-to-ship wait
-    days, and the decimal-exact quantity of the first-shipped line. Ties
-    among same-day lines are pre-deduped to the lowest line number in BOTH
-    engines (arg_min / min_by), so the match is deterministic without
-    relying on either engine's ASOF tie behavior. Same union + descending
+    days, and the decimal-exact smallest line quantity of the first ship
+    day. Ties among same-day lines are pre-deduped with MIN(l_quantity) in
+    BOTH engines — a value-deterministic rule chosen deliberately: the
+    synthetic lineitem does NOT guarantee l_linenumber uniqueness within
+    (orderkey, shipdate) (8 duplicate groups at sf0.01 with differing
+    quantities), so a min_by/arg_min on line number is partition-order
+    nondeterministic exactly where it matters. Same union + descending
     carry plan as the backward direction — one shuffle on the key, no
     range explosion."""
     o = read_table(spark, sf_dir, "orders").select(
@@ -239,7 +242,7 @@ def asof_first_shipment(spark, sf_dir):
     l = (
         read_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_shipdate")
-        .agg(F.expr("min_by(l_quantity, l_linenumber)").alias("first_qty"))
+        .agg(F.min("l_quantity").alias("first_qty"))
         .select(F.col("l_orderkey").alias("k"), "l_shipdate", "first_qty")
     )
     j = asof_join(
