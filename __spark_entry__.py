@@ -123,6 +123,9 @@ _PRIORITY: list[str] = [
     "embed_jl_distortion", "ev_session_window_native", "stats_skew_report",
     "scalar_try_surface", "docs_quality_prune_budget", "ev_mad_outliers",
     "asof_first_shipment",
+    # r8 final batch: retrieval index build, web-crawl URL dedup, MAP-type
+    # scalar surface
+    "docs_inverted_index", "docs_url_dedup", "scalar_map_surface",
 ]
 
 

@@ -208,3 +208,97 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "r_bm25", "r_cos", "rrf", F.col("fused_rank").cast("bigint").alias("fused_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# docs_inverted_index — the posting-list build behind every sparse retriever
+# --------------------------------------------------------------------------
+
+IDX_MIN_DF = 5    # drop hapax/near-hapax terms (index noise, unbounded vocab)
+IDX_POST_CAP = 10  # posting-list prefix materialized per term (doc_id order)
+
+_IDX_ORACLE = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (SELECT doc_id, t.term
+             FROM d, UNNEST(string_split(text, ' ')) AS t(term)
+             WHERE t.term <> ''),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY term, doc_id),
+    r AS (SELECT term, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+          FROM tf)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(
+               list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                    ORDER BY doc_id)
+                   FILTER (WHERE rn <= {IDX_POST_CAP}),
+               ',') AS postings
+    FROM r
+    GROUP BY term
+    HAVING COUNT(*) >= {IDX_MIN_DF}
+"""
+
+
+@register("docs_inverted_index", _IDX_ORACLE, tags=("retrieval", "pipeline", "text"))
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (posting-list) build over the corpus: per term with
+    document frequency >= {IDX_MIN_DF}, emit df, collection frequency cf,
+    and the first {IDX_POST_CAP} postings in doc_id order rendered as the
+    canonical ``doc:tf,doc:tf,...`` string — the dictionary+postings table a
+    sparse retriever (docs_bm25_topk / docs_hybrid_rrf) serves from.
+
+    Shape: the token stream aggregates to (term, doc_id, tf) partials
+    (map-side combinable — the only corpus-sized shuffle), then ONE
+    term-hash exchange feeds BOTH the row_number posting cap and the final
+    per-term aggregate: the window's ``PARTITION BY term`` output satisfies
+    the groupBy(term) distribution, so Catalyst plans a single exchange for
+    the two. The posting array is bounded BY CONSTRUCTION: the rank filter
+    runs BEFORE collect_list (``when(rn <= cap)`` — collect_list drops
+    nulls), so a 100 TB hot term ("the") collects {IDX_POST_CAP} structs,
+    never its full posting list. Real engines shard long posting lists
+    across segment files; the prefix cap is that boundary in miniature.
+    sort_array orders the collected structs by (doc_id, tf) — doc_id is
+    unique within a term, so the rendering is deterministic.
+
+    Exactness: integers and strings only — bit-identical across engines.
+
+    Reference analogue: none — retrieval tier extends SURVEY §6.
+    """
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    r = tf.withColumn("rn", rn)
+    return (
+        r.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= IDX_POST_CAP,
+                                F.struct("doc_id", "tf"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+    )

@@ -1,0 +1,160 @@
+"""URL canonicalization + capture dedup — the first dedup stage of every
+web-crawl pipeline (beyond-reference tier).
+
+CommonCrawl-style corpora arrive as (url, capture) pairs where the same page
+appears under many spellings: scheme/host case, ``www.`` prefix, default
+ports, tracking parameters (``utm_*``), fragments, trailing slashes. URL
+canonicalization folds those spellings to one key BEFORE any content-level
+dedup runs — it is orders of magnitude cheaper than MinHash and removes the
+bulk of exact re-crawls.
+
+The synthetic ``documents`` table has no url column, so the entry first
+synthesizes a deterministic messy URL per doc (the text_pii_redact
+precedent: inject from doc_id, then exercise the real machinery end to end)
+spanning every variant class above, then canonicalizes with a fixed chain of
+regex rewrites and groups captures by the canonical key.
+
+Cross-engine exactness: the rewrite chain uses ONLY the Java-regex / RE2
+common subset (anchors, character classes, alternation, capture groups — no
+lookaround, which RE2 lacks) with patterns shared as module constants;
+replacement strings differ per dialect only in backreference spelling
+(Spark ``$1`` vs DuckDB ``\\1``). Every step is a map-side projection; the
+dedup itself is ONE groupBy on the canonical key. At 100 TB this runs at
+scan speed into a single key-hash shuffle whose reducer state is one row
+per distinct page — the cheapest possible first-pass dedup.
+
+Reference analogue: none (the reference has no web tier); SURVEY §2
+extension surface alongside dedup_exact / docs_curation_gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+# Java-regex / RE2 common-subset patterns (shared; replacements per-dialect).
+_P_FRAGMENT = r"#.*$"                       # fragment: never part of identity
+_P_SCHEME_HOST = r"^[A-Za-z]+://[^/]+"      # scheme+host prefix (case-folded)
+_P_PORT_HTTPS = r"^(https://[^/:]+):443(/|$)"
+_P_PORT_HTTP = r"^(http://[^/:]+):80(/|$)"
+_P_WWW = r"^(https?://)www\."
+_P_UTM_MID = r"utm_[a-z]+=[^&#]*&"          # utm param followed by another
+_P_UTM_TAIL = r"[?&]utm_[a-z]+=[^&#]*$"     # trailing utm param + separator
+_P_TRAIL_SLASH = r"([^/])/$"
+
+
+def _synth_url_spark(doc_id: Column, source: Column) -> Column:
+    d = doc_id
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (d % 3).cast("string"),
+        F.lit(".Example.COM:443/"),
+        source,
+        F.lit("/Page-"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=rss&ref=abc&utm_campaign=x"))
+        .when(d % 4 == 1, F.lit("?ref=abc&utm_medium=email"))
+        .when(d % 4 == 2, F.lit("?utm_term=feed"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+    'HTTPS://WWW.Site' || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM:443/'
+    || source || '/Page-' || CAST(doc_id % 7 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&ref=abc&utm_campaign=x'
+            WHEN doc_id % 4 = 1 THEN '?ref=abc&utm_medium=email'
+            WHEN doc_id % 4 = 2 THEN '?utm_term=feed'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END
+"""
+
+
+def canonicalize_url(u: Column) -> Column:
+    """The rewrite chain, Spark dialect. Order matters and is part of the
+    contract (mirrored in the oracle): fragment first (so a trailing utm
+    param is truly trailing), host folding before port/www rules (their
+    patterns assume lowercase scheme), utm removal before the trailing-slash
+    rule (removal can expose a trailing slash)."""
+    u = F.regexp_replace(u, _P_FRAGMENT, "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, "(" + _P_SCHEME_HOST + ")", 1)),
+        F.regexp_replace(u, _P_SCHEME_HOST, ""),
+    )
+    u = F.regexp_replace(u, _P_PORT_HTTPS, "$1$2")
+    u = F.regexp_replace(u, _P_PORT_HTTP, "$1$2")
+    u = F.regexp_replace(u, _P_WWW, "$1")
+    u = F.regexp_replace(u, _P_UTM_MID, "")
+    u = F.regexp_replace(u, _P_UTM_TAIL, "")
+    u = F.regexp_replace(u, _P_TRAIL_SLASH, "$1")
+    return u
+
+
+_CANON_SQL = f"""
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(
+                    regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
+                    '({_P_SCHEME_HOST})', 1))
+                || regexp_replace(
+                    regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
+                    '{_P_SCHEME_HOST}', '', 'g'),
+                '{_P_PORT_HTTPS}', '\\1\\2', 'g'),
+              '{_P_PORT_HTTP}', '\\1\\2', 'g'),
+            '{_P_WWW}', '\\1', 'g'),
+          '{_P_UTM_MID}', '', 'g'),
+        '{_P_UTM_TAIL}', '', 'g'),
+      '{_P_TRAIL_SLASH}', '\\1', 'g')
+"""
+
+_URL_ORACLE = f"""
+    WITH caps AS (
+        SELECT doc_id, {_SYNTH_URL_SQL} AS raw FROM documents),
+    canon AS (
+        SELECT doc_id, {_CANON_SQL} AS canon_url FROM caps)
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_caps,
+           CAST(MAX(doc_id) AS BIGINT) AS kept_doc,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM canon
+    GROUP BY canon_url
+"""
+
+
+@register("docs_url_dedup", _URL_ORACLE, tags=("dedup", "pipeline", "text"))
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL capture dedup: canonicalize each capture's URL (module
+    docstring chain) and keep the LATEST capture (max doc_id) per canonical
+    page, with the capture count and first-seen id — the keep/drop table the
+    crawl-ingest stage writes before any content dedup runs.
+
+    Both classes fire by construction at sf >= 0.01: the synthetic URL space
+    has 3*7*2*|sources| canonical keys, so hundreds of docs yield both
+    multi-capture pages (n_caps > 1) and singletons.
+
+    Shape: canonicalization is zero-shuffle column algebra; the groupBy on
+    canon_url is the entry's ONE shuffle, map-side combinable (count/min/max
+    partials). Nothing here holds more than one row per distinct page."""
+    d = read_table(spark, sf_dir, "documents")
+    caps = d.select(
+        "doc_id",
+        _synth_url_spark(F.col("doc_id"), F.col("source")).alias("raw"),
+    )
+    canon = caps.select(
+        "doc_id", canonicalize_url(F.col("raw")).alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").cast("bigint").alias("n_caps"),
+        F.max("doc_id").cast("bigint").alias("kept_doc"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

@@ -386,3 +386,90 @@ def scalar_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("guarded_add").alias("add_ok"),
         F.sum(F.col("guarded_add") % 1000000007).cast("bigint").alias("add_mod_sum"),
     )
+
+
+@register(
+    "scalar_map_surface",
+    """
+    WITH c AS (SELECT o_custkey, o_orderstatus AS st,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders WHERE o_custkey <= 200
+               GROUP BY o_custkey, o_orderstatus)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS INTEGER) AS n_statuses,
+           CAST(COALESCE(MAX(CASE WHEN st = 'O' THEN cnt END), 0) AS BIGINT)
+               AS n_open,
+           CAST(COALESCE(MAX(CASE WHEN st = 'F' THEN cnt END), 0) AS BIGINT)
+               AS n_done,
+           array_to_string(list(st ORDER BY st), ',') AS keys_csv,
+           array_to_string(
+               list(st || '=' || CAST(cnt * 2 AS VARCHAR) ORDER BY st), '|')
+               AS doubled,
+           COALESCE(array_to_string(
+               list(st || '=' || CAST(cnt AS VARCHAR) ORDER BY st)
+                   FILTER (WHERE cnt >= 3), '|'), '') AS busy,
+           CAST(SUM(cnt) AS BIGINT) AS total_orders,
+           array_to_string(
+               list(st || '=' || CAST(cnt AS VARCHAR) ORDER BY st), '|')
+               || '|~total=' || CAST(SUM(cnt) AS VARCHAR) AS full_render
+    FROM c GROUP BY o_custkey
+    """,
+    tags=("scalar", "surplus", "map-type"),
+)
+def scalar_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type surface: per customer (custkey <= 200) a
+    status -> order-count map is BUILT (map_from_entries over a sorted
+    entry array — insertion order is the iteration order, so every
+    downstream rendering is deterministic), then read back and transformed
+    with the full map-function family: element_at (missing key -> NULL,
+    coalesced to 0), size, map_keys, transform_values, map_filter,
+    map_values folded with aggregate(), and map_concat appending a
+    '~total' summary entry.
+
+    Map-valued intermediates never reach the output: every column is a
+    scalar or a canonical 'k=v|k=v' string (the scalar_higher_order
+    precedent — keeps the driver's hash compare array/map-free). DuckDB
+    has no Spark-shaped map aggregate, so the oracle mirrors each output
+    relationally (conditional MAX for element_at, ordered list() renders
+    for the entry strings) — semantics, not syntax, like
+    scalar_try_surface.
+
+    Shape: ONE shuffle on (custkey, status) for the count partial, then the
+    per-customer map build rides a second exchange down to |statuses| rows
+    per customer; everything after is a codegen'd projection. Integers and
+    strings only — bit-identical across engines."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    cnt = o.groupBy("o_custkey", F.col("o_orderstatus").alias("st")).agg(
+        F.count("*").alias("cnt")
+    )
+    m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("st", "cnt"))))
+    base = cnt.groupBy("o_custkey").agg(m.alias("m"))
+    mm = F.col("m")
+
+    def render(mp):
+        return F.array_join(
+            F.transform(
+                F.map_entries(mp),
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            ),
+            "|",
+        )
+
+    total = F.aggregate(
+        F.map_values(mm), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return base.select(
+        "o_custkey",
+        F.size(mm).alias("n_statuses"),
+        F.coalesce(F.element_at(mm, "O"), F.lit(0).cast("bigint")).alias("n_open"),
+        F.coalesce(F.element_at(mm, "F"), F.lit(0).cast("bigint")).alias("n_done"),
+        F.array_join(F.map_keys(mm), ",").alias("keys_csv"),
+        render(F.transform_values(mm, lambda k, v: v * 2)).alias("doubled"),
+        render(F.map_filter(mm, lambda k, v: v >= 3)).alias("busy"),
+        total.alias("total_orders"),
+        render(
+            F.map_concat(
+                mm, F.create_map(F.lit("~total"), total)
+            )
+        ).alias("full_render"),
+    )

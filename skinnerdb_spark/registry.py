@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         temporal,
         text,
         wcoj,
+        weburl,
     )
     from skinnerdb_spark.sources import binaryfile  # noqa: F401
     from skinnerdb_spark.streaming import windows  # noqa: F401
