@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     # r8 final batch: retrieval index build, web-crawl URL dedup, MAP-type
     # scalar surface
     "docs_inverted_index", "docs_url_dedup", "scalar_map_surface",
+    # r8 final batch: hypothesis-testing tier
+    "stats_ab_ztest", "stats_chi2_independence",
 ]
 
 

@@ -1,0 +1,235 @@
+"""Hypothesis-testing operators — the statistical checks a data pipeline
+runs on itself (beyond-reference tier).
+
+Two standard tests, each reduced to exact integer aggregates plus a fixed
+IEEE-double expression shape so the result is bit-identical across engines
+(the ev_anomaly_hours / sample_temperature_mix precedent: +,-,*,/ and SQRT
+are IEEE-754 correctly rounded in BOTH Spark and DuckDB when the operand
+order is identical; libm functions like log/pow are NOT and never appear):
+
+- :func:`stats_ab_ztest` — two-proportion z-test on an A/B split of the
+  events stream (did variant B convert better than variant A?). The whole
+  test collapses to FOUR exact integers (n/x per arm) produced by one
+  per-user aggregate + one conditional fold; the z statistic is a single
+  fully-parenthesized double expression over them.
+- :func:`stats_chi2_independence` — chi-square independence test of the
+  (source, lang) contingency table — the drift / dependence check run when
+  validating that a corpus re-crawl didn't shift its language mix per
+  source. Expected counts are one double division of exact integer
+  marginals; each cell's (O-E)^2/E contribution is quantized to nano-units
+  (ROUND(x*1e9) -> BIGINT, half-away-from-zero in both engines) BEFORE the
+  sum, so the reduction is associative integer addition — no
+  float-accumulation-order dependence at any parallelism.
+
+Scale shapes: both are one corpus-scan aggregate (map-side combinable) into
+a constant-size frame; the test arithmetic runs on <= |sources| x |langs|
+rows. At 100 TB these are scan-bound, shuffle-free beyond the tiny
+aggregate exchange.
+
+Reference analogue: none — SURVEY §2 extension surface (data-quality /
+monitoring tier alongside profile_table and stats_skew_report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skinnerdb_spark.queries.util import read_table
+from skinnerdb_spark.registry import register
+
+Z_CRIT = "1.96"  # two-sided 5% critical value, shared literal text
+
+
+#: per-user purchase-value threshold defining "converted" — sits near the
+#: median of the (SF-stationary) per-user purchase total, so both classes
+#: are populated at every scale factor
+AB_CONV_THRESHOLD = "600.0"
+
+_AB_ORACLE = f"""
+    WITH conv AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN COALESCE(
+                        SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(30,6)) END)
+                        > {AB_CONV_THRESHOLD}, FALSE)
+                    THEN 1 ELSE 0 END AS c
+        FROM events GROUP BY user_id),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT) AS x0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT) AS x1
+        FROM conv),
+    t AS (
+        SELECT n0, x0, n1, x1,
+               CAST(x0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0) AS p0,
+               CAST(x1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0) AS p1,
+               CAST(x0 + x1 AS DOUBLE) / NULLIF(CAST(n0 + n1 AS DOUBLE), 0.0)
+                   AS pp
+        FROM agg),
+    zt AS (
+        SELECT n0, x0, n1, x1, p0, p1, pp,
+               (p0 - p1) / NULLIF(SQRT((pp * (1.0 - pp))
+                            * ((1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0))
+                               + (1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0)))),
+                           0.0) AS z
+        FROM t)
+    SELECT n0, x0, n1, x1, p0, p1, pp, z, ABS(z) > {Z_CRIT} AS significant
+    FROM zt
+"""
+
+
+@register("stats_ab_ztest", _AB_ORACLE, tags=("stats", "hypothesis", "events"))
+def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: users split into variants by ``user_id % 2``,
+    conversion = per-user purchase value above {AB_CONV_THRESHOLD} (the
+    threshold sits at the median of the SF-stationary per-user total, so
+    BOTH classes fire at every scale — "any purchase" saturates to p=1 and
+    a zero-variance division). Emits per-arm (n, x), the three proportions,
+    the z statistic, and the two-sided 5% verdict.
+
+    The conversion sum runs in exact DECIMAL(30,6) (functions/exact.py
+    rationale — a boundary user must not flip with aggregation order), and
+    the z expression is written ONCE, fully parenthesized, from the same
+    four BIGINTs in both engines: every step (+,-,*,/,SQRT) is
+    IEEE-correctly-rounded, so identical operand order gives identical
+    bits. Degenerate variance (p pooled in {{0, 1}}) yields NULL z via the
+    same NULLIF guard in both dialects. One events scan -> per-user decimal
+    sum (map-side combinable) -> one 4-integer fold; nothing downstream
+    exceeds one row."""
+    ev = read_table(spark, sf_dir, "events")
+    dec_val = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(30,6)")
+    )
+    conv = (
+        ev.groupBy("user_id")
+        .agg(F.sum(dec_val).alias("s"))
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                F.coalesce(
+                    F.col("s") > F.lit(float(AB_CONV_THRESHOLD)), F.lit(False)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("c"),
+        )
+    )
+    agg = conv.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c")).otherwise(0)).cast("bigint").alias("x0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c")).otherwise(0)).cast("bigint").alias("x1"),
+    )
+    nz = lambda c: F.nullif(c, F.lit(0.0))  # noqa: E731
+    t = agg.select(
+        "n0", "x0", "n1", "x1",
+        (F.col("x0").cast("double") / nz(F.col("n0").cast("double"))).alias("p0"),
+        (F.col("x1").cast("double") / nz(F.col("n1").cast("double"))).alias("p1"),
+        ((F.col("x0") + F.col("x1")).cast("double")
+         / nz((F.col("n0") + F.col("n1")).cast("double"))).alias("pp"),
+    )
+    z = (F.col("p0") - F.col("p1")) / nz(
+        F.sqrt(
+            (F.col("pp") * (F.lit(1.0) - F.col("pp")))
+            * ((F.lit(1.0) / nz(F.col("n0").cast("double")))
+               + (F.lit(1.0) / nz(F.col("n1").cast("double"))))
+        )
+    )
+    return t.select(
+        "n0", "x0", "n1", "x1", "p0", "p1", "pp",
+        z.alias("z"),
+        (F.abs(z) > float(Z_CRIT)).alias("significant"),
+    )
+
+
+_CHI2_ORACLE = """
+    WITH cell AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang),
+    srcs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY source),
+    lngs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY lang),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+    full_grid AS (
+        SELECT s.source, l.lang, s.rt, l.ct, t.n,
+               COALESCE(c.o, 0) AS o
+        FROM srcs s CROSS JOIN lngs l CROSS JOIN tot t
+        LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang),
+    contrib AS (
+        SELECT n,
+               CAST(ROUND(
+                   (((CAST(o AS DOUBLE)
+                      - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                         / CAST(n AS DOUBLE)))
+                     * (CAST(o AS DOUBLE)
+                        - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                           / CAST(n AS DOUBLE))))
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+                   * 1000000000.0, 0) AS BIGINT) AS q
+        FROM full_grid)
+    SELECT (SELECT MAX(n) FROM contrib) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM srcs) AS n_sources,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lngs) AS n_langs,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM srcs)
+             * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM lngs) AS dof,
+           CAST(SUM(q) AS BIGINT) AS chi2_nano
+    FROM contrib
+"""
+
+
+@register(
+    "stats_chi2_independence",
+    _CHI2_ORACLE,
+    tags=("stats", "hypothesis", "pipeline"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (source, lang) contingency table:
+    is language mix independent of source? Emits N, table dims, degrees of
+    freedom, and the statistic in exact nano-units (sum of per-cell
+    quantized contributions — associative, parallelism-independent).
+
+    The grid is completed (sources x langs cross join, absent cells O=0)
+    before the statistic: chi-square over only OBSERVED cells understates
+    dependence — the zero cells are often exactly the signal. Everything
+    after the one corpus-scan cell count runs on a <= |sources|*|langs|-row
+    frame; marginals are windows/joins over that tiny frame, never a second
+    scan."""
+    d = read_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    srcs = cell.groupBy("source").agg(F.sum("o").cast("bigint").alias("rt"))
+    lngs = cell.groupBy("lang").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        srcs.crossJoin(lngs)
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "rt", "ct", "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    diff = F.col("o").cast("double") - e
+    q = F.round((diff * diff) / e * F.lit(1000000000.0), 0).cast("bigint")
+    contrib = grid.select("n", q.alias("q"))
+    n_src = srcs.agg(F.count("*").cast("bigint").alias("n_sources"))
+    n_lng = lngs.agg(F.count("*").cast("bigint").alias("n_langs"))
+    return (
+        contrib.agg(
+            F.max("n").alias("n_docs"),
+            F.sum("q").cast("bigint").alias("chi2_nano"),
+        )
+        .crossJoin(F.broadcast(n_src))
+        .crossJoin(F.broadcast(n_lng))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).alias("dof"),
+            "chi2_nano",
+        )
+    )

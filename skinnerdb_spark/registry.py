@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         segments,
         similarity,
         spectral,
+        stattests,
         temporal,
         text,
         wcoj,
