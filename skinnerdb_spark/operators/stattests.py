@@ -198,7 +198,14 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; marginals are windows/joins over that tiny frame, never a second
     scan."""
     d = read_table(spark, sf_dir, "documents")
-    cell = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    # cell is referenced four times (both marginals, the total, and the
+    # grid join); localCheckpoint materializes the tiny contingency frame
+    # eagerly so the corpus is scanned ONCE, not once per reference
+    cell = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     srcs = cell.groupBy("source").agg(F.sum("o").cast("bigint").alias("rt"))
     lngs = cell.groupBy("lang").agg(F.sum("o").cast("bigint").alias("ct"))
     tot = cell.agg(F.sum("o").cast("bigint").alias("n"))

@@ -299,3 +299,46 @@ def test_r8_late_entries_plan_shapes(spark, sf_dir):
     df = SPECS["ev_session_window_native"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MergingSessions" in plan
+
+
+def test_r8_final_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r8 final batch (inverted index, URL dedup, map
+    surface, hypothesis tests): each asserts the shuffle/join contract its
+    docstring promises."""
+    # inverted index: the (term, doc_id) partial agg and the term-hash
+    # exchange that BOTH the posting-cap window and the final term
+    # aggregate ride — exactly two hash exchanges, no join
+    plan = plan_of(spark, "docs_inverted_index", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 2, (
+        "window and term aggregate no longer share one term exchange"
+    )
+    assert "Join" not in plan
+
+    # URL dedup: canonicalization is zero-shuffle column algebra; the ONE
+    # exchange is the canonical-key groupBy
+    plan = plan_of(spark, "docs_url_dedup", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+    # map surface: (custkey, status) partial then custkey map build — two
+    # hash exchanges, everything after is a projection
+    plan = plan_of(spark, "scalar_map_surface", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan
+
+    # A/B z-test: one user_id exchange feeds the per-user conversion sum;
+    # the 4-integer fold is a SinglePartition exchange; never a join
+    plan = plan_of(spark, "stats_ab_ztest", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+
+    # chi-square: corpus scanned ONCE (the contingency frame is an eager
+    # localCheckpoint; four consumers read the materialized RDD, so no
+    # parquet scan survives into the final plan), and every grid join over
+    # the tiny frames broadcasts — a shuffled join would mean a
+    # corpus-sized frame leaked into the grid stage
+    plan = plan_of(spark, "stats_chi2_independence", sf_dir)
+    assert ".parquet" not in plan, (
+        "contingency frame no longer materialized — corpus re-scans per consumer"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
