@@ -128,6 +128,8 @@ _PRIORITY: list[str] = [
     "docs_inverted_index", "docs_url_dedup", "scalar_map_surface",
     # r8 final batch: hypothesis-testing tier
     "stats_ab_ztest", "stats_chi2_independence",
+    # r8 final batch: shard striping manifest
+    "sample_shard_manifest",
 ]
 
 

@@ -916,3 +916,77 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_SHARDS = 8  # training shards in the striping manifest
+
+
+@register(
+    "sample_shard_manifest",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                    % {N_SHARDS} AS BIGINT) AS shard,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    s AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        FROM d GROUP BY shard)
+    SELECT shard, n_docs, shard_tokens, doc_id_sum,
+           CAST(shard_tokens * 1000000 // SUM(shard_tokens) OVER () AS BIGINT)
+               AS token_share_ppm
+    FROM s
+    """,
+    tags=("sampling", "pipeline", "sharding"),
+)
+def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard striping manifest: every document is assigned to one
+    of {N_SHARDS} shards by an md5 hash bucket of its id — the
+    deterministic, DISTRIBUTED shard assignment (each row's shard is a
+    map-side expression; a global row_number permutation would serialize
+    the corpus through one partition, the scale trap ranked_topk exists to
+    avoid). The manifest reports per shard: document count, token count,
+    a doc_id checksum (re-ingest drift detection), and the integer-ppm
+    token share — the balance audit a training run reads before assigning
+    shards to data-loader workers.
+
+    Hash striping balances shards in expectation without any coordination;
+    the ppm column is what flags pathological imbalance. Exactness: md5
+    hex prefixes -> int64 (the docs_dsir_weights recipe, identical in both
+    engines), all outputs integers (the share is floor integer division —
+    DuckDB `//` == Spark `DIV`). One corpus scan, one {N_SHARDS}-key
+    groupBy; the window runs over the {N_SHARDS}-row aggregate."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+                    16,
+                    10,
+                ).cast("bigint")
+                % N_SHARDS
+            ).alias("shard"),
+            F.expr("size(filter(split(text, ' '), x -> x != ''))")
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    s = d.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )
+    return s.select(
+        "shard", "n_docs", "shard_tokens", "doc_id_sum",
+        F.expr(
+            "CAST(shard_tokens * 1000000 DIV SUM(shard_tokens) OVER () AS BIGINT)"
+        ).alias("token_share_ppm"),
+    )

@@ -117,6 +117,16 @@ def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    return ab_ztest_from_conv(conv)
+
+
+def ab_ztest_from_conv(conv: DataFrame) -> DataFrame:
+    """The test itself, factored from the corpus scan: fold a
+    (variant, c) frame to the four exact integers and evaluate the z
+    expression (docstring above). Reused by the streaming monitor
+    (streaming/windows.py::stream_ab_monitor), which maintains the conv
+    frame incrementally and recomputes the statistic per micro-batch —
+    identical arithmetic, so stream and batch agree bit-for-bit."""
     agg = conv.agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
         F.sum(F.when(F.col("variant") == 0, F.col("c")).otherwise(0)).cast("bigint").alias("x0"),

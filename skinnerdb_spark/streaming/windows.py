@@ -945,3 +945,100 @@ def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= MG_K)
         .select("shard", "item", "cnt", "rnk")
     )
+
+
+def stream_ab_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    monitor_path: str,
+    checkpoint: str,
+) -> None:
+    """Continuous A/B experiment monitor — the streaming twin of
+    operators/stattests.py::stats_ab_ztest, in the ``foreachBatch`` +
+    compact-state shape experimentation platforms run:
+
+    - state: one row per user ever seen, carrying the cumulative purchase
+      value in exact DECIMAL (bounded by |users|, NOT by event volume —
+      the stream can run forever);
+    - per micro-batch: merge the batch's per-user decimal deltas into the
+      state (full outer on user_id), recompute the four test integers and
+      the z statistic from the WHOLE state via the same
+      ``ab_ztest_from_conv`` arithmetic the batch entry uses, and write
+      one monitor row for the batch.
+
+    After a full drain the last monitor row is bit-identical to the batch
+    entry over the same files (pinned in tests/test_components.py) —
+    decimal state merging is associative, so micro-batch boundaries cannot
+    move a boundary user across the conversion threshold.
+
+    Idempotence: state overwrite re-states the full frame; monitor rows
+    are partitioned by batch_id with dynamic overwrite, so a replayed
+    batch rewrites ITS row instead of appending a duplicate. The state
+    read is eagerly materialized (localCheckpoint) before the overwrite —
+    reading lazily from the path being overwritten would truncate the
+    input mid-job."""
+    import os as _os
+
+    from skinnerdb_spark.operators.stattests import (
+        AB_CONV_THRESHOLD,
+        ab_ztest_from_conv,
+    )
+
+    ev = stream_events(spark, src_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(30,6)"),
+                )
+            ).alias("s")
+        )
+        if _os.path.isdir(state_path):
+            old = spark.read.parquet(state_path).localCheckpoint(eager=True)
+            o, d = old.alias("o"), delta.alias("d")
+            merged = o.join(d, "user_id", "full_outer").select(
+                "user_id",
+                F.when(
+                    F.col("o.s").isNull() & F.col("d.s").isNull(),
+                    F.lit(None).cast("decimal(38,6)"),
+                )
+                .otherwise(
+                    F.coalesce(F.col("o.s"), F.lit(0).cast("decimal(38,6)"))
+                    + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(38,6)"))
+                )
+                .alias("s"),
+            )
+        else:
+            merged = delta.select("user_id", F.col("s").cast("decimal(38,6)").alias("s"))
+        merged = merged.localCheckpoint(eager=True)
+        conv = merged.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                F.coalesce(
+                    F.col("s") > F.lit(float(AB_CONV_THRESHOLD)), F.lit(False)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("c"),
+        )
+        (
+            ab_ztest_from_conv(conv)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_path)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
