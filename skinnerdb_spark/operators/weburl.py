@@ -41,8 +41,18 @@ _P_SCHEME_HOST = r"^[A-Za-z]+://[^/]+"      # scheme+host prefix (case-folded)
 _P_PORT_HTTPS = r"^(https://[^/:]+):443(/|$)"
 _P_PORT_HTTP = r"^(http://[^/:]+):80(/|$)"
 _P_WWW = r"^(https?://)www\."
-_P_UTM_MID = r"utm_[a-z]+=[^&#]*&"          # utm param followed by another
-_P_UTM_TAIL = r"[?&]utm_[a-z]+=[^&#]*$"     # trailing utm param + separator
+# utm removal is a three-step anchored chain (RE2 has no lookaround, and a
+# global replace resumes scanning after the replacement, so a single
+# "[?&]utm_...&" -> "$1" pass would miss CONSECUTIVE utm params):
+#  1. strip every "&utm_x=v" (params not in leading position; global replace
+#     handles runs because each match starts at its own '&');
+#  2. a leading "?utm_x=v&" collapses to "?" (the next param takes over);
+#  3. a now-solitary "?utm_x=v" tail drops entirely.
+# All three anchor on the separator, so a param merely NAMED *utm_* (e.g.
+# "foutm_x") is never touched.
+_P_UTM_AMP = r"&utm_[a-z]+=[^&#]*"
+_P_UTM_LEAD = r"\?utm_[a-z]+=[^&#]*&"
+_P_UTM_TAIL = r"\?utm_[a-z]+=[^&#]*$"
 _P_TRAIL_SLASH = r"([^/])/$"
 
 
@@ -58,8 +68,8 @@ def _synth_url_spark(doc_id: Column, source: Column) -> Column:
         F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 4 == 0, F.lit("?utm_source=rss&ref=abc&utm_campaign=x"))
         .when(d % 4 == 1, F.lit("?ref=abc&utm_medium=email"))
-        .when(d % 4 == 2, F.lit("?utm_term=feed"))
-        .otherwise(F.lit("")),
+        .when(d % 4 == 2, F.lit("?utm_term=feed&utm_medium=rss"))
+        .otherwise(F.lit("?xutm_keep=1&utm_source=z")),
         F.when(d % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
     )
 
@@ -70,8 +80,8 @@ _SYNTH_URL_SQL = """
     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
     || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&ref=abc&utm_campaign=x'
             WHEN doc_id % 4 = 1 THEN '?ref=abc&utm_medium=email'
-            WHEN doc_id % 4 = 2 THEN '?utm_term=feed'
-            ELSE '' END
+            WHEN doc_id % 4 = 2 THEN '?utm_term=feed&utm_medium=rss'
+            ELSE '?xutm_keep=1&utm_source=z' END
     || CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END
 """
 
@@ -90,7 +100,8 @@ def canonicalize_url(u: Column) -> Column:
     u = F.regexp_replace(u, _P_PORT_HTTPS, "$1$2")
     u = F.regexp_replace(u, _P_PORT_HTTP, "$1$2")
     u = F.regexp_replace(u, _P_WWW, "$1")
-    u = F.regexp_replace(u, _P_UTM_MID, "")
+    u = F.regexp_replace(u, _P_UTM_AMP, "")
+    u = F.regexp_replace(u, _P_UTM_LEAD, "?")
     u = F.regexp_replace(u, _P_UTM_TAIL, "")
     u = F.regexp_replace(u, _P_TRAIL_SLASH, "$1")
     return u
@@ -103,17 +114,19 @@ _CANON_SQL = f"""
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                lower(regexp_extract(
-                    regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
-                    '({_P_SCHEME_HOST})', 1))
-                || regexp_replace(
-                    regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
-                    '{_P_SCHEME_HOST}', '', 'g'),
-                '{_P_PORT_HTTPS}', '\\1\\2', 'g'),
-              '{_P_PORT_HTTP}', '\\1\\2', 'g'),
-            '{_P_WWW}', '\\1', 'g'),
-          '{_P_UTM_MID}', '', 'g'),
-        '{_P_UTM_TAIL}', '', 'g'),
+                regexp_replace(
+                  lower(regexp_extract(
+                      regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
+                      '({_P_SCHEME_HOST})', 1))
+                  || regexp_replace(
+                      regexp_replace(raw, '{_P_FRAGMENT}', '', 'g'),
+                      '{_P_SCHEME_HOST}', '', 'g'),
+                    '{_P_PORT_HTTPS}', '\\1\\2', 'g'),
+                  '{_P_PORT_HTTP}', '\\1\\2', 'g'),
+                '{_P_WWW}', '\\1', 'g'),
+              '{_P_UTM_AMP}', '', 'g'),
+            '{_P_UTM_LEAD}', '?', 'g'),
+          '{_P_UTM_TAIL}', '', 'g'),
       '{_P_TRAIL_SLASH}', '\\1', 'g')
 """
 
@@ -139,8 +152,11 @@ def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-ingest stage writes before any content dedup runs.
 
     Both classes fire by construction at sf >= 0.01: the synthetic URL space
-    has 3*7*2*|sources| canonical keys, so hundreds of docs yield both
-    multi-capture pages (n_caps > 1) and singletons.
+    has 3*7*3*|sources| canonical keys (host bucket x page x surviving query
+    form — the ref param, the all-utm case that canonicalizes to no query,
+    and the utm-LOOKALIKE param ``xutm_keep`` that must survive), so
+    hundreds of docs yield both multi-capture pages (n_caps > 1) and
+    singletons.
 
     Shape: canonicalization is zero-shuffle column algebra; the groupBy on
     canon_url is the entry's ONE shuffle, map-side combinable (count/min/max
