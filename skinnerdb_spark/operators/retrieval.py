@@ -251,17 +251,24 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse retriever (docs_bm25_topk / docs_hybrid_rrf) serves from.
 
     Shape: the token stream aggregates to (term, doc_id, tf) partials
-    (map-side combinable — the only corpus-sized shuffle), then ONE
-    term-hash exchange feeds BOTH the row_number posting cap and the final
-    per-term aggregate: the window's ``PARTITION BY term`` output satisfies
-    the groupBy(term) distribution, so Catalyst plans a single exchange for
-    the two. The posting array is bounded BY CONSTRUCTION: the rank filter
-    runs BEFORE collect_list (``when(rn <= cap)`` — collect_list drops
-    nulls), so a 100 TB hot term ("the") collects {IDX_POST_CAP} structs,
-    never its full posting list. Real engines shard long posting lists
-    across segment files; the prefix cap is that boundary in miniature.
-    sort_array orders the collected structs by (doc_id, tf) — doc_id is
-    unique within a term, so the rendering is deterministic.
+    (map-side combinable — the only corpus-sized shuffle); that aggregate
+    then feeds two term-keyed branches whose identical exchange subtrees
+    Catalyst unifies via ReusedExchange (one scan, one shuffle):
+
+    - stats: plain groupBy(term) for df/cf — no ordering anywhere;
+    - postings: row_number per term + an explicit ``rn <= cap`` FILTER, so
+      the rank limit compiles to WindowGroupLimit — the per-term top-k is
+      taken MAP-SIDE with a bounded heap before the sort. This is the
+      hot-term fix: a 100 TB stopword's posting partition never routes its
+      full list through one reducer's sort; every partition carries at most
+      {IDX_POST_CAP} rows per term into the window. (The first cut kept all
+      rows and filtered inside collect_list's ``when()`` — bounded memory,
+      but the full per-term SORT remained; the filter form removes it.)
+
+    The final join stitches two vocabulary-sized aggregates that share the
+    term hash partitioning — no additional corpus-sized motion. Real
+    engines shard long posting lists across segment files; the prefix cap
+    is that boundary in miniature.
 
     Exactness: integers and strings only — bit-identical across engines.
 
@@ -276,29 +283,25 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
     rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
-    r = tf.withColumn("rn", rn)
-    return (
-        r.groupBy("term")
+    posts = (
+        tf.withColumn("rn", rn)
+        .filter(F.col("rn") <= IDX_POST_CAP)
+        .groupBy("term")
         .agg(
-            F.count("*").cast("bigint").alias("df"),
-            F.sum("tf").cast("bigint").alias("cf"),
             F.array_join(
                 F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") <= IDX_POST_CAP,
-                                F.struct("doc_id", "tf"),
-                            )
-                        )
-                    ),
+                    F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
                     lambda s: F.concat_ws(
                         ":", s["doc_id"].cast("string"), s["tf"].cast("string")
                     ),
                 ),
                 ",",
-            ).alias("postings"),
+            ).alias("postings")
         )
-        .filter(F.col("df") >= IDX_MIN_DF)
     )
+    return stats.join(posts, "term").filter(F.col("df") >= IDX_MIN_DF)

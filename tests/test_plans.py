@@ -305,14 +305,21 @@ def test_r8_final_entries_plan_shapes(spark, sf_dir):
     """Plan pins for the r8 final batch (inverted index, URL dedup, map
     surface, hypothesis tests): each asserts the shuffle/join contract its
     docstring promises."""
-    # inverted index: the (term, doc_id) partial agg and the term-hash
-    # exchange that BOTH the posting-cap window and the final term
-    # aggregate ride — exactly two hash exchanges, no join
-    plan = plan_of(spark, "docs_inverted_index", sf_dir)
-    assert plan.count("Arguments: hashpartitioning") == 2, (
-        "window and term aggregate no longer share one term exchange"
+    # inverted index: the posting cap must compile to WindowGroupLimit
+    # (explicit rn <= cap FILTER after the window -> map-side per-term
+    # top-k heap, no hot-term full sort through one reducer), and the
+    # stats/postings branches must share the (term, doc_id) corpus
+    # exchange via ReusedExchange (one scan, one corpus-sized shuffle).
+    # Both properties only materialize in the EXECUTED plan (AQE).
+    df = SPECS["docs_inverted_index"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, (
+        "posting cap no longer a rank-limit filter — hot-term sort is back"
     )
-    assert "Join" not in plan
+    assert "ReusedExchange" in plan, (
+        "stats/postings branches no longer share the corpus exchange"
+    )
 
     # URL dedup: canonicalization is zero-shuffle column algebra; the ONE
     # exchange is the canonical-key groupBy
