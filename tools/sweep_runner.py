@@ -1,0 +1,105 @@
+"""One-at-a-time scale sweep over every bench-visible registry entry.
+
+The per-round bench (bench.py) times the whole suite in one session; this
+runner answers a different question — does EVERY entry complete, and how
+does each scale — by running entries individually under a watchdog:
+
+- 300 s per-entry job-group cancellation (a runaway entry cannot wedge the
+  sweep; it is recorded as status=timeout and the sweep moves on);
+- per-entry error capture (status=error + exception head);
+- a disk guard between entries (shuffle spill on a 100x warehouse filled
+  the disk once in r7 — fail loudly before the OS does);
+- exclusions honored from SPARK_GRAFT_BENCH_EXCLUDE and echoed into the
+  output so a sweep can never silently claim coverage it didn't have.
+
+Usage:
+    python tools/sweep_runner.py <sf_dir> <out.jsonl> [timeout_sec]
+
+The r7 sf10 sweep (PERFORMANCE.md "the 100x point") ran this shape ad-hoc;
+committed so the 100x record is reproducible per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MIN_FREE_GB = 5.0
+
+
+def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
+    from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
+
+    result: dict = {"name": spec.name}
+    group = f"sweep-{spec.name}"
+
+    def work() -> None:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, spec.name, interruptOnCancel=True)
+        try:
+            t0 = time.monotonic()
+            df = spec.spark(spark, sf_dir)
+            n = run_and_count(df)
+            result["sec"] = round(time.monotonic() - t0, 3)
+            result["rows"] = n
+            m = plan_metrics(df)
+            result["spill"] = m["spill_bytes"]
+            result["shuffles"] = m["shuffle_count"]
+            result["status"] = "ok"
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            result["status"] = "error"
+            result["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(30)
+        result["status"] = "timeout"
+        result["sec"] = timeout
+    return result
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    out_path = sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.session import get_spark
+
+    excluded = [
+        e for e in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if e
+    ]
+    spark = get_spark(app_name="scale-sweep")
+    specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+    with open(out_path, "w") as out:
+        for name in excluded:
+            if name in specs:
+                specs.pop(name)
+                out.write(json.dumps({"name": name, "status": "excluded"}) + "\n")
+        for i, (name, spec) in enumerate(specs.items()):
+            free_gb = shutil.disk_usage("/").free / 1e9
+            if free_gb < MIN_FREE_GB:
+                out.write(
+                    json.dumps({"name": name, "status": "disk_guard", "free_gb": free_gb})
+                    + "\n"
+                )
+                out.flush()
+                print(f"ABORT: {free_gb:.1f} GB free < {MIN_FREE_GB}", flush=True)
+                break
+            r = run_one(spark, spec, sf_dir, timeout)
+            out.write(json.dumps(r) + "\n")
+            out.flush()
+            print(f"[{i + 1}/{len(specs)}] {name}: {r['status']} {r.get('sec', '')}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
