@@ -323,9 +323,8 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE o_orderstatus END AS BIGINT) AS mixed_int,
                TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
                o_totalprice / NULLIF(o_orderkey % 5, 0) AS safe_div,
-               CASE WHEN o_orderkey <= 1000
-                    THEN (9223372036854775807 - 1000) + o_orderkey
-                    ELSE NULL END AS guarded_add
+               CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN NULL
+                    ELSE 1000 + o_orderkey END AS guarded_add
         FROM orders)
     SELECT COUNT(*) AS n_rows,
            COUNT(mixed_int) AS cast_ok,
@@ -348,13 +347,23 @@ def scalar_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     operational. Every expression has BOTH classes firing by construction:
     mixed_int casts a string that is numeric on every third row and a
     status letter otherwise; try_divide sees a zero divisor on every fifth
-    row; try_add overflows int64 for every orderkey past 1000. The oracle
+    row; try_add overflows int64 on every thousandth orderkey. The oracle
     mirrors semantics, not syntax — DuckDB has TRY_CAST but no try_divide/
-    try_add, so it guards with NULLIF and an explicit CASE bound, proving
-    the NULL-on-error contract equal from both directions. div_min/div_max
+    try_add, so it guards with NULLIF and an explicit CASE, proving the
+    NULL-on-error contract equal from both directions. div_min/div_max
     are single IEEE divisions of identical inputs (deterministic); all
     sums are exact integers (the overflow sum compares modulo 1e9+7 to
-    stay in range)."""
+    stay in range).
+
+    ERROR-PATH DENSITY is the operational lesson (measured): Spark's
+    try_add NULL-on-overflow is implemented by catching the per-row
+    ArithmeticException, and Java exception construction costs ~microseconds
+    — the error path is ~100x the happy path. The first cut overflowed on
+    ~EVERY row and ran 118 s at sf10 (15M orders); with the error class at
+    0.1% density (this version — the realistic dirty-data shape TRY_* is
+    for) the same entry runs in seconds. At 100 TB, TRY_* guards a small
+    dirty fraction; a predicate-dense error class belongs in an explicit
+    CASE guard instead."""
     o = read_table(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
@@ -368,9 +377,9 @@ def scalar_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("try_divide(o_totalprice, o_orderkey % 5)").alias("safe_div"),
         F.expr(
-            "CASE WHEN o_orderkey <= 1000 "
-            "THEN try_add(9223372036854775807 - 1000, o_orderkey) "
-            "ELSE try_add(9223372036854775807, o_orderkey) END"
+            "CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 "
+            "THEN try_add(9223372036854775807, o_orderkey) "
+            "ELSE try_add(1000, o_orderkey) END"
         ).alias("guarded_add"),
     )
     return t.agg(
