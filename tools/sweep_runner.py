@@ -80,7 +80,38 @@ def main() -> None:
     ]
     spark = get_spark(app_name="scale-sweep")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+
+    # family builds FIRST, as explicit rows — same attribution contract as
+    # bench.py (VERDICT r5 item 6): member entries measure steady-state,
+    # not whichever member alphabetically absorbs the shared build. Without
+    # this the r8 sweep showed dedup_clusters at 100 s (99.8 s of which was
+    # the LSH chain build it happened to trigger first).
+    from skinnerdb_spark.operators import dedup as _dedup
+    from skinnerdb_spark.operators import similarity as _sim
+
+    families = [
+        ("family:minhash_sigs", _dedup.shared_sigs),
+        ("family:shingle_sets", _dedup.shared_shingle_sets),
+        ("family:shingle_hashes", _dedup.shared_shingle_hashes),
+        ("family:lsh_candidates", _dedup.lsh_candidates),
+        ("family:simhash_sigs", _dedup.shared_simhash),
+        ("family:sign_bits", _sim.shared_bits),
+        ("family:brute_topk", _sim.sim_bruteforce_topk),
+    ]
+
+    class _FamilySpec:
+        def __init__(self, name, fn):
+            self.name, self._fn = name, fn
+
+        def spark(self, session, sf):
+            return self._fn(session, sf)
+
     with open(out_path, "w") as out:
+        for fname, fn in families:
+            r = run_one(spark, _FamilySpec(fname, fn), sf_dir, timeout)
+            out.write(json.dumps(r) + "\n")
+            out.flush()
+            print(f"{fname}: {r['status']} {r.get('sec', '')}", flush=True)
         for name in excluded:
             if name in specs:
                 specs.pop(name)
