@@ -1622,3 +1622,20 @@ def test_stream_ab_monitor_matches_batch(spark, sf_dir, tmp_path):
         assert last2["n0"] == batch["n0"] and last2["n1"] == batch["n1"]
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_sweep_runner_run_one(spark, sf_dir):
+    """The committed scale-sweep runner executes a registry entry under its
+    watchdog and records the status/sec/rows/metrics fields the 100x record
+    (BENCH_SF10_SWEEP.jsonl) is built from."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("sweep_runner", "tools/sweep_runner.py")
+    sr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sr)
+    from skinnerdb_spark.registry import all_specs
+
+    r = sr.run_one(spark, all_specs()["sample_shard_manifest"], sf_dir, 120)
+    assert r["status"] == "ok"
+    assert r["rows"] == 8 and r["sec"] > 0
+    assert "spill" in r and "shuffles" in r
