@@ -108,6 +108,10 @@ _REVERIFY: list[str] = [
     # r8: learner loop refactored into the shared _bpe_rounds helper
     # (fingerprint diff -> rotate forward per protocol)
     "text_bpe_merges",
+    # r8-end: graph tier switched to the shared_co_edges family cache
+    # (fingerprint diffs -> rotate forward per protocol)
+    "graph_pagerank", "graph_triangles", "graph_jaccard_links",
+    "wcoj_clique4", "wcoj_triangle_listing",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -86,10 +86,12 @@ def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dic
     # times the shared build (cache materialization included); member
     # queries then measure steady-state. On pass 2+ the memoized caches are
     # warm and these rows measure cache-read floor — by design.
+    from skinnerdb_spark.operators import analytics as _ana
     from skinnerdb_spark.operators import dedup as _dedup
     from skinnerdb_spark.operators import similarity as _sim
 
     for label, build in (
+        ("family:co_edges", _ana.shared_co_edges),
         ("family:minhash_sigs", _dedup.shared_sigs),
         ("family:shingle_sets", _dedup.shared_shingle_sets),
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),

@@ -432,6 +432,20 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached co-purchase edge list — the graph tier's family build
+    (the shared_sigs pattern): the edge derivation is a lineitem⋈orders
+    self-join + distinct, and every graph entry references the edge frame
+    MULTIPLE times (pagerank embeds it in each unrolled iteration, the
+    triangle count three times, the wedge join twice). Without
+    materialization the self-join re-executes per reference — at sf10 that
+    was the bulk of pagerank's 52 s. The cache is stats-bearing
+    (InMemoryRelation), so Catalyst still sizes the downstream joins."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    return _memo(spark, sf_dir, "co_edges", lambda: _co_edges(spark, sf_dir))
+
+
 @register(
     "graph_triangles",
     f"""
@@ -472,7 +486,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because it is oracle-identical and the windowed graph is small.
     Wedge count is pure per-node algebra on the degree table. clustering =
     3T / wedges is one bigint/bigint IEEE division."""
-    edges = _co_edges(spark, sf_dir)
+    edges = shared_co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -702,7 +716,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cluster scale pre-bucket edges by src and only the |V|-row rank
     updates move), and the rank/degree/n columns ride one broadcast-sized
     node table. No collects, no UDFs, no floating-point order dependence."""
-    edges = _co_edges(spark, sf_dir)
+    edges = shared_co_edges(spark, sf_dir)
     directed = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -1012,7 +1026,7 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     by wedge count, never all-pairs."""
     from skinnerdb_spark.queries.util import ranked_topk
 
-    edges = _co_edges(spark, sf_dir)
+    edges = shared_co_edges(spark, sf_dir)
     directed = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )

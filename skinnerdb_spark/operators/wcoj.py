@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from skinnerdb_spark.operators.analytics import _EDGE_CTES, _co_edges
+from skinnerdb_spark.operators.analytics import _EDGE_CTES, shared_co_edges
 from skinnerdb_spark.registry import register
 
 #: reserved frame columns — query variables must not collide
@@ -270,7 +270,7 @@ def wcoj_triangle_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the checkpoint is a persisted/bucketed edge table. Cites
     StaticLFTJ.java:32 and JoinProcessor.java:65-68 (reference disables its
     LFTJ by default; here it is a first-class strategy)."""
-    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = shared_co_edges(spark, sf_dir)
     atoms = _edge_atoms(edges, [("a", "b"), ("b", "c"), ("a", "c")])
     out = hypercube_generic_join(
         spark, atoms, var_order=["a", "b", "c"], total_cells=_TRI_CELLS)
@@ -304,7 +304,7 @@ def wcoj_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanding each partial clique from its smallest adjacency list. Edges
     localCheckpoint once — the 6 atoms must not re-derive the edge list 6
     times."""
-    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = shared_co_edges(spark, sf_dir)
     atoms = _edge_atoms(
         edges,
         [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],

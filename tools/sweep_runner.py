@@ -86,10 +86,12 @@ def main() -> None:
     # not whichever member alphabetically absorbs the shared build. Without
     # this the r8 sweep showed dedup_clusters at 100 s (99.8 s of which was
     # the LSH chain build it happened to trigger first).
+    from skinnerdb_spark.operators import analytics as _ana
     from skinnerdb_spark.operators import dedup as _dedup
     from skinnerdb_spark.operators import similarity as _sim
 
     families = [
+        ("family:co_edges", _ana.shared_co_edges),
         ("family:minhash_sigs", _dedup.shared_sigs),
         ("family:shingle_sets", _dedup.shared_shingle_sets),
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),
