@@ -112,6 +112,9 @@ _REVERIFY: list[str] = [
     # (fingerprint diffs -> rotate forward per protocol)
     "graph_pagerank", "graph_triangles", "graph_jaccard_links",
     "wcoj_clique4", "wcoj_triangle_listing",
+    # r8-end: cluster closure memoized (shared_clusters) — producer and
+    # both consumers rotate forward
+    "dedup_clusters", "dedup_keep_best", "sample_leakage_free_split",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

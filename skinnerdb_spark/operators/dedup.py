@@ -590,18 +590,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analogue: dedup has no counterpart in the reference engine;
     this extends its query surface for training-data curation (SURVEY §6)."""
-    verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(
-        F.col("jaccard") >= 0.5
-    )
+    return shared_clusters(spark, sf_dir)
+
+
+def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached cluster assignment — the closure runs its iterative
+    rounds EAGERLY (per-round changed-count aggregates), so every consumer
+    of dedup_clusters (dedup_keep_best, sample_leakage_free_split) used to
+    re-pay the full 20-30 s loop at sf10. Memo key includes the component
+    algorithm conf: switching label<->star must not serve a stale frame.
+    The cached frame holds only docs in verified near-dup pairs — a small
+    fraction of the corpus."""
     algo = str(spark.conf.get(CC_ALGO, "label")).lower()
-    components = star_components if algo == "star" else min_label_components
-    labels = components(verified.select("doc_a", "doc_b"))
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_n"))
-    return labels.join(sizes, "lbl").select(
-        F.col("doc").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        "cluster_n",
-    )
+
+    def build() -> DataFrame:
+        verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(
+            F.col("jaccard") >= 0.5
+        )
+        components = star_components if algo == "star" else min_label_components
+        labels = components(verified.select("doc_a", "doc_b"))
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_n"))
+        return labels.join(sizes, "lbl").select(
+            F.col("doc").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_n",
+        )
+
+    return _memo(spark, sf_dir, f"clusters-{algo}", build)
 
 
 #: keep-best representative selection per duplicate cluster — the decision
