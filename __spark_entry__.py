@@ -115,6 +115,9 @@ _REVERIFY: list[str] = [
     # r8-end: cluster closure memoized (shared_clusters) — producer and
     # both consumers rotate forward
     "dedup_clusters", "dedup_keep_best", "sample_leakage_free_split",
+    # r8-end: verify join memoized (shared_verified_pairs) — remaining
+    # LSH-chain consumers rotate forward
+    "dedup_ngram_jaccard", "dedup_pipeline_decisions",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -360,7 +360,7 @@ def dedup_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on LSH candidates, and the decision policy is a single groupBy (lowest
     surviving id wins; a one-pass approximation of connected components —
     iterative CC is the refinement when duplicate chains matter)."""
-    verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    verified = shared_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     return verified.groupBy(F.col("doc_b").alias("drop_id")).agg(
         F.min("doc_a").alias("kept_id"), F.max("jaccard").alias("jaccard")
     )
@@ -490,7 +490,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds the >= 0.5 cut and keep/drop decisions). Candidates come from
     :func:`lsh_candidates`, and the exact intersection is computed strictly
     candidate-bounded: see :func:`_exact_jaccard_on_candidates`."""
-    return _exact_jaccard_on_candidates(spark, sf_dir)
+    return shared_verified_pairs(spark, sf_dir)
+
+
+def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_a, doc_b, jaccard) verified pairs — the
+    array_intersect verify join is the LSH chain's last expensive stage and
+    THREE consumers read it (dedup_ngram_jaccard, dedup_pipeline_decisions,
+    the shared_clusters build); memoizing it completes the family-cache
+    chain (sigs -> candidates -> verified). The frame is pair-sized
+    (candidates that share >= 1 shingle), far below corpus size."""
+    return _memo(
+        spark, sf_dir, "verified_jaccard",
+        lambda: _exact_jaccard_on_candidates(spark, sf_dir),
+    )
 
 
 def _exact_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,7 +617,7 @@ def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algo = str(spark.conf.get(CC_ALGO, "label")).lower()
 
     def build() -> DataFrame:
-        verified = _exact_jaccard_on_candidates(spark, sf_dir).filter(
+        verified = shared_verified_pairs(spark, sf_dir).filter(
             F.col("jaccard") >= 0.5
         )
         components = star_components if algo == "star" else min_label_components

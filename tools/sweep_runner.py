@@ -96,6 +96,7 @@ def main() -> None:
         ("family:shingle_sets", _dedup.shared_shingle_sets),
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),
         ("family:lsh_candidates", _dedup.lsh_candidates),
+        ("family:verified_pairs", _dedup.shared_verified_pairs),
         ("family:simhash_sigs", _dedup.shared_simhash),
         ("family:sign_bits", _sim.shared_bits),
         ("family:brute_topk", _sim.sim_bruteforce_topk),
