@@ -118,6 +118,8 @@ _REVERIFY: list[str] = [
     # r8-end: verify join memoized (shared_verified_pairs) — remaining
     # LSH-chain consumers rotate forward
     "dedup_ngram_jaccard", "dedup_pipeline_decisions",
+    # r8-end: bigram LM scores memoized (shared_bigram_lm_scores)
+    "docs_bigram_lm_score", "docs_ccnet_buckets",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

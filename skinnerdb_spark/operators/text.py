@@ -974,7 +974,24 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the (a, b) model from which prefix totals derive. The model join is
     vocabulary^2-bounded (AQE broadcasts it when small; co-partitions on the
     bigram key otherwise); the corpus-sized side shuffles once on the join
-    key and once on doc_id. No UDFs, no floating-point order dependence."""
+    key and once on doc_id. No UDFs, no floating-point order dependence.
+
+    The per-doc score frame is session-memoized (shared_bigram_lm_scores):
+    docs_ccnet_buckets composes this entry as its LM, and without the memo
+    the whole bigram pipeline re-executed inside the tercile entry
+    (sf10: ccnet 25 s, ~17 s of which was this recompute)."""
+    return shared_bigram_lm_scores(spark, sf_dir)
+
+
+def shared_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, n_bigrams, lm_score) — see
+    :func:`docs_bigram_lm_score` for the algorithm contract."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    return _memo(spark, sf_dir, "bigram_lm", lambda: _bigram_lm_scores(spark, sf_dir))
+
+
+def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
