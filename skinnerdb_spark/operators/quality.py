@@ -262,6 +262,15 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
         ).alias("is_tgt"),
     )
+    # dbt feeds FOUR consumers (raw/tgt models, their totals, the scoring
+    # join) with DIFFERENT column prunings — the pruned subtrees are no
+    # longer identical, so ReusedExchange does NOT fire and the corpus
+    # explode+md5 re-executed per consumer (measured: 9 runtime scans,
+    # 20.5 s at sf10 vs 5 s for the aggregate itself). Stats-bearing
+    # memory cache (NOT DISK_ONLY: the frame is 4 int columns per
+    # doc-bucket — ~0.3 GB at sf10, far below the verbatim-spans multi-GB
+    # heap-competition threshold, and the 4 reads dominate the cost).
+    dbt = dbt.cache()
     raw = dbt.groupBy("b").agg(F.sum("k").cast("bigint").alias("cr"))
     tgt = (
         dbt.filter(F.col("is_tgt") == 1)
