@@ -960,7 +960,12 @@ def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex prefixes -> int64 (the docs_dsir_weights recipe, identical in both
     engines), all outputs integers (the share is floor integer division —
     DuckDB `//` == Spark `DIV`). One corpus scan, one {N_SHARDS}-key
-    groupBy; the window runs over the {N_SHARDS}-row aggregate."""
+    groupBy; the total is a 1-row aggregate broadcast back (the
+    sample_temperature_mix idiom) rather than a `SUM() OVER ()` — the
+    window was bounded by construction ({N_SHARDS} rows) but fired
+    `WindowExec: No Partition Defined` warnings every bench run (VERDICT
+    r8 item 4), and the warning channel must stay clean so a REAL
+    unpartitioned window can never hide in the noise."""
     d = (
         read_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
@@ -984,9 +989,10 @@ def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
         F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
     )
-    return s.select(
+    tot = s.agg(F.sum("shard_tokens").cast("bigint").alias("total_tokens"))
+    return s.join(F.broadcast(tot)).select(
         "shard", "n_docs", "shard_tokens", "doc_id_sum",
-        F.expr(
-            "CAST(shard_tokens * 1000000 DIV SUM(shard_tokens) OVER () AS BIGINT)"
-        ).alias("token_share_ppm"),
+        F.expr("CAST(shard_tokens * 1000000 DIV total_tokens AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
     )

@@ -499,9 +499,15 @@ def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     THREE consumers read it (dedup_ngram_jaccard, dedup_pipeline_decisions,
     the shared_clusters build); memoizing it completes the family-cache
     chain (sigs -> candidates -> verified). The frame is pair-sized
-    (candidates that share >= 1 shingle), far below corpus size."""
+    (candidates that share >= 1 shingle), far below corpus size.
+
+    Memo key carries the LSH bucket cap (ADVICE r8): the upstream
+    lsh_candidates memo is keyed cand@{cap}, so a mid-session cap change
+    must propagate here (and to shared_clusters downstream) instead of
+    serving pairs verified against the OLD candidate set."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     return _memo(
-        spark, sf_dir, "verified_jaccard",
+        spark, sf_dir, f"verified_jaccard@{cap}",
         lambda: _exact_jaccard_on_candidates(spark, sf_dir),
     )
 
@@ -613,8 +619,10 @@ def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-pay the full 20-30 s loop at sf10. Memo key includes the component
     algorithm conf: switching label<->star must not serve a stale frame.
     The cached frame holds only docs in verified near-dup pairs — a small
-    fraction of the corpus."""
+    fraction of the corpus. Key also carries the LSH bucket cap (ADVICE
+    r8): clusters derive from verified pairs derive from cand@{cap}."""
     algo = str(spark.conf.get(CC_ALGO, "label")).lower()
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
 
     def build() -> DataFrame:
         verified = shared_verified_pairs(spark, sf_dir).filter(
@@ -629,7 +637,7 @@ def shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_n",
         )
 
-    return _memo(spark, sf_dir, f"clusters-{algo}", build)
+    return _memo(spark, sf_dir, f"clusters-{algo}@{cap}", build)
 
 
 #: keep-best representative selection per duplicate cluster — the decision

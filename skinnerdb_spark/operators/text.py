@@ -920,14 +920,19 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # seq_id = (cumulative pieces before this doc) DIV pack size — exact
+    # bigint integer division (ADVICE r8: the earlier float `/` + cast
+    # loses precision once cumulative counts pass 2^53, contradicting the
+    # oracle's `//` and the entry's 100 TB exactness contract)
+    cum = (F.sum("n_pieces").over(w) - F.col("n_pieces")).alias("cum0")
     return enc.select(
+        "doc_id", "source", "n_pieces", "ids_checksum", cum
+    ).select(
         "doc_id",
         "source",
         "n_pieces",
         "ids_checksum",
-        ((F.sum("n_pieces").over(w) - F.col("n_pieces")) / BPE_PACK)
-        .cast("long")
-        .alias("seq_id"),
+        F.expr(f"cum0 DIV {BPE_PACK}").alias("seq_id"),
     )
 
 

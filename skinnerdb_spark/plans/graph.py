@@ -378,6 +378,10 @@ class QueryGraph:
     transfer_sig: tuple = field(default=())
     #: leaves the user marked F.broadcast() — re-hinted at chain rebuild
     hinted: frozenset[str] = field(default=frozenset())
+    #: per-leaf ROW-count estimates (see est_rows) — separate cache from
+    #: the byte sizes: bytes drive relative ordering, rows drive absolute
+    #: thresholds (exploit gate, episode sampling fraction)
+    row_counts: dict[str, int] = field(default_factory=dict)
 
     def ensure_sizes(self) -> None:
         """Optimizer-stat size estimates per leaf (no jobs run). Deferred:
@@ -388,6 +392,52 @@ class QueryGraph:
             self.sizes[name] = int(
                 ldf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
+
+    def est_rows(self, name: str) -> int:
+        """Best-available ROW-count estimate for a leaf, no jobs run.
+
+        sizeInBytes//100 misclassifies wide tables (ADVICE r8: a multi-KB
+        document row overshoots row count 10-100x, tripping the absolute-
+        row thresholds far too early), so prefer, in order:
+        1. optimizer rowCount (present when CBO stats exist);
+        2. parquet footer row counts from the leaf's input files — exact
+           for the scan, an upper bound after filters, read driver-side
+           without running a job (footers are KB-sized; sampled + scaled
+           above 16 files so a 100 TB table costs 16 footer reads);
+        3. the historical bytes//100 fallback.
+        """
+        if name in self.row_counts:
+            return self.row_counts[name]
+        ldf = self.leaves[name]
+        est = 0
+        try:
+            rc = ldf._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            if rc.isDefined():
+                est = int(str(rc.get()))
+        except Exception:
+            pass
+        if est <= 0:
+            try:
+                files = ldf.inputFiles()
+                if files:
+                    import pyarrow.parquet as pq
+
+                    sample = files[:16]
+                    n = 0
+                    for f in sample:
+                        path = f[7:] if f.startswith("file://") else f
+                        if not path.endswith((".parquet", ".pq")):
+                            raise ValueError("non-parquet input")
+                        n += pq.ParquetFile(path).metadata.num_rows
+                    est = int(n * (len(files) / len(sample)))
+            except Exception:
+                est = 0
+        if est <= 0:
+            self.ensure_sizes()
+            est = self.sizes.get(name, 0) // 100
+        est = max(1, est)
+        self.row_counts[name] = est
+        return est
 
     @property
     def fact(self) -> str:
@@ -750,8 +800,10 @@ def adaptive_reorder(
                     # _ROWS=0 disables the fast path entirely.
                     thr = _exploit_rows_threshold()
                     if thr > 0:
-                        graph.ensure_sizes()
-                        est = max(1, graph.sizes.get(graph.fact, 0) // 100)
+                        # actual ROW estimate (footer/CBO-backed, ADVICE
+                        # r8): bytes//100 overshot wide-row tables 10-100x
+                        # and froze learning far below the intended regime
+                        est = graph.est_rows(graph.fact)
                         if est >= thr:
                             reason = "transfer-exploit"
                             _COUNTERS["exploit_hits"] += 1
@@ -798,9 +850,9 @@ def adaptive_reorder(
     fact = graph.fact
 
     # sampled episodes: shrink the fact side to ~sample_rows using the
-    # optimizer's size estimate (row width unknown -> assume bytes/row ~100;
-    # only the *relative* per-order cost matters for the bandit)
-    est_rows = max(1, graph.sizes.get(fact, 0) // 100)
+    # best-available row estimate (footer/CBO-backed — the bytes//100
+    # guess over-shrank the sample fraction on wide tables, ADVICE r8)
+    est_rows = graph.est_rows(fact)
     fraction = min(1.0, sample_rows / est_rows)
     sampled = dict(graph.leaves)
     if fraction < 1.0:

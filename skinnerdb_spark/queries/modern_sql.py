@@ -50,15 +50,40 @@ CHAIN_CAP = 8
 #: Spark bounds total rows PRODUCED by a recursion (default 1e6) as a
 #: runaway guard; the chain produces ~CHAIN_CAP rows per customer, so the
 #: default trips around sf1. The depth cap above is the real guard — raise
-#: the row limit out of the way.
+#: the row limit out of the way, but ONLY inside a dedicated child session
+#: (ADVICE r8: setting it on the caller's session disabled the runaway
+#: guard for every subsequent query in the session).
 _ROW_LIMIT = 2_000_000_000
+
+#: one recursion-scoped child session per SparkContext (applicationId keys
+#: it — id(spark) can be recycled after GC). newSession() shares the
+#: SparkContext, table cache, and builder-time confs but owns its SQLConf
+#: and temp-view namespace, so the raised cteRecursionRowLimit (and the
+#: recursion's temp view) never leak into the caller's session.
+_RCTE_SESSIONS: dict[str, SparkSession] = {}
+
+
+def _recursion_session(spark: SparkSession) -> SparkSession:
+    key = spark.sparkContext.applicationId
+    s2 = _RCTE_SESSIONS.get(key)
+    if s2 is None:
+        if len(_RCTE_SESSIONS) >= 4:  # dead-context hygiene, not a hot path
+            _RCTE_SESSIONS.clear()
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.cteRecursionRowLimit", str(_ROW_LIMIT))
+        _RCTE_SESSIONS[key] = s2
+    return s2
 
 # Both engines evaluate the identical recursion: anchor = each customer's
 # first order, step = join the frontier to the customer's next order by
 # chain position, accumulating spend in DECIMAL(18,2) (exact, and the
 # accumulation ORDER is pinned by the chain itself, so cross-engine results
 # are bit-identical). MAX_BY(x, depth) is deterministic because depth is
-# unique within a customer's chain.
+# unique within a customer's chain. The FINAL chain_spend is cast to DOUBLE
+# per the repo's money-column convention (tpch_q01 oracle precedent): the
+# accumulation stays DECIMAL-exact, but emitted decimals render differently
+# through the driver's fetch layer ('1987976.20' vs '1987976.2' — the r8
+# hash-only gate miss), so final selects emit DOUBLE on both sides.
 _RCTE_CHAIN = """
 chain(o_custkey, okey, depth, acc) AS (
   SELECT o_custkey, o_orderkey, 1, CAST(price AS DECIMAL(18,2))
@@ -71,7 +96,7 @@ chain(o_custkey, okey, depth, acc) AS (
 SELECT o_custkey,
        CAST(MAX(depth) AS INT) AS n_orders,
        MAX_BY(okey, depth) AS last_orderkey,
-       MAX_BY(acc, depth) AS chain_spend
+       CAST(MAX_BY(acc, depth) AS DOUBLE) AS chain_spend
 FROM chain
 GROUP BY o_custkey
 """
@@ -115,9 +140,11 @@ def rcte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE executor re-references it each round, and without the
     cache each of the CHAIN_CAP rounds would re-scan + re-window orders.
     The recursion-row-limit conf (a runaway guard, default 1e6 total rows)
-    is raised out of the way — the depth cap is the real bound here.
+    is raised out of the way — the depth cap is the real bound here — in a
+    DEDICATED child session (:func:`_recursion_session`), so the guard
+    stays at its default for everything else the caller runs (ADVICE r8).
     """
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(_ROW_LIMIT))
+    spark = _recursion_session(spark)
     o = read_table(spark, sf_dir, "orders")
     seq = (
         o.select(

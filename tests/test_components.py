@@ -1639,3 +1639,27 @@ def test_sweep_runner_run_one(spark, sf_dir):
     assert r["status"] == "ok"
     assert r["rows"] == 8 and r["sec"] > 0
     assert "spill" in r and "shuffles" in r
+
+
+def test_sweep_runner_grace_completion_not_mislabeled(spark, sf_dir):
+    """ADVICE r8: a worker that completes DURING the post-cancel grace join
+    must keep its status=ok record — the old code stamped timeout over it.
+    The spec below outlives the watchdog window (0.3 s) but finishes well
+    inside the 30 s grace, deterministically exercising exactly that race."""
+    import importlib.util
+    import time as _t
+
+    spec = importlib.util.spec_from_file_location("sweep_runner", "tools/sweep_runner.py")
+    sr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sr)
+
+    class _SlowBuildSpec:
+        name = "slow_build"
+
+        def spark(self, session, sf):
+            _t.sleep(1.2)  # driver-side: cancelJobGroup can't interrupt it
+            return session.range(3)
+
+    r = sr.run_one(spark, _SlowBuildSpec(), sf_dir, 0.3)
+    assert r["status"] == "ok", r
+    assert r["rows"] == 3 and r["sec"] >= 1.2

@@ -62,8 +62,12 @@ def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
     if th.is_alive():
         spark.sparkContext.cancelJobGroup(group)
         th.join(30)
-        result["status"] = "timeout"
-        result["sec"] = timeout
+        # the worker may have FINISHED during the grace join (ADVICE r8):
+        # only stamp timeout if it didn't record a completed run — a
+        # cancellation-induced error is a timeout, a status=ok is not
+        if result.get("status") != "ok":
+            result["status"] = "timeout"
+            result["sec"] = timeout
     return result
 
 
