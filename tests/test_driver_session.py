@@ -112,7 +112,16 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # iteration, PMI ratio ranking, Jaccard link prediction
              "embed_kmeans", "text_bpe_merges", "docs_bigram_lm_score",
              "embed_power_iteration", "docs_pmi_topk",
-             "graph_jaccard_links", "orders_skyline", "ev_heavy_hitters"]:
+             "graph_jaccard_links", "orders_skyline", "ev_heavy_hitters",
+             # round-9 additions: the recursive CTE runs in a CHILD session
+             # (newSession() from the plain driver session — exactly the
+             # session-sensitive path this test exists to catch), native
+             # session windows are timestamp-typed under non-UTC, and the
+             # r8 scalar/stat tiers ride along
+             "rcte_order_chains", "ev_session_window_native",
+             "events_variant_props", "text_bpe_encode",
+             "sample_shard_manifest", "asof_first_shipment",
+             "stats_ab_ztest", "docs_inverted_index"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
