@@ -22,12 +22,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["tpch_q03"].spark(spark, "/root/testdata/sf0.001")
 
 
-#: everything the driver's correctness gate sampled in rounds 1-7 (the union
-#: of CORRECTNESS_r01..r07 keys — 178/178 registry entries green cumulatively
-#: as of r7). The gate takes the FIRST 50 queries() entries, so already-green
-#: entries rotate to the back and any newly added entries get hard driver
-#: rows. The staples keep full local coverage in tests/test_oracle.py.
-_R1234567_SAMPLED = frozenset(
+#: everything the driver's correctness gate sampled in rounds 1-8 (the union
+#: of CORRECTNESS_r01..r08 keys — 198/198 registry entries green cumulatively
+#: as of r8, rcte_order_chains re-green after the r9 DOUBLE-cast fix). The
+#: gate takes the FIRST 50 queries() entries, so already-green entries rotate
+#: to the back and any newly added entries get hard driver rows. The staples
+#: keep full local coverage in tests/test_oracle.py.
+_R12345678_SAMPLED = frozenset(
     ["adaptive_star_join", "setop_union", "setop_intersect_except",
      "window_rank_topn", "window_running_sum", "rollup_agg", "stats_agg",
      "median_manual", "distinct_agg", "edge_empty_and_null_aggs", "cube_agg",
@@ -85,6 +86,15 @@ _R1234567_SAMPLED = frozenset(
        "docs_gopher_quality", "docs_lexical_diversity", "docs_dsir_weights",
        "ev_winsorize", "docs_ccnet_buckets", "ev_rate_limit",
        "dedup_incremental", "ev_countmin_sketch"]
+    # r8 sample (CORRECTNESS_r08: 49/50 hash-green; the one red,
+    # rcte_order_chains, is fixed in r9 and rotates forward via _REVERIFY)
+    + ["asof_first_shipment", "docs_html_extract", "docs_hybrid_rrf",
+       "docs_inverted_index", "docs_quality_prune_budget", "docs_url_dedup",
+       "embed_jl_distortion", "ev_mad_outliers", "ev_session_window_native",
+       "events_variant_props", "rcte_order_chains", "sample_shard_manifest",
+       "scalar_map_surface", "scalar_try_surface", "stats_ab_ztest",
+       "stats_chi2_independence", "stats_skew_report", "text_bpe_encode",
+       "text_word_offsets_udtf", "dedup_keep_best"]
 )
 
 #: sampled before, but rotate forward again for re-verification in r7:
@@ -93,69 +103,42 @@ _R1234567_SAMPLED = frozenset(
 #: diff vs GATE_FINGERPRINTS.json), which closed the r6 hygiene miss where
 #: two changed entries never rotated forward.
 _REVERIFY: list[str] = [
-    # r8: exact percentiles restructured to value-domain k-th selection
-    # (no value-buffering percentile aggregate, no global sort)
-    "median_manual", "orders_equidepth_hist",
-    # r8: realvocab 100x measurement + docstring scale contract updated
-    # (gate fingerprint diff -> rotate forward per protocol)
-    "dedup_prefix_filter",
-    # r8: re-verify after the residual-pair root-cause analysis (no code
-    # change — fingerprint unchanged; prudence rotation only)
-    "dedup_pipeline_decisions",
-    # r8: adaptive exploit-only fast path can change episode accounting
-    # (winning order must stay semantically identical — re-verify)
+    # r9: the hash-red r8 row — final chain_spend now DOUBLE in both
+    # engines, recursion conf scoped to a child session; MUST get a green
+    # driver row this round (VERDICT r8 item 1)
+    "rcte_order_chains",
+    # r9: seq_id switched to exact bigint DIV (ADVICE r8)
+    "text_bpe_encode",
+    # r9: SUM() OVER () replaced by the broadcast-total idiom
+    "sample_shard_manifest",
+    # r9: LSH-chain memo keys now carry the bucket cap (ADVICE r8) —
+    # producer + all consumers rotate forward
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
+    "sample_leakage_free_split", "dedup_pipeline_decisions",
+    # r9: adaptive exploit gate + episode sampling switched to footer/CBO
+    # row estimates (ADVICE r8) — winning order must stay identical
     "adaptive_star_join",
-    # r8: learner loop refactored into the shared _bpe_rounds helper
-    # (fingerprint diff -> rotate forward per protocol)
-    "text_bpe_merges",
-    # r8-end: graph tier switched to the shared_co_edges family cache
-    # (fingerprint diffs -> rotate forward per protocol)
-    "graph_pagerank", "graph_triangles", "graph_jaccard_links",
-    "wcoj_clique4", "wcoj_triangle_listing",
-    # r8-end: cluster closure memoized (shared_clusters) — producer and
-    # both consumers rotate forward
-    "dedup_clusters", "dedup_keep_best", "sample_leakage_free_split",
-    # r8-end: verify join memoized (shared_verified_pairs) — remaining
-    # LSH-chain consumers rotate forward
-    "dedup_ngram_jaccard", "dedup_pipeline_decisions",
-    # r8-end: bigram LM scores memoized (shared_bigram_lm_scores)
-    "docs_bigram_lm_score", "docs_ccnet_buckets",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
 #: this round, listed explicitly so their first driver rows are immune to
 #: registration order.
 _PRIORITY: list[str] = [
-    # r8 new entries
-    "text_bpe_encode", "docs_html_extract", "docs_hybrid_rrf",
-    "dedup_keep_best",
-    # r8 late additions: Spark-4 SQL surfaces (native recursive CTE, VARIANT,
-    # Python UDTF) + JL random projection with distortion certificate
-    "rcte_order_chains", "events_variant_props", "text_word_offsets_udtf",
-    "embed_jl_distortion", "ev_session_window_native", "stats_skew_report",
-    "scalar_try_surface", "docs_quality_prune_budget", "ev_mad_outliers",
-    "asof_first_shipment",
-    # r8 final batch: retrieval index build, web-crawl URL dedup, MAP-type
-    # scalar surface
-    "docs_inverted_index", "docs_url_dedup", "scalar_map_surface",
-    # r8 final batch: hypothesis-testing tier
-    "stats_ab_ztest", "stats_chi2_independence",
-    # r8 final batch: shard striping manifest
-    "sample_shard_manifest",
+    # r9 new entries pin here as they land (front of the gate window)
 ]
 
 
 def _driver_ordered() -> list[str]:
     specs = all_specs()
     front = [n for n in _PRIORITY + _REVERIFY if n in specs]
-    fresh = [n for n in specs if n not in _R1234567_SAMPLED and n not in front]
-    rest = [n for n in specs if n in _R1234567_SAMPLED and n not in front]
+    fresh = [n for n in specs if n not in _R12345678_SAMPLED and n not in front]
+    rest = [n for n in specs if n in _R12345678_SAMPLED and n not in front]
     return front + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _R1234567_SAMPLED)."""
+    never-driver-sampled entries first (see _R12345678_SAMPLED)."""
     specs = all_specs()
     return {name: specs[name].spark for name in _driver_ordered()}
 
