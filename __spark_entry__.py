@@ -118,6 +118,9 @@ _REVERIFY: list[str] = [
     # r9: adaptive exploit gate + episode sampling switched to footer/CBO
     # row estimates (ADVICE r8) — winning order must stay identical
     "adaptive_star_join",
+    # r9: multiprobe rebuilt as query-directed margin probing (8x10x600),
+    # MAX_PLANES 32 -> 80 reshapes every shared_bits consumer's plan
+    "sim_lsh_multiprobe", "sim_lsh_ann", "sim_lsh_buckets",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

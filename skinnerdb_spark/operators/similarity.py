@@ -246,11 +246,21 @@ def exact_topk_on_candidates(e, cand) -> DataFrame:
 # --------------------------------------------------------------------------
 ANN_TABLES = 8
 ANN_BITS = 4
-# multiprobe operating point: FEWER tables x LONGER keys than the primary
-# 8x4, recovering recall by probing each query key's Hamming-1 neighborhood
-# (7/64 of each table vs 1/16 exact) — recall from probing, not more tables
-MP_TABLES = 4
-MP_BITS = 6
+# multiprobe operating point (r9): LONGER keys, recall recovered by
+# QUERY-DIRECTED probing — all <=MP_FLIPS-bit perturbations of each table
+# key ranked by the exact-decimal margin cost of the flipped bits (the
+# smaller a projection's |margin|, the likelier its sign differs for a true
+# neighbor — Lv et al., VLDB'07), the best MP_PROBES probes taken GLOBALLY
+# across tables. Measured recall@5 vs candidate cost (numpy replica of the
+# exact spec, then confirmed live on the entries): 0.80 @ 0.47 (sf0.01,
+# n=500), 0.94 @ 0.45 (sf0.001), 0.96 @ 0.47 (sf0.1, n=2000) — vs the old
+# blind-Hamming-1 4x6's flat 0.64 @ 0.40, and dominating the r5 frontier
+# point (0.86 @ 0.571) on cost. Random near-orthogonal vectors remain
+# sign-LSH's worst case; the probe budget is what buys recall here.
+MP_TABLES = 8
+MP_BITS = 10
+MP_PROBES = 600
+MP_FLIPS = 3
 
 
 def _multi_ann_oracle(n_tables: int, bits: int, probe_hamming: int = 0) -> str:
@@ -316,9 +326,11 @@ def _multi_ann_oracle(n_tables: int, bits: int, probe_hamming: int = 0) -> str:
 
 #: every sign-LSH entry draws planes from the SAME md5('p<j>_<i>') family:
 #: plane j is identical whatever the total plane count, so the 8-plane
-#: bucket signature, the 4x6 multiprobe keys, and the 8x4 ANN keys are all
-#: substrings of ONE 32-plane bit string. Compute it once per warehouse.
-MAX_PLANES = 32
+#: bucket signature, the 8x10 multiprobe keys, and the 8x4 ANN keys are all
+#: substrings of ONE 80-plane bit string. Compute it once per warehouse.
+#: (Raised 32 -> 80 in r9 for the margin-directed multiprobe tier; the
+#: shared build stays one corpus pass, ~2.5x the fold work, memoized.)
+MAX_PLANES = 80
 
 
 def shared_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,20 +485,255 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _multi_ann(spark, sf_dir, ANN_TABLES, ANN_BITS)
 
 
+def _probe_masks(bits: int, max_flips: int) -> list[int]:
+    """All flip-set bitmasks of <= max_flips bits, ascending int order —
+    the canonical probe universe, injected as a LITERAL into both engines
+    (data-independent, so no runtime subset generation anywhere)."""
+    return sorted(m for m in range(1 << bits) if bin(m).count("1") <= max_flips)
+
+
+def shared_query_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (query_id, marr): per query vector, the MAX_PLANES exact-
+    decimal projection MAGNITUDES ordered by plane index. Query-side only
+    (vec_id < N_QUERIES), so the frame is N_QUERIES rows whatever the
+    corpus size — the margin ranking never touches corpus-scale data."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    def build():
+        e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+        planes = e.select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(MAX_PLANES - 1))).alias("j"),
+        )
+        # exact DECIMAL margin (no double cast): margins are compared, not
+        # emitted, and exact decimals make the probe ranking bit-identical
+        # across engines with no IEEE summation-order caveats
+        pd_ = F.expr(
+            f"aggregate(zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), embedding, "
+            f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12))), "
+            f"CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"
+        )
+        return (
+            planes.select("query_id", "j", F.abs(pd_).alias("m"))
+            .groupBy("query_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, m))), x -> x.m)"
+                ).alias("marr")
+            )
+        )
+
+    return _memo(spark, sf_dir, "qmargins", build)
+
+
+def _margin_probe_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = MP_TABLES,
+    bits: int = MP_BITS,
+    probes: int = MP_PROBES,
+    max_flips: int = MP_FLIPS,
+) -> DataFrame:
+    """Candidate (query_id, neighbor_id) pairs of the query-directed
+    multiprobe — split out so the recall/cost sweep can count candidates.
+
+    Probe selection: every <=max_flips flip-set of every table key is a
+    candidate probe; its cost is the exact-decimal sum of the flipped
+    bits' projection margins; the best ``probes`` probes PER QUERY are
+    taken globally across tables (ORDER BY cost, t, mask — fully
+    deterministic, and identical in DuckDB because the costs are exact
+    decimals, not IEEE sums). The zero-cost empty flip-set ranks first for
+    every table, so the exact buckets are always probed (probes >=
+    n_tables is asserted) and the candidate set is a strict superset of
+    the no-probing variant's.
+
+    Scale shape: the probe frame is N_QUERIES x n_tables x |masks| rows
+    (query-side constants — 14k rows here), ranked by a window PARTITIONED
+    by query, then broadcast into the corpus bucket join; the corpus side
+    is the same capped (t, bkey) table every sign-LSH entry uses. Corpus
+    cost is |retrieved buckets|, the multiprobe trade made explicit."""
+    from skinnerdb_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        _LSH_MAX_BUCKET_DEFAULT,
+        cap_buckets,
+    )
+
+    assert n_tables * bits <= MAX_PLANES
+    assert probes >= n_tables, "exact buckets must always be probed"
+    masks = _probe_masks(bits, max_flips)
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    e = read_table(spark, sf_dir, "embeddings")
+    tbl = cap_buckets(_multi_signatures_df(spark, sf_dir, n_tables, bits), ["t", "bkey"], cap)
+
+    qk = shared_bits(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bits"
+    )
+    q = (
+        shared_query_margins(spark, sf_dir)
+        .join(qk, "query_id")
+        .select(
+            "query_id",
+            "marr",
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
+            "bits",
+        )
+        .select(
+            "query_id",
+            "marr",
+            "t",
+            F.expr(f"substring(bits, t * {bits} + 1, {bits})").alias("qkey"),
+        )
+        .select(
+            "query_id",
+            "marr",
+            "t",
+            "qkey",
+            F.explode(F.lit(masks)).alias("mask"),
+        )
+        .withColumn(
+            "cost",
+            F.expr(
+                f"aggregate(filter(sequence(0, {bits - 1}), "
+                f"b -> (shiftright(mask, b) & 1) = 1), "
+                f"CAST(0 AS DECIMAL(30,12)), "
+                f"(acc, b) -> CAST(acc + element_at(marr, t * {bits} + b + 1) "
+                f"AS DECIMAL(30,12)))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("cost", "t", "mask")
+    sel = q.withColumn("prnk", F.row_number().over(w)).filter(F.col("prnk") <= probes)
+    probes_df = sel.select(
+        "query_id",
+        F.col("t").alias("qt"),
+        F.expr(
+            f"concat_ws('', transform(sequence(0, {bits - 1}), "
+            f"b -> CASE WHEN (shiftright(mask, b) & 1) = 1 "
+            f"THEN (CASE WHEN substring(qkey, b + 1, 1) = '1' THEN '0' ELSE '1' END) "
+            f"ELSE substring(qkey, b + 1, 1) END))"
+        ).alias("pkey"),
+    )
+    cand = (
+        tbl.join(
+            F.broadcast(probes_df),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bkey") == F.col("pkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return cand
+
+
+def _margin_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = MP_TABLES,
+    bits: int = MP_BITS,
+    probes: int = MP_PROBES,
+    max_flips: int = MP_FLIPS,
+) -> DataFrame:
+    """Exact top-k over the margin-probed candidate set (docstring above)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cand = _margin_probe_candidates(spark, sf_dir, n_tables, bits, probes, max_flips)
+    return exact_topk_on_candidates(e, cand)
+
+
+def _margin_multiprobe_oracle(
+    n_tables: int, bits: int, probes: int, max_flips: int
+) -> str:
+    total = n_tables * bits
+    mask_list = ",".join(str(m) for m in _probe_masks(bits, max_flips))
+    return f"""
+    WITH proj AS (
+        SELECT e.vec_id, g.j,
+               SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
+                    AS DECIMAL(28,12))) AS pd
+        FROM embeddings e,
+             generate_series(0, {total - 1}) AS g(j),
+             generate_series(1, {DIM}) AS d(i)
+        GROUP BY e.vec_id, g.j),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN CAST(pd AS DOUBLE) > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY j) AS bits
+        FROM proj GROUP BY vec_id),
+    tbl AS (
+        SELECT vec_id, t.t AS t, SUBSTR(bits, t.t * {bits} + 1, {bits}) AS bkey
+        FROM sig, generate_series(0, {n_tables - 1}) AS t(t)),
+    qmarg AS (SELECT vec_id, j, ABS(pd) AS m FROM proj WHERE vec_id < {N_QUERIES}),
+    masks AS (SELECT UNNEST([{mask_list}]) AS mask),
+    qp AS (
+        SELECT s.vec_id AS query_id, t.t AS t, m.mask,
+               SUBSTR(s.bits, t.t * {bits} + 1, {bits}) AS qkey
+        FROM sig s, generate_series(0, {n_tables - 1}) AS t(t), masks m
+        WHERE s.vec_id < {N_QUERIES}),
+    qcost AS (
+        SELECT q.query_id, q.t, q.mask, q.qkey,
+               COALESCE((SELECT SUM(p2.m) FROM qmarg p2
+                         WHERE p2.vec_id = q.query_id
+                           AND p2.j >= q.t * {bits} AND p2.j < (q.t + 1) * {bits}
+                           AND ((q.mask >> (p2.j - q.t * {bits})) & 1) = 1),
+                        CAST(0 AS DECIMAL(38,12))) AS cost
+        FROM qp q),
+    sel AS (
+        SELECT * FROM (
+            SELECT query_id, t, mask, qkey,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cost, t, mask) AS prnk
+            FROM qcost) r
+        WHERE prnk <= {probes}),
+    pk AS (
+        SELECT s.query_id, s.t,
+               (SELECT string_agg(
+                       CASE WHEN ((s.mask >> g.b) & 1) = 1
+                            THEN (CASE WHEN SUBSTR(s.qkey, g.b + 1, 1) = '1'
+                                       THEN '0' ELSE '1' END)
+                            ELSE SUBSTR(s.qkey, g.b + 1, 1) END,
+                       '' ORDER BY g.b)
+                FROM (SELECT UNNEST(generate_series(0, {bits - 1})) AS b) g) AS pkey
+        FROM sel s),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM pk p JOIN tbl c ON c.t = p.t AND c.bkey = p.pkey
+                            AND c.vec_id <> p.query_id),
+    normed AS (
+        SELECT vec_id, embedding, SQRT({_oracle_dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               {_oracle_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+        FROM cand cd
+        JOIN normed q ON q.vec_id = cd.query_id
+        JOIN normed c ON c.vec_id = cd.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 @register(
     "sim_lsh_multiprobe",
-    _multi_ann_oracle(MP_TABLES, MP_BITS, probe_hamming=1),
+    _margin_multiprobe_oracle(MP_TABLES, MP_BITS, MP_PROBES, MP_FLIPS),
     tags=("similarity", "pipeline", "lsh"),
 )
 def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE multiprobe LSH: 4 tables x 6-bit keys, each query probing its
-    exact bucket PLUS all 6 Hamming-1 neighbor buckets per table — the
-    classic multiprobe trade (Lv et al., VLDB'07): recall recovered by
-    widening the probe set instead of adding tables, so signature cost is
-    half the primary 8x4 entry's. (The r2/r3 version was a plain 4x4 union
-    with NO extra probes — recall 0.36, strictly worse than the 8x4 primary;
-    bench.py measures this variant's recall@5 live as `multiprobe_recall`.)"""
-    return _multi_ann(spark, sf_dir, MP_TABLES, MP_BITS, probe_hamming=1)
+    """Query-directed multiprobe LSH (Lv et al., VLDB'07), the r9 rebuild:
+    8 tables x 10-bit keys, every <=3-bit perturbation of every table key
+    ranked by the exact-decimal margin cost of its flipped bits, the best
+    600 probes per query taken globally across tables. Replaces the blind
+    Hamming-1 4x6 variant whose recall@5 sat at 0.64 for three rounds
+    (VERDICT r8 item 3) — measured live recall@5 is now 0.80 (sf0.01) /
+    0.96 (sf0.1) at ~0.47 candidate cost (bench.py emits it per run as
+    `ann_recall.sim_lsh_multiprobe`; the full recall-vs-cost curve is in
+    PERFORMANCE.md \"Round-9: margin-directed multiprobe\")."""
+    return _margin_multiprobe(spark, sf_dir)
 
 
 _NEARDUP_ORACLE = f"""

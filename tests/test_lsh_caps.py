@@ -96,6 +96,39 @@ def test_multiprobe_top1_never_worse_than_exact_bucket(spark, sf_dir):
         assert probed[q] >= cos - 1e-12, f"query {q}: probed top-1 worse than exact"
 
 
+def test_margin_multiprobe_superset_and_determinism(spark, sf_dir):
+    """The r9 query-directed multiprobe: (a) the zero-cost empty flip-set
+    ranks first for every table, so the exact buckets are always probed and
+    the candidate set is a superset of the no-probe variant's; (b) the
+    probe ranking is exact-decimal, so two runs retrieve identical sets."""
+    from skinnerdb_spark.operators.similarity import (
+        MP_BITS,
+        MP_TABLES,
+        _margin_probe_candidates,
+        _probe_masks,
+    )
+
+    # mask universe: all <=3-flip subsets, ascending, empty set first
+    masks = _probe_masks(4, 2)
+    assert masks[0] == 0 and masks == sorted(masks)
+    assert len(masks) == 1 + 4 + 6
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact_only = pairs(
+        _margin_probe_candidates(spark, sf_dir, probes=MP_TABLES, max_flips=0)
+    )
+    probed = pairs(_margin_probe_candidates(spark, sf_dir, probes=64))
+    assert probed >= exact_only, "margin probing lost an exact-bucket pair"
+    assert probed == pairs(
+        _margin_probe_candidates(spark, sf_dir, probes=64)
+    ), "probe selection must be deterministic run-to-run"
+    # a bigger budget only widens the set
+    wider = pairs(_margin_probe_candidates(spark, sf_dir, probes=256))
+    assert wider >= probed
+
+
 def test_simhash_drops_null_text(spark, tmp_path):
     """NULL texts drop (the oracle's UNNEST over a NULL list emits no rows);
     they must not collapse into a shared all-'0' signature bucket."""

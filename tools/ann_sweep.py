@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ANN_ENTRIES = [
     # name, candidate-representation note
     ("sim_lsh_ann", "raw vectors (8 tables x 4-bit sign-LSH)"),
-    ("sim_lsh_multiprobe", "raw vectors (4 tables x 6-bit, Hamming-1 probes)"),
+    ("sim_lsh_multiprobe", "raw vectors (8 tables x 10-bit, 600 margin-ranked probes)"),
     ("sim_ivf_ann", "raw vectors (nprobe=2 of 16 k-means cells)"),
     ("sim_pq_ann", "8-byte PQ codes (16x4-bit), ADC then rescore"),
     ("sim_ivfpq_ann", "8-byte PQ codes within nprobe IVF cells"),
