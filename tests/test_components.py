@@ -1663,3 +1663,43 @@ def test_sweep_runner_grace_completion_not_mislabeled(spark, sf_dir):
     r = sr.run_one(spark, _SlowBuildSpec(), sf_dir, 0.3)
     assert r["status"] == "ok", r
     assert r["rows"] == 3 and r["sec"] >= 1.2
+
+
+def test_union_dedup_recursion_boundary_pinned(spark):
+    """Spark 4.1 supports only UNION ALL recursion; the cycle-safe
+    UNION-dedup form (graph reachability) raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — the documented engine boundary
+    that keeps cyclic traversals on the unrolled-rounds path
+    (queries/modern_sql.py header). Pinned so a Spark upgrade that LIFTS
+    the boundary is noticed: if this test fails with no error raised,
+    revisit dedup_clusters' unrolled loop."""
+    import pytest as _pt
+    from pyspark.errors import AnalysisException
+
+    with _pt.raises(AnalysisException) as ei:
+        spark.sql(
+            "WITH RECURSIVE r(n) AS (SELECT 1 UNION SELECT n + 1 FROM r "
+            "WHERE n < 5) SELECT * FROM r"
+        ).collect()
+    assert ei.value.getCondition() == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"
+
+
+def test_cte_recursion_row_limit_guard_pinned(spark):
+    """The cteRecursionRowLimit runaway guard: a recursion producing more
+    rows than the conf trips RECURSION_ROW_LIMIT_EXCEEDED at execution.
+    Scoped to a child session — the same isolation rcte_order_chains uses
+    for the opposite purpose (raising the limit) — so this session's guard
+    is untouched. Pins both the error class and that the conf is read at
+    EXECUTION (the child session's value governs its own DataFrames)."""
+    import pytest as _pt
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.cteRecursionRowLimit", "10")
+    df = s2.sql(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r "
+        "WHERE n < 100) SELECT COUNT(*) AS n FROM r"
+    )
+    with _pt.raises(Exception, match="RECURSION_ROW_LIMIT_EXCEEDED"):
+        df.collect()
+    # the caller's session guard is untouched by the child's conf
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") != "10"

@@ -32,6 +32,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MIN_FREE_GB = 5.0
 
+#: adjudicated by-name exclusions (VERDICT r8 scale-boundary notes) — a
+#: sweep may skip these only WITH the reason attached to the artifact row,
+#: so the driver-visible JSONL carries the claim, not just PERFORMANCE.md
+EXCLUDE_REASONS = {
+    "name_edit_distance_pairs": (
+        "output-bound: ~3.3M result pairs at sf1 (bucketed SymSpell keys; "
+        "the output itself is the cost)"
+    ),
+    "dedup_simhash_pairs": "output-bound: ~43M banded pairs at sf1",
+    "dedup_prefix_filter": (
+        "dense-vocab corpus quadratic BY CONSTRUCTION (per-shingle density "
+        "~n/1024); measured on the realistic-Zipf corpus instead — see the "
+        "@realvocab row"
+    ),
+}
+
 
 def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
     from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
@@ -121,8 +137,23 @@ def main() -> None:
             print(f"{fname}: {r['status']} {r.get('sec', '')}", flush=True)
         for name in excluded:
             if name in specs:
-                specs.pop(name)
-                out.write(json.dumps({"name": name, "status": "excluded"}) + "\n")
+                spec = specs.pop(name)
+                row = {"name": name, "status": "excluded"}
+                if name in EXCLUDE_REASONS:
+                    row["reason"] = EXCLUDE_REASONS[name]
+                out.write(json.dumps(row) + "\n")
+                # the prefix-filter's density boundary is a property of the
+                # dense-vocab corpus, not the algorithm — measure it on the
+                # realistic-Zipf warehouse (datagen_scale --realvocab-docs)
+                # as a named row so the sweep carries the measured point
+                rv_dir = sf_dir.rstrip("/") + "rv"
+                if name == "dedup_prefix_filter" and os.path.isdir(rv_dir):
+                    r = run_one(spark, spec, rv_dir, timeout)
+                    r["name"] = f"{name}@realvocab"
+                    r["corpus"] = rv_dir
+                    out.write(json.dumps(r) + "\n")
+                    out.flush()
+                    print(f"{r['name']}: {r['status']} {r.get('sec', '')}", flush=True)
         for i, (name, spec) in enumerate(specs.items()):
             free_gb = shutil.disk_usage("/").free / 1e9
             if free_gb < MIN_FREE_GB:
