@@ -160,14 +160,19 @@ def hypercube_generic_join(
     var_order: list[str] | None = None,
     total_cells: int | None = None,
     adaptive: bool = False,
+    shares: dict[str, int] | None = None,
 ) -> DataFrame:
     """One-shuffle distributed WCOJ over binary/int64 atoms.
 
     ``atoms``: (frame, variable names) pairs; each frame's columns must be
     exactly its variables (int-typed). Returns one column per variable.
     ``total_cells`` defaults to the session's parallelism; registered
-    entries pin it for plan determinism.
-    """
+    entries pin it for plan determinism. ``shares`` overrides the uniform
+    per-variable share (the Shares/HyperCube optimum is generally UNEQUAL
+    — Afrati-Ullman solve it per atom sizes; callers can pass a measured
+    assignment; replication of atom R grows as prod(shares of R's missing
+    variables), so skewing shares toward one variable taxes exactly the
+    atoms that lack it)."""
     if adaptive and var_order is None:
         var_order = _adaptive_order(atoms)
     if var_order is None:
@@ -176,11 +181,16 @@ def hypercube_generic_join(
     for v in variables:
         if v in _RESERVED:
             raise ValueError(f"variable name {v!r} is reserved")
-    if total_cells is None:
-        total_cells = spark.sparkContext.defaultParallelism
-    k = len(variables)
-    share = max(1, round(total_cells ** (1.0 / k)))
-    shares = {v: share for v in variables}
+    if shares is None:
+        if total_cells is None:
+            total_cells = spark.sparkContext.defaultParallelism
+        k = len(variables)
+        share = max(1, round(total_cells ** (1.0 / k)))
+        shares = {v: share for v in variables}
+    else:
+        missing_share = [v for v in variables if v not in shares]
+        if missing_share:
+            raise ValueError(f"shares missing for variables {missing_share}")
 
     tagged = []
     for i, (df, vs) in enumerate(atoms):
@@ -227,7 +237,12 @@ def hypercube_generic_join(
 #: vary with the machine's core count; at cluster scale pass the session's
 #: parallelism instead
 _TRI_CELLS = 27   # 3 vars -> 3x3x3
-_CLIQ_CELLS = 16  # 4 vars -> 2x2x2x2
+#: clique grid measured at sf10 (PERFORMANCE.md "Round-9: clique4 shares"):
+#: uniform grids lose — 81/256 cells pay x9/x16 replication (7.8/32 GB
+#: spill); the win is an UNEQUAL share on the FIRST-BOUND variable only
+#: (root frontier splits 3 ways, atoms lacking `a` pay x6 instead of x4;
+#: 24 cells, spill-free, median 54 -> 39 s over paired trials)
+_CLIQ_SHARES = {"a": 3, "b": 2, "c": 2, "d": 2}
 
 
 def _edge_atoms(edges: DataFrame, pairs: list[tuple[str, str]],
@@ -299,16 +314,20 @@ def wcoj_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 4-clique (6-atom cyclic query) via the hypercube WCOJ — the
     shape where binary join trees are furthest from the AGM bound (|E|^2
     for 4-cliques). Same one-shuffle structure as the triangle entry: each
-    of the 6 atoms is replicated across its two missing grid dimensions
-    (factor 4 on a 2^4 grid), then GenericJoin binds a, b, c, d in order,
-    expanding each partial clique from its smallest adjacency list. Edges
-    localCheckpoint once — the 6 atoms must not re-derive the edge list 6
-    times."""
+    of the 6 atoms is replicated across its missing grid dimensions, then
+    GenericJoin binds a, b, c, d in order, expanding each partial clique
+    from its smallest adjacency list. Edges localCheckpoint once — the 6
+    atoms must not re-derive the edge list 6 times. Shares are unequal
+    (see _CLIQ_SHARES): the r9 sf10 grid sweep measured uniform 2^4 as the
+    best UNIFORM grid (bigger uniform grids spill on replication) and a 3x
+    share on the first-bound variable as the only real lever — it splits
+    the root frontier, which is where the in-cell GenericJoin's work
+    concentrates."""
     edges = shared_co_edges(spark, sf_dir)
     atoms = _edge_atoms(
         edges,
         [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
     )
     out = hypercube_generic_join(
-        spark, atoms, var_order=["a", "b", "c", "d"], total_cells=_CLIQ_CELLS)
+        spark, atoms, var_order=["a", "b", "c", "d"], shares=_CLIQ_SHARES)
     return out.orderBy("a", "b", "c", "d")

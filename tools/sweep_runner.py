@@ -50,6 +50,7 @@ EXCLUDE_REASONS = {
 
 
 def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
+    from skinnerdb_spark.plans.graph import adaptive_counters
     from skinnerdb_spark.plans.metrics import plan_metrics, run_and_count
 
     result: dict = {"name": spec.name}
@@ -59,6 +60,7 @@ def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
         sc = spark.sparkContext
         sc.setJobGroup(group, spec.name, interruptOnCancel=True)
         try:
+            c0 = adaptive_counters()
             t0 = time.monotonic()
             df = spec.spark(spark, sf_dir)
             n = run_and_count(df)
@@ -67,6 +69,16 @@ def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
             m = plan_metrics(df)
             result["spill"] = m["spill_bytes"]
             result["shuffles"] = m["shuffle_count"]
+            # which runs still PAY exploration (VERDICT r8 item 5): per-entry
+            # adaptive counter deltas, recorded only when nonzero so the
+            # noisy deep-join rows carry their episode attribution
+            delta = {
+                k: v - c0.get(k, 0)
+                for k, v in adaptive_counters().items()
+                if v - c0.get(k, 0)
+            }
+            if delta:
+                result["adaptive"] = delta
             result["status"] = "ok"
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             result["status"] = "error"
