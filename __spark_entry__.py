@@ -130,7 +130,10 @@ _REVERIFY: list[str] = [
 #: this round, listed explicitly so their first driver rows are immune to
 #: registration order.
 _PRIORITY: list[str] = [
-    # r9 new entries pin here as they land (front of the gate window)
+    # r9 new entries (front of the gate window): the remaining Spark-4 SQL
+    # authoring surfaces + the interval-overlap bin-join idiom
+    "scalar_sql_udf", "scalar_sql_table_udf", "sql_script_chain_report",
+    "scalar_collation_surface", "orders_group_by_all", "li_interval_overlap",
 ]
 
 

@@ -256,3 +256,127 @@ def asof_first_shipment(spark, sf_dir):
         .alias("total_wait_days"),
         dsum(F.col("first_qty")).alias("first_ship_qty"),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join (no equi key): both sides explode
+    into the calendar months their interval covers, the join runs equi on
+    the month bin, and the exact closed-interval overlap predicate
+    (a_start <= b_end AND b_start <= a_end) filters inside the join.
+
+    Scale shape: a naive overlap theta-join compiles to a broadcast
+    nested-loop / cartesian plan; binning turns it into one hash exchange
+    on bounded keys. Replication factor per row = months spanned (interval
+    length / bin width — pick the bin at or above the typical interval so
+    it stays 1-2). An overlapping pair shares at least one covered month
+    (overlap implies a common day, hence a common month), so no pair is
+    missed; a pair CAN meet in several shared months — callers dedupe on
+    their pair identity after this join (documented contract, mirrors
+    range_join's residual-filter pattern)."""
+    ab = a.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.date_trunc("month", F.col(a_start)).cast("date"),
+                             F.date_trunc("month", F.col(a_end)).cast("date"),
+                             F.expr("INTERVAL 1 MONTH"))),
+    )
+    bb = b.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.date_trunc("month", F.col(b_start)).cast("date"),
+                             F.date_trunc("month", F.col(b_end)).cast("date"),
+                             F.expr("INTERVAL 1 MONTH"))),
+    )
+    return (
+        ab.join(bb, "__bin")
+        .filter((F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end)))
+        .drop("__bin")
+    )
+
+
+@register(
+    "li_interval_overlap",
+    f"""
+    WITH a AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_shipdate AS DATE) AS a_start,
+               CAST(l_shipdate AS DATE)
+                   + CAST(1 + l_orderkey % 21 AS INT) AS a_end
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+          AND l_quantity > 45),
+    b AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS b_start,
+               CAST(o_orderdate AS DATE) + 30 AS b_end
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
+    pairs AS (
+        SELECT DISTINCT a.l_orderkey, a.l_linenumber, a.l_quantity, b.o_orderkey,
+               b.b_start
+        FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end)
+    SELECT strftime(date_trunc('month', b_start), '%Y-%m') AS month,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           {DS('l_quantity')} AS qty_sum
+    FROM pairs GROUP BY month ORDER BY month
+    """,
+    tags=("temporal", "range", "interval", "pipeline"),
+)
+def li_interval_overlap(spark, sf_dir):
+    """Interval-x-interval overlap join via month-bin equi-join: heavy 1995
+    shipments (synthetic deterministic transit window, 1-21 days) matched
+    against urgent orders' 30-day fulfilment windows wherever the two
+    intervals overlap — the no-equi-key interval-matching shape that a
+    naive plan answers with a nested-loop cross product. The bin turns it
+    into ONE hash exchange; each interval lands in at most 2 month bins;
+    pairs are deduped on (l_orderkey, l_linenumber, o_orderkey) after the
+    join (a pair can meet in both shared months). Oracle: DuckDB's native
+    inequality join over the identical intervals."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") > 45)
+        ).select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.col("l_shipdate").cast("date").alias("a_start"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (1 + F.col("l_orderkey") % 21).cast("int"),
+            ).alias("a_end"),
+        )
+    )
+    o = read_table(spark, sf_dir, "orders")
+    b = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        ).select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("b_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("b_end"),
+        )
+    )
+    pairs = (
+        interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderkey", "b_start")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.date_format(F.date_trunc("month", "b_start"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dsum(F.col("l_quantity")).alias("qty_sum"),
+        )
+        .orderBy("month")
+    )

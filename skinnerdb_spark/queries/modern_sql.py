@@ -266,3 +266,248 @@ def text_word_offsets_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL skinner_word_offsets(d.text) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# r9 batch: the remaining Spark-4 SQL authoring surfaces — SQL-body UDFs
+# (scalar + table-valued), SQL scripting (BEGIN/DECLARE/WHILE/SET VARIABLE),
+# string collations, and GROUP BY ALL / ORDER BY ALL resolution.
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_sql_udf",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)))
+               AS DOUBLE) AS disc_sum,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4))
+                * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(30,6)))
+               AS DOUBLE) AS taxed_sum
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf", "sql-udf"),
+)
+def scalar_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body UDFs (Spark 4 ``CREATE FUNCTION ... RETURN <expr>``): a
+    scalar ``skinner_disc`` (exact-decimal discounted price) and a second
+    UDF ``skinner_taxed`` COMPOSED on top of it, both used inside an
+    aggregate — the declarative UDF surface where the function body inlines
+    into the plan (Catalyst sees the expression, so codegen/pushdown still
+    apply; contrast the Python UDTF entry, which is an honest slow path).
+    The oracle inlines the identical decimal expression chain; finals cast
+    to DOUBLE per the money-column convention."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION skinner_disc(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(24,4) RETURN CAST(CAST(p AS DECIMAL(12,2)) "
+        "* (1 - CAST(d AS DECIMAL(12,2))) AS DECIMAL(24,4))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION skinner_taxed(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DECIMAL(30,6) RETURN CAST(skinner_disc(p, d) "
+        "* (1 + CAST(t AS DECIMAL(12,2))) AS DECIMAL(30,6))"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("skinner_sqludf_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(skinner_disc(l_extendedprice, l_discount)) AS DOUBLE)
+                   AS disc_sum,
+               CAST(SUM(skinner_taxed(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+                   AS taxed_sum
+        FROM skinner_sqludf_li
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "scalar_sql_table_udf",
+    """
+    WITH buckets AS (
+        SELECT o_orderkey, o_totalprice, g.i AS bucket
+        FROM orders, UNNEST(generate_series(1, 3)) g(i)
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) >= g.i * 100000)
+    SELECT bucket, COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_okey
+    FROM buckets GROUP BY bucket
+    """,
+    tags=("sql", "udf", "sql-udf"),
+)
+def scalar_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-VALUED SQL UDF (``CREATE FUNCTION ... RETURNS TABLE``) driven
+    through a LATERAL correlation: each order expands to one row per
+    100k-spend bucket it clears. The body is pure SQL, so unlike the
+    Python UDTF the expansion stays JVM-side (explode over a sequence —
+    Catalyst inlines the function body as a lateral subquery)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION skinner_spend_buckets(price DOUBLE) "
+        "RETURNS TABLE(bucket INT) RETURN "
+        "SELECT b AS bucket FROM (SELECT explode(sequence(1, 3)) AS b) "
+        "WHERE CAST(price AS DECIMAL(12,2)) >= b * 100000"
+    )
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("skinner_sqltudf_o")
+    return spark.sql(
+        """
+        SELECT t.bucket, COUNT(*) AS n_orders,
+               CAST(MIN(o.o_orderkey) AS BIGINT) AS min_okey
+        FROM skinner_sqltudf_o o,
+             LATERAL skinner_spend_buckets(o.o_totalprice) t
+        GROUP BY t.bucket
+        """
+    )
+
+
+@register(
+    "sql_script_chain_report",
+    f"""
+    WITH seq AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS INT) AS pos
+        FROM orders),
+    ks AS (SELECT UNNEST(generate_series(1, 4)) AS k)
+    SELECT ks.k AS k,
+           CAST((SELECT COUNT(*) FROM seq WHERE pos = ks.k) AS BIGINT)
+               AS n_customers,
+           CAST((SELECT CAST(SUM(price) AS DOUBLE) FROM seq WHERE pos <= ks.k)
+               AS DOUBLE) AS spend_k
+    FROM ks ORDER BY k
+    """,
+    tags=("sql", "scripting"),
+)
+def sql_script_chain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN ... END``): a DECLAREd loop variable,
+    a WHILE loop, and an array-of-struct accumulator built with
+    ``SET <var> = (scalar subquery)`` per iteration — the procedural
+    authoring surface the reference's console never had. Each iteration
+    aggregates the cached order-position view (customers having a k-th
+    order, cumulative spend of first-k orders); the final SELECT explodes
+    the 4-row accumulator. Driver state is the accumulator array — 4
+    structs, bounded by the loop constant, never data-sized. The oracle
+    computes the same report with a generate_series cross join."""
+    o = read_table(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("int")
+        .alias("pos"),
+    )
+    seq.cache().createOrReplaceTempView("skinner_script_seq")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 1;
+          DECLARE acc ARRAY<STRUCT<k: INT, n_customers: BIGINT, spend_k: DOUBLE>>
+              DEFAULT ARRAY();
+          WHILE k <= 4 DO
+            SET acc = array_append(acc, named_struct(
+                'k', k,
+                'n_customers',
+                (SELECT COUNT(*) FROM skinner_script_seq WHERE pos = k),
+                'spend_k',
+                (SELECT CAST(SUM(price) AS DOUBLE) FROM skinner_script_seq
+                 WHERE pos <= k)));
+            SET k = k + 1;
+          END WHILE;
+          SELECT t.k AS k, t.n_customers AS n_customers, t.spend_k AS spend_k
+          FROM (SELECT explode(acc) AS t) ORDER BY k;
+        END
+        """
+    )
+
+
+@register(
+    "scalar_collation_surface",
+    """
+    WITH cased AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+                    WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg,
+               c_custkey
+        FROM customer)
+    SELECT lower(seg) AS seg_ci,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM cased GROUP BY lower(seg) ORDER BY seg_ci
+    """,
+    tags=("sql", "collation"),
+)
+def scalar_collation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4 ``COLLATE(expr, 'UTF8_LCASE')``):
+    case-perturbed market segments grouped under a case-insensitive
+    collation — the engine-level answer to ad-hoc lower() wrapping (a
+    collated column compares case-insensitively in joins, GROUP BY, and
+    DISTINCT without rewriting every predicate). The emitted group key is
+    lower(seg) — deterministic where the collated group's member order is
+    not — and the oracle mirrors with lower() grouping, value-identical on
+    this ASCII domain (collation vs lower() diverges only on Unicode
+    case-folding edge cases, which TPC-H segments cannot contain)."""
+    c = read_table(spark, sf_dir, "customer")
+    cased = c.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_custkey",
+    )
+    coll = F.expr("COLLATE(seg, 'UTF8_LCASE')")
+    return (
+        cased.groupBy(coll.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("seg").cast("bigint").alias("n_case_variants"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("seg_ci"),
+            "n", "n_case_variants", "min_key",
+        )
+        .orderBy("seg_ci")
+    )
+
+
+@register(
+    "orders_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders
+    WHERE o_orderdate < DATE '1996-07-01'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "group-by-all"),
+)
+def orders_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` resolution (Spark 4 and DuckDB
+    both implement the shorthand, so the ORACLE IS THE IDENTICAL QUERY
+    TEXT): every non-aggregate select item — including the computed year —
+    becomes a grouping key, and ORDER BY ALL sorts by the full output
+    column list. Surface-parity entry: a user migrating DuckDB notebooks
+    onto this engine keeps the shorthand."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("skinner_gba_o")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM skinner_gba_o
+        WHERE o_orderdate < DATE '1996-07-01'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

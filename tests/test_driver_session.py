@@ -121,7 +121,13 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "rcte_order_chains", "ev_session_window_native",
              "events_variant_props", "text_bpe_encode",
              "sample_shard_manifest", "asof_first_shipment",
-             "stats_ab_ztest", "docs_inverted_index"]:
+             "stats_ab_ztest", "docs_inverted_index",
+             # round-9 new entries: SQL-body UDFs, scripting, collation,
+             # GROUP BY ALL, and the interval bin-join (date arithmetic
+             # under a non-UTC plain session is exactly the risk here)
+             "scalar_sql_udf", "scalar_sql_table_udf",
+             "sql_script_chain_report", "scalar_collation_surface",
+             "orders_group_by_all", "li_interval_overlap"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(

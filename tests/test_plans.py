@@ -363,3 +363,25 @@ def test_graph_entries_read_cached_edge_frame(spark, sf_dir):
     for name in ("graph_pagerank", "graph_triangles", "graph_jaccard_links"):
         plan = plan_of(spark, name, sf_dir)
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, name
+
+
+def test_r9_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r9 batch: SQL-body UDFs must inline JVM-side (no
+    Python worker nodes), the table-valued SQL UDF must compile to a
+    Generate (JVM explode), and the interval-overlap bin-join must be a
+    hash join — never a nested-loop/cartesian plan."""
+    df = SPECS["scalar_sql_udf"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, "SQL UDF fell off the JVM inline path"
+    assert "HashAggregate" in plan
+
+    df = SPECS["scalar_sql_table_udf"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan, "SQL TVF no longer compiles to a JVM explode"
+    assert "Python" not in plan
+
+    df = SPECS["li_interval_overlap"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
