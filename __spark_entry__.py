@@ -134,6 +134,8 @@ _PRIORITY: list[str] = [
     # authoring surfaces + the interval-overlap bin-join idiom
     "scalar_sql_udf", "scalar_sql_table_udf", "sql_script_chain_report",
     "scalar_collation_surface", "orders_group_by_all", "li_interval_overlap",
+    # r9: systematic PPS sampling (two-level distributed prefix sum)
+    "sample_systematic_pps",
 ]
 
 

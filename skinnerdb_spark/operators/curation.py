@@ -996,3 +996,100 @@ def sample_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# systematic PPS sampling via the two-level distributed prefix sum (r9)
+# --------------------------------------------------------------------------
+PPS_DRAWS = 64        # sampling strata: one pick per total_chars/K stride
+PPS_BUCKET = 4096     # doc_ids per prefix-sum bucket (tune so n_buckets
+                      # stays collect-safe: 1e9 docs -> ~244k buckets; raise
+                      # the bucket size with the corpus, never the collect)
+
+
+@register(
+    "sample_systematic_pps",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(n_chars AS BIGINT) AS w
+        FROM documents),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM w),
+    c AS (
+        SELECT doc_id, source, w,
+               CAST(SUM(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM w)
+    SELECT c.doc_id, c.source, c.w,
+           CAST(c.cum // (tot.total // {PPS_DRAWS})
+                - (c.cum - c.w) // (tot.total // {PPS_DRAWS})
+                AS BIGINT) AS n_picks
+    FROM c CROSS JOIN tot
+    WHERE c.cum // (tot.total // {PPS_DRAWS})
+          > (c.cum - c.w) // (tot.total // {PPS_DRAWS})
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline", "pps"),
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk the
+    corpus in doc_id order accumulating character weight; every time the
+    cumulative weight crosses a multiple of total/{PPS_DRAWS}, the crossing
+    document is drawn (a document heavier than the stride is drawn once
+    per stratum it spans — n_picks reports it). Classic PPS systematic
+    sampling, fully deterministic, all-integer (stride = total DIV K, picks
+    = floor-division crossings), so the draw set is hash-exact.
+
+    The scale part is the GLOBAL cumulative sum, which a naive plan does
+    with an unpartitioned window (one reducer sees the corpus — the trap
+    sample_shard_manifest exists to avoid). Here it is the standard
+    TWO-LEVEL PREFIX SUM: (1) per-bucket weight totals (one groupBy on
+    doc_id DIV {PPS_BUCKET}); (2) bucket offsets = exclusive prefix sum
+    over the BUCKET frame — collected to the driver, n_buckets rows,
+    BOUNDED BY CONSTRUCTION (corpus/{PPS_BUCKET}; size the bucket with the
+    corpus) and computed in plain Python; (3) one window PARTITIONED BY
+    bucket adds the in-bucket running sum to the broadcast offset. No
+    global window anywhere; every stage is either map-side, a bounded
+    aggregate, or a partitioned window. The oracle uses the naive global
+    window — feasible at test scale, which is exactly why the distributed
+    path exists."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("w")
+    )
+    d = d.withColumn("bucket", F.expr(f"doc_id DIV {PPS_BUCKET}"))
+    bucket_tot = (
+        d.groupBy("bucket").agg(F.sum("w").cast("bigint").alias("bw"))
+        .orderBy("bucket")
+        .collect()
+    )  # bounded: one row per PPS_BUCKET-wide doc_id range
+    offsets, running = [], 0
+    for r in bucket_tot:
+        offsets.append((r["bucket"], running))
+        running += r["bw"]
+    total = running
+    step = total // PPS_DRAWS
+    off = spark.createDataFrame(offsets, "bucket long, offset long")
+    win = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.join(F.broadcast(off), "bucket")
+        .withColumn("cum", (F.sum("w").over(win) + F.col("offset")).cast("bigint"))
+    )
+    return (
+        c.filter(F.expr(f"cum DIV {step} > (cum - w) DIV {step}"))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            # crossing count stays in NONNEGATIVE integer space on both
+            # sides: Spark DIV truncates toward zero while DuckDB // floors,
+            # so a formula that can reach -1 (e.g. cum-w-1 on the first doc)
+            # silently diverges between engines
+            F.expr(f"cum DIV {step} - (cum - w) DIV {step}")
+            .cast("bigint")
+            .alias("n_picks"),
+        )
+        .orderBy("doc_id")
+    )

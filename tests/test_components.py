@@ -1703,3 +1703,28 @@ def test_cte_recursion_row_limit_guard_pinned(spark):
         df.collect()
     # the caller's session guard is untouched by the child's conf
     assert spark.conf.get("spark.sql.cteRecursionRowLimit") != "10"
+
+
+def test_systematic_pps_boundaries(spark, tmp_path):
+    """PPS crossing-count boundaries: (a) a document heavier than the
+    stride is drawn once per stratum it spans; (b) the FIRST document
+    (cum - w = 0) must not trip the Spark-DIV-vs-DuckDB-floor divergence
+    on negative numerators — the formula stays in nonnegative space."""
+    from skinnerdb_spark.registry import all_specs
+
+    docs = spark.createDataFrame(
+        [(0, "s", 5000), (1, "s", 10), (2, "s", 10)],
+        "doc_id long, source string, n_chars int",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = all_specs()["sample_systematic_pps"].spark(spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["n_picks"]) for r in rows] == [(0, 64)], rows
+
+    # uniform weights: exactly one pick per stratum, 64 distinct docs
+    docs2 = spark.createDataFrame(
+        [(i, "s", 10) for i in range(128)], "doc_id long, source string, n_chars int"
+    )
+    docs2.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows2 = all_specs()["sample_systematic_pps"].spark(spark, str(tmp_path)).collect()
+    assert sum(r["n_picks"] for r in rows2) == 64
+    assert all(r["n_picks"] == 1 for r in rows2)

@@ -127,7 +127,8 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              # under a non-UTC plain session is exactly the risk here)
              "scalar_sql_udf", "scalar_sql_table_udf",
              "sql_script_chain_report", "scalar_collation_surface",
-             "orders_group_by_all", "li_interval_overlap"]:
+             "orders_group_by_all", "li_interval_overlap",
+             "sample_systematic_pps"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
