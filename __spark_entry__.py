@@ -136,6 +136,8 @@ _PRIORITY: list[str] = [
     "scalar_collation_surface", "orders_group_by_all", "li_interval_overlap",
     # r9: systematic PPS sampling (two-level distributed prefix sum)
     "sample_systematic_pps",
+    # r9: graph k-core peeling + sort-free Mann-Whitney U
+    "graph_kcore_peel", "stats_mann_whitney",
 ]
 
 

@@ -1166,3 +1166,77 @@ def stats_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return skew_report(e, "user_id", topk=20)
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (r9): the standard graph-based curation filter (spam /
+# low-engagement pruning keeps the k-core; Leskovec-style community
+# preprocessing) — bounded unrolled peeling rounds, the pagerank pattern.
+# --------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+    WITH {_EDGE_CTES},
+    e0 AS (SELECT u, v FROM edges),
+    d1 AS (SELECT w, COUNT(*) AS d FROM (
+               SELECT u AS w FROM e0 UNION ALL SELECT v AS w FROM e0)
+           GROUP BY w HAVING COUNT(*) >= {KCORE_K}),
+    e1 AS (SELECT e.u, e.v FROM e0 e
+           JOIN d1 a ON a.w = e.u JOIN d1 b ON b.w = e.v),
+    d2 AS (SELECT w, COUNT(*) AS d FROM (
+               SELECT u AS w FROM e1 UNION ALL SELECT v AS w FROM e1)
+           GROUP BY w HAVING COUNT(*) >= {KCORE_K}),
+    e2 AS (SELECT e.u, e.v FROM e1 e
+           JOIN d2 a ON a.w = e.u JOIN d2 b ON b.w = e.v),
+    d3 AS (SELECT w, COUNT(*) AS d FROM (
+               SELECT u AS w FROM e2 UNION ALL SELECT v AS w FROM e2)
+           GROUP BY w HAVING COUNT(*) >= {KCORE_K}),
+    e3 AS (SELECT e.u, e.v FROM e2 e
+           JOIN d3 a ON a.w = e.u JOIN d3 b ON b.w = e.v),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+               SELECT u AS w FROM e3 UNION ALL SELECT v AS w FROM e3)
+           GROUP BY w)
+    SELECT CAST(w AS BIGINT) AS vertex, degree FROM df ORDER BY vertex
+    """,
+    tags=("graph", "pipeline", "kcore"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} peeling rounds toward the {KCORE_K}-core of the
+    co-purchase graph: each round drops vertices of degree < {KCORE_K} and
+    the edges touching them, then recounts. Bounded unrolled rounds (the
+    graph_pagerank pattern — full-core convergence is data-dependent;
+    three rounds is the documented contract and removes the overwhelming
+    majority of sub-core vertices on power-law-ish graphs). Per round: one
+    explode+groupBy degree count and two semi-joins against the (shrinking)
+    survivor set; the edge frame is the memoized family build, so the
+    expensive derivation never re-executes. Output = surviving vertices
+    with their round-{KCORE_ROUNDS} degrees, the keep-list a curation
+    pipeline joins against."""
+    edges = shared_co_edges(spark, sf_dir)
+    e = edges.select("u", "v")
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("w"))
+            .unionAll(e.select(F.col("v").alias("w")))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("w")
+        )
+        e = (
+            e.join(deg.withColumnRenamed("w", "u"), "u", "left_semi")
+            .join(deg.withColumnRenamed("w", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    return (
+        e.select(F.col("u").alias("w"))
+        .unionAll(e.select(F.col("v").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("w").cast("bigint").alias("vertex"), "degree")
+        .orderBy("vertex")
+    )

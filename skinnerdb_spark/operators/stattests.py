@@ -250,3 +250,127 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_nano",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (r9): the nonparametric two-sample location test — and the
+# scale exercise of computing a RANK statistic without any global sort.
+# --------------------------------------------------------------------------
+MWU_BUCKET_CENTS = 100_000  # $1000-wide value buckets for the prefix sum:
+                            # bucket count is bounded by the VALUE DOMAIN
+                            # (order totals ~$900-$600k -> ~600 buckets),
+                            # independent of row count
+
+
+@register(
+    "stats_mann_whitney",
+    """
+    WITH g AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    per AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0v
+        FROM g GROUP BY v),
+    c AS (
+        SELECT v, n1v, n0v,
+               CAST(COALESCE(SUM(n0v) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS c0below
+        FROM per),
+    agg AS (
+        SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+               CAST(SUM(n0v) AS BIGINT) AS n0,
+               CAST(SUM(2 * n1v * c0below + n1v * n0v) AS BIGINT) AS u2,
+               CAST(SUM((n1v + n0v) * (n1v + n0v) * (n1v + n0v)
+                        - (n1v + n0v)) AS BIGINT) AS s_ties
+        FROM c)
+    SELECT n1, n0, u2, s_ties,
+           (CAST(u2 - n1 * n0 AS DOUBLE) / 2)
+           / SQRT(CAST(n1 AS DOUBLE) * n0
+                  * ((n1 + n0 + 1)
+                     - CAST(s_ties AS DOUBLE) / ((n1 + n0) * (n1 + n0 - 1)))
+                  / 12) AS z
+    FROM agg
+    """,
+    tags=("stats", "hypothesis", "pipeline"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (tie-corrected normal approximation): do URGENT
+    orders run larger than LOW-priority orders? U is a RANK statistic, and
+    the textbook computation sorts the pooled sample — a global sort, the
+    one thing a 100 TB aggregate must not do. Here U is computed from the
+    VALUE DOMAIN instead: group by distinct order-total (exact cents),
+    count each group's members per arm, and U2 (= 2U, kept integral so
+    tie halves never touch floats) = sum over values of
+    2*n1(v)*C0(<v) + n1(v)*n0(v), where C0(<v) is the below-value
+    cumulative of the other arm — a prefix sum over the per-VALUE frame,
+    computed with the same two-level idiom as sample_systematic_pps
+    (bucket totals over $1000 value buckets, bounded driver offsets,
+    bucket-partitioned window). No row-level sort, no corpus-wide window;
+    every exchange is value-domain-sized. The z statistic (mean n1*n0/2,
+    tie-corrected variance) is ONE fully-parenthesized IEEE expression
+    over five exact integers — identical in DuckDB, so the entry is
+    hash-exact (the stats_ab_ztest precedent). Tie-cube caveat: t^3 per
+    distinct value stays in int64 up to ~2M ties per exact cent value."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+    )
+    per = g.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1v"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0v"),
+    )
+    per = per.withColumn("bucket", F.expr(f"v DIV {MWU_BUCKET_CENTS}"))
+    btot = (
+        per.groupBy("bucket").agg(F.sum("n0v").cast("bigint").alias("b0"))
+        .orderBy("bucket")
+        .collect()
+    )  # bounded by the value domain, not the corpus
+    offsets, running = [], 0
+    for r in btot:
+        offsets.append((r["bucket"], running))
+        running += r["b0"]
+    off = spark.createDataFrame(offsets, "bucket long, off0 long")
+    win = Window.partitionBy("bucket").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        per.join(F.broadcast(off), "bucket")
+        .withColumn(
+            "c0below",
+            (F.sum("n0v").over(win) + F.col("off0") - F.col("n0v")).cast("bigint"),
+        )
+    )
+    agg = c.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum("n0v").cast("bigint").alias("n0"),
+        F.sum(2 * F.col("n1v") * F.col("c0below") + F.col("n1v") * F.col("n0v"))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(
+            (F.col("n1v") + F.col("n0v")) * (F.col("n1v") + F.col("n0v"))
+            * (F.col("n1v") + F.col("n0v")) - (F.col("n1v") + F.col("n0v"))
+        )
+        .cast("bigint")
+        .alias("s_ties"),
+    )
+    return agg.select(
+        "n1", "n0", "u2", "s_ties",
+        F.expr(
+            "(CAST(u2 - n1 * n0 AS DOUBLE) / 2)"
+            " / SQRT(CAST(n1 AS DOUBLE) * n0"
+            " * ((n1 + n0 + 1)"
+            " - CAST(s_ties AS DOUBLE) / ((n1 + n0) * (n1 + n0 - 1)))"
+            " / 12)"
+        ).alias("z"),
+    )

@@ -128,7 +128,8 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "scalar_sql_udf", "scalar_sql_table_udf",
              "sql_script_chain_report", "scalar_collation_surface",
              "orders_group_by_all", "li_interval_overlap",
-             "sample_systematic_pps"]:
+             "sample_systematic_pps", "graph_kcore_peel",
+             "stats_mann_whitney"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
