@@ -1218,7 +1218,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline joins against."""
     edges = shared_co_edges(spark, sf_dir)
     e = edges.select("u", "v")
-    for _ in range(KCORE_ROUNDS):
+    for i in range(KCORE_ROUNDS):
         deg = (
             e.select(F.col("u").alias("w"))
             .unionAll(e.select(F.col("v").alias("w")))
@@ -1232,6 +1232,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(deg.withColumnRenamed("w", "v"), "v", "left_semi")
             .select("u", "v")
         )
+        # each round references the previous round's edges THREE times
+        # (both degree branches + the join input); left lazy, the plan
+        # replicates 3x per round (27x subtrees by round 3 — measured
+        # 52 s at sf1). Cut the lineage eagerly per round, the
+        # dedup_clusters iterative pattern.
+        e = e.localCheckpoint(eager=True)
     return (
         e.select(F.col("u").alias("w"))
         .unionAll(e.select(F.col("v").alias("w")))

@@ -315,7 +315,7 @@ def interval_overlap_join(
                CAST(o_orderdate AS DATE) AS b_start,
                CAST(o_orderdate AS DATE) + 30 AS b_end
         FROM orders
-        WHERE o_orderpriority = '1-URGENT'
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 20000
           AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
     pairs AS (
         SELECT DISTINCT a.l_orderkey, a.l_linenumber, a.l_quantity, b.o_orderkey,
@@ -338,7 +338,17 @@ def li_interval_overlap(spark, sf_dir):
     into ONE hash exchange; each interval lands in at most 2 month bins;
     pairs are deduped on (l_orderkey, l_linenumber, o_orderkey) after the
     join (a pair can meet in both shared months). Oracle: DuckDB's native
-    inequality join over the identical intervals."""
+    inequality join over the identical intervals.
+
+    Output-boundedness (r9 sf1 ladder lesson): with BOTH interval sets
+    growing with SF the overlap-pair OUTPUT grows as SF^2 — 94 GB of
+    spill at sf1 regardless of join strategy. The B side is therefore
+    bounded by an absolute key range (o_orderkey < 20000, the
+    range_join_ship_window precedent): a fixed probe set of windows, so
+    pairs scale linearly with the corpus. Interval-x-interval matching
+    with two corpus-sized sides is output-bound BY PROBLEM DEFINITION —
+    callers wanting that shape need an aggregate pushed below the pair
+    list, not a pair list."""
     li = read_table(spark, sf_dir, "lineitem")
     a = (
         li.filter(
@@ -358,6 +368,7 @@ def li_interval_overlap(spark, sf_dir):
     b = (
         o.filter(
             (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") < 20000)
             & (F.col("o_orderdate") >= "1995-01-01")
             & (F.col("o_orderdate") < "1996-01-01")
         ).select(
