@@ -138,6 +138,8 @@ _PRIORITY: list[str] = [
     "sample_systematic_pps",
     # r9: graph k-core peeling + sort-free Mann-Whitney U
     "graph_kcore_peel", "stats_mann_whitney",
+    # r9: Kneser-Ney smoothed bigram fluency (the CCNet-grade LM filter)
+    "docs_kn_bigram_score",
 ]
 
 

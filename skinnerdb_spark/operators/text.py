@@ -1124,3 +1124,105 @@ def docs_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(
         scored, [("pmi_ratio", "desc"), ("a", "asc"), ("b", "asc")], PMI_TOP
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram fluency (r9): the production LM-filter math
+# (MLE probabilities assign zero to unseen continuations; CCNet-style
+# filters run a SMOOTHED model). Absolute discount d = 0.75 (Chen-Goodman's
+# standard value), continuation probabilities from distinct-context counts.
+# --------------------------------------------------------------------------
+#: per-bigram interpolated-KN probability, ONE IEEE expression over exact
+#: integers rounded ONCE into decimal (the docs_bigram_lm_score recipe —
+#: +,-,*,/ and GREATEST are deterministic in both engines; the single
+#: double->decimal rounding is the only rounding anywhere)
+_KN_EXPR = (
+    "CAST(GREATEST(CAST(cab AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) / ca"
+    " + ((0.75 * CAST(n1a AS DOUBLE)) / ca)"
+    " * (CAST(n1b AS DOUBLE) / n1tot) AS DECIMAL(27,12))"
+)
+
+_KN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    big AS (
+        SELECT doc_id, ts[CAST(g.i AS INT)] AS a, ts[CAST(g.i AS INT) + 1] AS b
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) g(i)),
+    cabt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM big GROUP BY a, b),
+    cat AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+                   CAST(COUNT(*) AS BIGINT) AS n1a
+            FROM cabt GROUP BY a),
+    cbt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1b FROM cabt GROUP BY b),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM cabt),
+    inst AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS k
+             FROM big GROUP BY doc_id, a, b),
+    j AS (SELECT i.doc_id, i.k, {_KN_EXPR} AS pkn
+          FROM inst i
+          JOIN cabt USING (a, b) JOIN cat USING (a) JOIN cbt USING (b)
+          CROSS JOIN ntot)
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(k AS DECIMAL(10,0)) * pkn) AS DOUBLE) / SUM(k)
+               AS kn_score
+    FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "docs_kn_bigram_score",
+    _KN_ORACLE,
+    tags=("text", "pipeline", "quality", "lm"),
+)
+def docs_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency per document — the smoothed
+    upgrade of docs_bigram_lm_score's MLE: P_KN(b|a) = max(c(ab)-d, 0)/c(a)
+    + d·N1+(a,·)/c(a) · N1+(·,b)/N1+(·,·) with the standard absolute
+    discount d = 0.75, so unseen-continuation mass is redistributed by how
+    PROMISCUOUS a word's contexts are (the Kneser-Ney insight: 'Francisco'
+    is frequent but only ever follows 'San'). This is the model shape real
+    CCNet-style quality filters run; the MLE twin documents the difference.
+
+    Exactness: every count (c(ab), c(a), the three N1+ distinct-context
+    counts) is an exact integer aggregate; the per-bigram probability is
+    ONE fixed IEEE expression over them rounded ONCE into DECIMAL(27,12);
+    per-doc sums of those decimals are exact and associative, and the
+    final mean is one decimal->double cast over an integer divide.
+
+    Scale shape: identical to the MLE entry — the corpus explodes to
+    bigram instances once, immediately pre-aggregated (map-side combine)
+    into the instance table and the vocabulary^2-bounded model tables;
+    the model joins broadcast when small / co-partition on the bigram key
+    otherwise; n1tot is a 1-row broadcast."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    big = (
+        d.select("doc_id", "text")
+        .withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
+        .select("doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
+    )
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    ca = cab.groupBy("a").agg(
+        F.sum("cab").cast("bigint").alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("n1a"),
+    )
+    cb = cab.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    ntot = cab.agg(F.count(F.lit(1)).cast("bigint").alias("n1tot"))
+    inst = big.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    j = (
+        inst.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(ntot))
+        .select("doc_id", "k", F.expr(_KN_EXPR).alias("pkn"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.expr("CAST(k AS DECIMAL(10,0)) * pkn")).cast("double")
+            / F.sum("k")
+        ).alias("kn_score"),
+    )
