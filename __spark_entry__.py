@@ -140,6 +140,8 @@ _PRIORITY: list[str] = [
     "graph_kcore_peel", "stats_mann_whitney",
     # r9: Kneser-Ney smoothed bigram fluency (the CCNet-grade LM filter)
     "docs_kn_bigram_score",
+    # r9: baseline TIFF 6.0 codec (multi-strip PackBits, both endians)
+    "multimodal_tiff_roundtrip",
 ]
 
 

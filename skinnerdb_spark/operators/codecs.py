@@ -215,8 +215,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         from skinnerdb_spark.operators.gif import decode_gif
 
         return decode_gif(data)
+    if data[:2] in (b"II", b"MM"):
+        from skinnerdb_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise NotImplementedError(
-        "only PNG, BMP, baseline JPEG, lossless WebP, and GIF decode in "
-        "this environment (pure-stdlib codecs); lossy WebP/video need "
-        "external libraries"
+        "only PNG, BMP, baseline JPEG, lossless WebP, GIF, and baseline "
+        "TIFF decode in this environment (pure-stdlib codecs); lossy "
+        "WebP/video need external libraries"
     )

@@ -917,3 +917,111 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") < GIF_DOCS
     )
     return ids.repartition(8).mapInPandas(gen, schema=_GIF_SCHEMA).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF path (r9): pure-stdlib baseline TIFF 6.0 (operators/tiff.py) —
+# multi-strip PackBits encode per document, decode through decode_image's
+# magic-byte dispatch (so the TIFF branch of binary ingest is what's
+# exercised), exact channel sums SQL-oracled from the generating formula.
+# ---------------------------------------------------------------------------
+TIFF_DOCS = 300  # bounded probe set, the WebP/GIF precedent (pure-Python
+                 # run-length coding is a test-fixture path)
+
+_TIFF_ORACLE = f"""
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(5 + doc_id % 6 AS BIGINT) AS w,
+               CAST(4 + doc_id % 5 AS BIGINT) AS h
+        FROM documents WHERE doc_id < {TIFF_DOCS}),
+    px AS (
+        SELECT p.doc_id, p.w, p.h, x.x, y.y,
+               CASE WHEN x.x < 3 THEN 9 ELSE (x.x * 19 + y.y * 5 + p.doc_id) % 256
+                    END AS r,
+               (x.x * 3 + y.y * 13 + p.doc_id * 7) % 256 AS g,
+               CASE WHEN y.y = 0 THEN 123 ELSE (x.x + y.y * 17 + p.doc_id * 2) % 256
+                    END AS b
+        FROM p,
+             UNNEST(generate_series(0, p.w - 1)) AS x(x),
+             UNNEST(generate_series(0, p.h - 1)) AS y(y))
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(123 AS BIGINT) AS px_last_row0_b
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY media_id
+"""
+
+
+def _tiff_test_pixels(mid: int) -> tuple[int, int, bytes]:
+    """Deterministic fixture with a flat-run region (x < 3 red channel and
+    the y = 0 blue row) so PackBits actually emits repeat packets, not just
+    literals — the compression path must be exercised, not merely present."""
+    w, h = 5 + mid % 6, 4 + mid % 5
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append(9 if x < 3 else (x * 19 + y * 5 + mid) % 256)
+            px.append((x * 3 + y * 13 + mid * 7) % 256)
+            px.append(123 if y == 0 else (x + y * 17 + mid * 2) % 256)
+    return w, h, bytes(px)
+
+
+@register("multimodal_tiff_roundtrip", _TIFF_ORACLE,
+          tags=("multimodal", "pipeline", "codec"))
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode real baseline TIFF 6.0 bytes per document over
+    Arrow batches: multi-strip (RowsPerStrip=2, so strip reassembly is
+    load-bearing) PackBits-compressed RGB, decoded back through the
+    codec tier's magic-byte dispatch (decode_image — the same branch a
+    crawl corpus' TIFF scans take through binary ingest). The fixture
+    embeds flat runs so PackBits emits repeat packets; the oracle
+    recomputes every channel sum and the constant blue top row from the
+    generating formula in pure SQL. Scale shape: one mapInPandas stage,
+    per-task streaming, zero shuffle (the WebP/GIF roundtrip precedent);
+    probe set bounded because pure-Python run-length coding is the
+    test-fixture path — production swaps a native codec behind the same
+    batch signature."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from skinnerdb_spark.operators.codecs import decode_image
+        from skinnerdb_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, px = _tiff_test_pixels(mid)
+                data = encode_tiff(w, h, px, rows_per_strip=2, packbits=True)
+                dw, dh, dc, out = decode_image(data)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "channels": dc,
+                        "sum_r": sum(out[0::3]),
+                        "sum_g": sum(out[1::3]),
+                        "sum_b": sum(out[2::3]),
+                        "px_last_row0_b": out[2],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < TIFF_DOCS)
+    return (
+        d.select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(
+            gen,
+            schema=(
+                "media_id long, width long, height long, channels long, "
+                "sum_r long, sum_g long, sum_b long, px_last_row0_b long"
+            ),
+        )
+        .orderBy("media_id")
+    )
