@@ -142,6 +142,8 @@ _PRIORITY: list[str] = [
     "docs_kn_bigram_score",
     # r9: baseline TIFF 6.0 codec (multi-strip PackBits, both endians)
     "multimodal_tiff_roundtrip",
+    # r9: CUSUM drift monitor (nonlinear recurrence as a bounded in-row fold)
+    "ev_cusum_drift",
 ]
 
 

@@ -374,3 +374,110 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 12)"
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift monitor (r9): the sequential-recurrence class — S_d depends
+# nonlinearly (max with 0) on S_{d-1}, so neither a prefix sum nor a window
+# frame can express it. The scale-correct realization: the recurrence runs
+# over the DATE DOMAIN (bounded: a year of days = 365 rows whatever the
+# corpus size), so the whole day series folds IN-ROW after one distributed
+# daily aggregate — no corpus-wide window, no recursion, no driver loop.
+# --------------------------------------------------------------------------
+
+@register(
+    "ev_cusum_drift",
+    """
+    WITH RECURSIVE
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nd
+            FROM daily),
+    seq AS (SELECT d, n, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+            FROM daily),
+    c(i, d, n, sp, sn) AS (
+        SELECT s.i, s.d, s.n,
+               GREATEST(CAST(0 AS BIGINT), (s.n * tot.nd - tot.t) - tot.t // 20),
+               GREATEST(CAST(0 AS BIGINT), (tot.t - s.n * tot.nd) - tot.t // 20)
+        FROM seq s, tot WHERE s.i = 1
+        UNION ALL
+        SELECT s.i, s.d, s.n,
+               GREATEST(CAST(0 AS BIGINT),
+                        c.sp + (s.n * tot.nd - tot.t) - tot.t // 20),
+               GREATEST(CAST(0 AS BIGINT),
+                        c.sn + (tot.t - s.n * tot.nd) - tot.t // 20)
+        FROM c JOIN seq s ON s.i = c.i + 1, tot)
+    SELECT strftime(c.d, '%Y-%m-%d') AS day, c.n AS n_events,
+           c.sp AS cusum_pos, c.sn AS cusum_neg,
+           (c.sp > tot.t // 2 OR c.sn > tot.t // 2) AS alarm
+    FROM c, tot ORDER BY day
+    """,
+    tags=("stats", "monitoring", "pipeline"),
+)
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector over daily event volume — the
+    standard change-point monitor a pipeline runs on its own ingest rate.
+    All-integer: deviations are scaled by n_days (dev_d = n_d*N - T, mean
+    exactly zero), allowance k = 5% and alarm threshold h = 50% of the
+    mean daily volume in the same scaled units (T DIV 20 / T DIV 2), and
+    the recurrence S_d = max(0, S_{d-1} + dev_d - k) folds exact bigints.
+
+    Scale design: CUSUM is a NONLINEAR sequential recurrence — max(0, ·)
+    breaks the prefix-sum decomposition that rescued sample_systematic_pps
+    and stats_mann_whitney, so it cannot be windowed or two-leveled. But
+    it runs over the DATE DOMAIN: one distributed daily aggregate
+    (map-side combinable) reduces 100 TB of events to |days| rows, and the
+    recurrence is ONE in-row aggregate() fold over the sorted day array —
+    bounded by construction, no corpus-wide window, no driver loop. The
+    oracle replays the identical recurrence as a recursive CTE."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("days"),
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    folded = one.select(
+        "t",
+        F.expr(
+            """
+            aggregate(
+              days,
+              named_struct(
+                'sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+                'out', CAST(array() AS
+                    ARRAY<STRUCT<day: DATE, n: BIGINT, sp: BIGINT, sn: BIGINT>>)),
+              (acc, x) -> named_struct(
+                'sp', GREATEST(CAST(0 AS BIGINT),
+                               acc.sp + (x.n * nd - t) - t DIV 20),
+                'sn', GREATEST(CAST(0 AS BIGINT),
+                               acc.sn + (t - x.n * nd) - t DIV 20),
+                'out', array_append(acc.out, named_struct(
+                    'day', x.d, 'n', x.n,
+                    'sp', GREATEST(CAST(0 AS BIGINT),
+                                   acc.sp + (x.n * nd - t) - t DIV 20),
+                    'sn', GREATEST(CAST(0 AS BIGINT),
+                                   acc.sn + (t - x.n * nd) - t DIV 20)))),
+              acc -> acc.out)
+            """
+        ).alias("series"),
+    )
+    return (
+        folded.select("t", F.explode("series").alias("s"))
+        .select(
+            # day rendered as a STRING: Spark DATE and DuckDB date32 render
+            # differently through the driver's fetch layer (the rcte decimal
+            # lesson, applied to dates)
+            F.date_format(F.col("s.day"), "yyyy-MM-dd").alias("day"),
+            F.col("s.n").alias("n_events"),
+            F.col("s.sp").alias("cusum_pos"),
+            F.col("s.sn").alias("cusum_neg"),
+            ((F.col("s.sp") > F.expr("t DIV 2")) | (F.col("s.sn") > F.expr("t DIV 2")))
+            .alias("alarm"),
+        )
+        .orderBy("day")
+    )

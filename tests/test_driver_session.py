@@ -130,7 +130,7 @@ for name in ["ev_tumbling_hour", "ev_sessionization", "ev_sliding_2h",
              "orders_group_by_all", "li_interval_overlap",
              "sample_systematic_pps", "graph_kcore_peel",
              "stats_mann_whitney", "docs_kn_bigram_score",
-             "multimodal_tiff_roundtrip"]:
+             "multimodal_tiff_roundtrip", "ev_cusum_drift"]:
     s = norm(qs[name](spark, "/root/testdata/sf0.001").toPandas())
     o = norm(con.execute(osql[name]).df())
     ok = s.shape == o.shape and all(
