@@ -139,8 +139,9 @@ def _plane_sign_sql(j: str, i: str) -> str:
 _LSH_BUCKET_ORACLE = f"""
     WITH proj AS (
         SELECT e.vec_id, g.j,
-               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
-                    AS DECIMAL(28,12))) AS DOUBLE) AS p
+               CAST(SUM(({_plane_sign_sql('g.j', 'd.i')})
+                    * CAST(ROUND(CAST(e.embedding[d.i] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS p
         FROM embeddings e,
              generate_series(0, {N_PLANES - 1}) AS g(j),
              generate_series(1, {DIM}) AS d(i)
@@ -291,8 +292,9 @@ def _multi_ann_oracle(n_tables: int, bits: int, probe_hamming: int = 0) -> str:
     return f"""
     WITH proj AS (
         SELECT e.vec_id, g.j,
-               CAST(SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
-                    AS DECIMAL(28,12))) AS DOUBLE) AS p
+               CAST(SUM(({_plane_sign_sql('g.j', 'd.i')})
+                    * CAST(ROUND(CAST(e.embedding[d.i] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS p
         FROM embeddings e,
              generate_series(0, {total - 1}) AS g(j),
              generate_series(1, {DIM}) AS d(i)
@@ -337,27 +339,41 @@ def shared_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (vec_id, bits): the MAX_PLANES-plane sign bit string per
     vector, memoized per (session, warehouse) like the dedup family's
     shingle/signature intermediates — bench and repeated ANN calls pay the
-    decimal projection folds once, not per entry.
+    projection folds once, not per entry.
 
     Structure chosen by measurement (PERFORMANCE.md): explode to one row per
     (vector, plane), fold that plane's literal sign row (no runtime md5),
     groupBy-reassemble the bit string. A fully in-row nested fold and an
     8-row x 4-top-level-folds variant both measured SLOWER with real
-    (unpruned) plans — codegen drops out in the generator path."""
+    (unpruned) plans — codegen drops out in the generator path.
+
+    r9: the fold runs in EXACT INT64 micro-units (each vector quantized
+    ONCE via ROUND(x*1e6), the embed_jl_distortion recipe) instead of
+    DECIMAL(28,12) accumulation — the sign of the integer sum is the
+    bit, the oracle quantizes identically, and integer folds are what
+    whole-stage codegen is fast at (family:sign_bits at sf10: 26.6 s
+    decimal -> 11.3 s integer, measured; max |sum| ~ 64 * 1e6 per plane,
+    nowhere near int64). Quantization moves a bit only when a projection
+    sits within ~1e-6 of zero — measured recall is unchanged (0.96)."""
     from skinnerdb_spark.operators.dedup import _memo
 
     def build():
         e = read_table(spark, sf_dir, "embeddings")
-        planes = fan_out(e).select(
+        qe = e.select(
             "vec_id",
-            "embedding",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            ).alias("q"),
+        )
+        planes = fan_out(qe).select(
+            "vec_id",
+            "q",
             F.explode(F.sequence(F.lit(0), F.lit(MAX_PLANES - 1))).alias("j"),
         )
         p = F.expr(
-            decimal_fold(
-                f"zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), embedding, "
-                f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12)))"
-            )
+            f"aggregate(zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), q, "
+            "(s, v) -> s * v), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         return (
             planes.select("vec_id", "j", p.alias("p"))
@@ -501,18 +517,25 @@ def shared_query_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
-        planes = e.select(
+        qe = e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            ).alias("q"),
+        )
+        planes = qe.select(
             F.col("vec_id").alias("query_id"),
-            "embedding",
+            "q",
             F.explode(F.sequence(F.lit(0), F.lit(MAX_PLANES - 1))).alias("j"),
         )
-        # exact DECIMAL margin (no double cast): margins are compared, not
-        # emitted, and exact decimals make the probe ranking bit-identical
-        # across engines with no IEEE summation-order caveats
+        # exact INT64 margin (micro-units, matching shared_bits' quantized
+        # projections): margins are compared, not emitted, and exact
+        # integers make the probe ranking bit-identical across engines
+        # with no IEEE summation-order caveats
         pd_ = F.expr(
-            f"aggregate(zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), embedding, "
-            f"(s, x) -> CAST(s * CAST(x AS DOUBLE) AS DECIMAL(28,12))), "
-            f"CAST(0 AS DECIMAL(30,12)), (acc, v) -> CAST(acc + v AS DECIMAL(30,12)))"
+            f"aggregate(zip_with(element_at({_sign_rows(MAX_PLANES)}, j + 1), q, "
+            "(s, v) -> s * v), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         return (
             planes.select("query_id", "j", F.abs(pd_).alias("m"))
@@ -596,9 +619,8 @@ def _margin_probe_candidates(
             F.expr(
                 f"aggregate(filter(sequence(0, {bits - 1}), "
                 f"b -> (shiftright(mask, b) & 1) = 1), "
-                f"CAST(0 AS DECIMAL(30,12)), "
-                f"(acc, b) -> CAST(acc + element_at(marr, t * {bits} + b + 1) "
-                f"AS DECIMAL(30,12)))"
+                f"CAST(0 AS BIGINT), "
+                f"(acc, b) -> acc + element_at(marr, t * {bits} + b + 1))"
             ),
         )
     )
@@ -649,15 +671,16 @@ def _margin_multiprobe_oracle(
     return f"""
     WITH proj AS (
         SELECT e.vec_id, g.j,
-               SUM(CAST(({_plane_sign_sql('g.j', 'd.i')}) * CAST(e.embedding[d.i] AS DOUBLE)
-                    AS DECIMAL(28,12))) AS pd
+               CAST(SUM(({_plane_sign_sql('g.j', 'd.i')})
+                    * CAST(ROUND(CAST(e.embedding[d.i] AS DOUBLE) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS pd
         FROM embeddings e,
              generate_series(0, {total - 1}) AS g(j),
              generate_series(1, {DIM}) AS d(i)
         GROUP BY e.vec_id, g.j),
     sig AS (
         SELECT vec_id,
-               string_agg(CASE WHEN CAST(pd AS DOUBLE) > 0 THEN '1' ELSE '0' END,
+               string_agg(CASE WHEN pd > 0 THEN '1' ELSE '0' END,
                           '' ORDER BY j) AS bits
         FROM proj GROUP BY vec_id),
     tbl AS (
@@ -676,7 +699,7 @@ def _margin_multiprobe_oracle(
                          WHERE p2.vec_id = q.query_id
                            AND p2.j >= q.t * {bits} AND p2.j < (q.t + 1) * {bits}
                            AND ((q.mask >> (p2.j - q.t * {bits})) & 1) = 1),
-                        CAST(0 AS DECIMAL(38,12))) AS cost
+                        CAST(0 AS BIGINT)) AS cost
         FROM qp q),
     sel AS (
         SELECT * FROM (
