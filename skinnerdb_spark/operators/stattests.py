@@ -436,6 +436,15 @@ def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    return cusum_series(daily)
+
+
+def cusum_series(daily: DataFrame) -> DataFrame:
+    """(day, n_events, cusum_pos, cusum_neg, alarm) from a (d: DATE,
+    n: BIGINT) daily-count frame — the in-row recurrence fold shared by the
+    batch entry above and the streaming monitor
+    (streaming/windows.py::stream_cusum_monitor), so the two paths cannot
+    drift apart arithmetically."""
     one = daily.agg(
         F.sort_array(F.collect_list(F.struct("d", "n"))).alias("days"),
         F.sum("n").cast("bigint").alias("t"),

@@ -1042,3 +1042,81 @@ def stream_ab_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cusum_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    monitor_path: str,
+    checkpoint: str,
+) -> None:
+    """Continuous ingest-rate drift monitor — the streaming twin of
+    operators/stattests.py::ev_cusum_drift, in the same ``foreachBatch`` +
+    compact-state shape as stream_ab_monitor:
+
+    - state: one row per DAY ever seen carrying its cumulative event
+      count — bounded by the DATE DOMAIN (a year = 365 rows), not event
+      volume, so the stream can run forever;
+    - per micro-batch: merge the batch's daily counts into the state
+      (full outer on day, integer sum — associative, so micro-batch
+      boundaries cannot change any daily total), recompute the WHOLE
+      CUSUM series through the SAME ``cusum_series`` fold the batch entry
+      uses, and write one monitor row (n_days, total, alarms, maxima).
+
+    After a full drain the series recomputed from the final state is
+    row-identical to the batch entry over the same files (pinned in
+    tests/test_components.py) — daily-count merging is exact integer
+    addition. Idempotence: the stream_ab_monitor contract (state restated
+    per batch via eager localCheckpoint; monitor rows partitioned by
+    batch_id with dynamic overwrite, so replays rewrite)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.stattests import cusum_series
+
+    ev = stream_events(spark, src_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(F.col("ts").cast("date").alias("d")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        if _os.path.isdir(state_path):
+            old = spark.read.parquet(state_path).localCheckpoint(eager=True)
+            o, d = old.alias("o"), delta.alias("d")
+            merged = o.join(d, "d", "full_outer").select(
+                "d",
+                (
+                    F.coalesce(F.col("o.n"), F.lit(0).cast("bigint"))
+                    + F.coalesce(F.col("d.n"), F.lit(0).cast("bigint"))
+                ).cast("bigint").alias("n"),
+            )
+        else:
+            merged = delta
+        merged = merged.localCheckpoint(eager=True)
+        series = cusum_series(merged)
+        row = series.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum(F.when(F.col("alarm"), 1).otherwise(0)).cast("bigint").alias("n_alarms"),
+            F.max("cusum_pos").alias("max_cusum_pos"),
+            F.max("cusum_neg").alias("max_cusum_neg"),
+            F.max("day").alias("last_day"),
+        )
+        (
+            row.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_path)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

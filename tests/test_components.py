@@ -1728,3 +1728,48 @@ def test_systematic_pps_boundaries(spark, tmp_path):
     rows2 = all_specs()["sample_systematic_pps"].spark(spark, str(tmp_path)).collect()
     assert sum(r["n_picks"] for r in rows2) == 64
     assert all(r["n_picks"] == 1 for r in rows2)
+
+
+def test_stream_cusum_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming CUSUM monitor's post-drain state reproduces the batch
+    entry's series EXACTLY (daily-count merging is associative integer
+    addition), and the monitor row aggregates that series."""
+    import pyspark.sql.functions as F
+
+    from skinnerdb_spark.operators.stattests import cusum_series
+    from skinnerdb_spark.registry import all_specs
+    from skinnerdb_spark.streaming.windows import stream_cusum_monitor
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        src = sf_dir + "/events.parquet"
+        state = str(tmp_path / "state")
+        monitor = str(tmp_path / "monitor")
+        stream_cusum_monitor(spark, src, state, monitor, str(tmp_path / "ck"))
+
+        batch = all_specs()["ev_cusum_drift"].spark(spark, sf_dir).toPandas()
+        drained = (
+            cusum_series(
+                spark.read.parquet(state).select(
+                    F.col("d"), F.col("n").cast("bigint").alias("n")
+                )
+            )
+            .toPandas()
+        )
+        b = batch.sort_values("day", ignore_index=True)
+        s = drained.sort_values("day", ignore_index=True)
+        assert b.equals(s), "drained state series != batch series"
+
+        mon = spark.read.parquet(monitor)
+        last = mon.orderBy(F.col("batch_id").desc()).limit(1).collect()[0]
+        assert last["n_days"] == len(b)
+        assert last["total_events"] == int(b["n_events"].sum())
+        assert last["n_alarms"] == int(b["alarm"].sum())
+        assert last["max_cusum_pos"] == int(b["cusum_pos"].max())
+
+        # replay: same batches -> same batch_id partitions rewritten
+        stream_cusum_monitor(spark, src, state + "2", monitor, str(tmp_path / "ck2"))
+        mon2 = spark.read.parquet(monitor).groupBy("batch_id").count().collect()
+        assert all(r["count"] == 1 for r in mon2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
