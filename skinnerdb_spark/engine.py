@@ -287,8 +287,12 @@ class Engine:
         binds ``:name`` markers (dict) or ``?`` markers (list) as LITERALS
         at parse time — injection-safe templating for programmatic callers
         (a user-supplied threshold never string-concatenates into the
-        query). The reference console interpolates raw strings
-        (src/console/SkinnerCmd.java); this is the safe Spark-native form.
+        query). Table/column NAMES parameterize through ``IDENTIFIER(:n)``
+        (r9, pinned in tests/test_console.py): the bound string resolves
+        as exactly one identifier or fails analysis — it can never smuggle
+        SQL. The reference console interpolates raw strings
+        (src/console/SkinnerCmd.java); these are the safe Spark-native
+        forms.
         """
         return self.spark.sql(text, args=args) if args is not None else self.spark.sql(text)
 

@@ -284,3 +284,29 @@ def test_engine_parameterized_sql(console):
         args={"s": "F' OR '1'='1"},
     ).collect()[0].n
     assert evil == 0
+
+
+def test_engine_parameterized_identifiers(console):
+    """IDENTIFIER(:name) through Engine.sql (r9): table/column NAMES bind
+    as parameters too — the DDL-safe complement of value parameters (a
+    user-supplied table name can never smuggle SQL; it either resolves as
+    one identifier or fails to resolve)."""
+    import pytest as _pt
+    from pyspark.errors import AnalysisException
+
+    eng = console.engine
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)", args={"tbl": "orders"}
+    ).collect()[0].n
+    assert n == eng.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n > 0
+    # column names parameterize the same way
+    c = eng.sql(
+        "SELECT MAX(IDENTIFIER(:col)) AS m FROM orders", args={"col": "o_orderkey"}
+    ).collect()[0].m
+    assert c > 0
+    # a malicious "name" is one (unresolvable) identifier, never executed SQL
+    with _pt.raises(AnalysisException):
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders; DROP TABLE orders"},
+        ).collect()
