@@ -121,6 +121,10 @@ _REVERIFY: list[str] = [
     # r9: multiprobe rebuilt as query-directed margin probing (8x10x600),
     # MAX_PLANES 32 -> 80 reshapes every shared_bits consumer's plan
     "sim_lsh_multiprobe", "sim_lsh_ann", "sim_lsh_buckets",
+    # r9 (cont.): the int64-fold/rescore refactor also moved the IVF and
+    # IVF-PQ plan fingerprints (gate_check violation caught in-session) —
+    # rotate them forward for re-verification too
+    "sim_ivf_ann", "sim_ivfpq_ann",
     # r9: clique grid switched to unequal shares (3,2,2,2) after the sf10
     # grid sweep — plan fingerprint diff rotates it forward
     "wcoj_clique4",
