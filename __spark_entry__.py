@@ -148,6 +148,9 @@ _PRIORITY: list[str] = [
     "multimodal_tiff_roundtrip",
     # r9: CUSUM drift monitor (nonlinear recurrence as a bounded in-row fold)
     "ev_cusum_drift",
+    # r9 (cont.): trainless SQ8 ANN — the only family member whose oracle
+    # re-derives even the index build from raw parquet (operators/sq.py)
+    "sim_sq_ann",
 ]
 
 

@@ -195,6 +195,7 @@ def main() -> None:
             "sim_ivf_ann",
             "sim_pq_ann",
             "sim_ivfpq_ann",
+            "sim_sq_ann",
         ):
             got = topk_sets(name)
             hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())

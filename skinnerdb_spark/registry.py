@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         segments,
         similarity,
         spectral,
+        sq,
         stattests,
         temporal,
         text,

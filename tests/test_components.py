@@ -1773,3 +1773,27 @@ def test_stream_cusum_monitor_matches_batch(spark, sf_dir, tmp_path):
         assert all(r["count"] == 1 for r in mon2)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_sq_ann_recall_and_candidate_bound(spark, sf_dir):
+    """SQ8's quantization error (255 levels over the per-dim value span) is
+    far below this corpus's neighbor margins, so the compressed-scan tier
+    must be LOSSLESS at top-5 — recall 1.0 vs brute force, pinned (a recall
+    drop means the quantizer or the asymmetric distance regressed). Also
+    pins the candidate contract: <= CAND rows per query feed the rescore."""
+    from skinnerdb_spark.operators.sq import CAND, sim_sq_ann
+    from skinnerdb_spark.operators.similarity import TOP_K, sim_bruteforce_topk
+
+    def tops(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = tops(sim_bruteforce_topk(spark, sf_dir))
+    got = tops(sim_sq_ann(spark, sf_dir))
+    assert truth.keys() == got.keys()
+    for q, t in truth.items():
+        assert len(got[q]) == TOP_K
+        assert got[q] == t, f"query {q}: SQ top-k diverged from brute force"
+    assert TOP_K <= CAND
