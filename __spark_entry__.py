@@ -151,6 +151,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): trainless SQ8 ANN — the only family member whose oracle
     # re-derives even the index build from raw parquet (operators/sq.py)
     "sim_sq_ann",
+    # r9 (cont.): two-sample Kolmogorov-Smirnov on the MW value-domain
+    # machinery — the snapshot/source drift detector
+    "stats_ks_test",
 ]
 
 

@@ -490,3 +490,127 @@ def cusum_series(daily: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (r9 cont.): the distribution-SHAPE
+# companion to stats_mann_whitney on the identical value-domain machinery —
+# MW detects a location shift, KS detects ANY CDF divergence (the corpus
+# drift detector a training-data pipeline runs between ingestion snapshots
+# or data sources). D = max_v |F1(v) - F0(v)| is, like U, a rank statistic
+# the textbook computes from a pooled SORT; here it is a MAX over the
+# per-VALUE frame of an integral cross-difference, so no row-level sort and
+# no corpus-wide window exist in the plan.
+# --------------------------------------------------------------------------
+
+@register(
+    "stats_ks_test",
+    """
+    WITH g AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    per AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0v
+        FROM g GROUP BY v),
+    c AS (
+        SELECT CAST(SUM(n1v) OVER (ORDER BY v) AS BIGINT) AS c1le,
+               CAST(SUM(n0v) OVER (ORDER BY v) AS BIGINT) AS c0le
+        FROM per),
+    tot AS (
+        SELECT CAST(MAX(c1le) AS BIGINT) AS n1,
+               CAST(MAX(c0le) AS BIGINT) AS n0,
+               CAST(MAX(ABS(n1v_cross)) AS BIGINT) AS d_num
+        FROM (SELECT c1le, c0le,
+                     c1le * (SELECT MAX(c0le) FROM c)
+                     - c0le * (SELECT MAX(c1le) FROM c) AS n1v_cross
+              FROM c))
+    SELECT n1, n0, d_num,
+           CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0) AS d,
+           (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0))
+           * SQRT(CAST(n1 AS DOUBLE) * n0 / (n1 + n0)) AS kn
+    FROM tot
+    """,
+    tags=("stats", "hypothesis", "pipeline"),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between URGENT and LOW-priority
+    order-total distributions — the same arms as stats_mann_whitney, so the
+    two statistics are directly comparable on one dataset.
+
+    Scale shape: D needs BOTH arms' inclusive CDFs at every distinct value.
+    The plan groups to the value domain (exact cents), runs the two prefix
+    sums through the shared two-level idiom (bucket totals -> bounded
+    driver offsets -> bucket-partitioned inclusive window — zero
+    unpartitioned windows), and takes ONE integral max:
+    d_num = max_v |n0*C1(<=v) - n1*C0(<=v)|, so the comparison of the two
+    step functions never touches a float. D = d_num/(n1*n0) and the
+    scaled statistic Kn = D*sqrt(n1*n0/(n1+n0)) are emitted via identical
+    fully-parenthesized IEEE expressions in both engines (the z-statistic
+    precedent). Integral-overflow boundary, documented like MW's tie cube:
+    |d_num| <= n1*n0 stays in int64 while the ARM PRODUCT < 2^63 — arms up
+    to ~3e9 rows each; past that, lift d_num to DECIMAL(38,0) (one-line
+    change, same plan)."""
+    from pyspark.sql.window import Window as _W
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+    )
+    per = g.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1v"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0v"),
+    )
+    per = per.withColumn("bucket", F.expr(f"v DIV {MWU_BUCKET_CENTS}"))
+    btot = (
+        per.groupBy("bucket")
+        .agg(
+            F.sum("n1v").cast("bigint").alias("b1"),
+            F.sum("n0v").cast("bigint").alias("b0"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )  # bounded by the value domain, not the corpus
+    offsets, run1, run0 = [], 0, 0
+    for r in btot:
+        offsets.append((r["bucket"], run1, run0))
+        run1 += r["b1"]
+        run0 += r["b0"]
+    off = spark.createDataFrame(offsets, "bucket long, off1 long, off0 long")
+    win = _W.partitionBy("bucket").orderBy("v").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    c = (
+        per.join(F.broadcast(off), "bucket")
+        .withColumn("c1le", (F.sum("n1v").over(win) + F.col("off1")).cast("bigint"))
+        .withColumn("c0le", (F.sum("n0v").over(win) + F.col("off0")).cast("bigint"))
+    )
+    tot = c.agg(
+        F.max("c1le").cast("bigint").alias("n1"),
+        F.max("c0le").cast("bigint").alias("n0"),
+        F.max(
+            F.abs(
+                F.col("c1le") * F.lit(run0).cast("bigint")
+                - F.col("c0le") * F.lit(run1).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    return tot.select(
+        "n1",
+        "n0",
+        "d_num",
+        F.expr("CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0)").alias("d"),
+        F.expr(
+            "(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n0))"
+            " * SQRT(CAST(n1 AS DOUBLE) * n0 / (n1 + n0))"
+        ).alias("kn"),
+    )
