@@ -154,6 +154,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): two-sample Kolmogorov-Smirnov on the MW value-domain
     # machinery — the snapshot/source drift detector
     "stats_ks_test",
+    # r9 (cont.): per-source tokenizer fertility/compression QA over the
+    # now-memoized shared_word_pieces tokenizer chain
+    "text_fertility",
 ]
 
 

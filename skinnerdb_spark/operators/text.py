@@ -836,6 +836,47 @@ def _bpe_encode_oracle() -> str:
 """
 
 
+def shared_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_pieces, s1, s2): the learned-BPE per-word piece summary —
+    merge learning + piece-vocabulary ranking + per-word id sums, memoized
+    per (session, warehouse) like the LSH family chains so the tokenizer
+    consumers (text_bpe_encode, text_fertility) learn the merges ONCE per
+    session instead of once per entry. Shapes unchanged from the original
+    in-entry build: merges fold over the (word, cnt) table, the piece
+    alphabet ranks via ranked_topk (no unpartitioned window), the summary
+    broadcasts onto consumers' corpus scans."""
+    from skinnerdb_spark.operators.dedup import _memo
+    from skinnerdb_spark.queries.util import ranked_topk
+
+    def build() -> DataFrame:
+        _, words = _bpe_rounds(spark, sf_dir, need_final_words=True)
+        wp = words.select(
+            "word", "cnt", F.expr("split(trim(sym), ' ')").alias("pieces")
+        )
+        pc = (
+            wp.select(F.explode("pieces").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        vocab = ranked_topk(
+            pc, [("cnt", "desc"), ("piece", "asc")], BPE_VOCAB_K, rnk_col="token_id"
+        ).select("piece", F.col("token_id").cast("bigint").alias("token_id"))
+        pe = wp.select(
+            "word", F.posexplode("pieces").alias("i0", "piece")
+        ).select("word", (F.col("i0") + 1).cast("bigint").alias("i"), "piece")
+        return (
+            pe.join(F.broadcast(vocab), "piece")
+            .groupBy("word")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+                F.sum("token_id").cast("bigint").alias("s1"),
+                F.sum(F.col("i") * F.col("token_id")).cast("bigint").alias("s2"),
+            )
+        )
+
+    return _memo(spark, sf_dir, "bpe_we", build)
+
+
 @register(
     "text_bpe_encode",
     _bpe_encode_oracle(),
@@ -869,30 +910,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §6)."""
     from pyspark.sql.window import Window
 
-    from skinnerdb_spark.queries.util import ranked_topk
-
-    _, words = _bpe_rounds(spark, sf_dir, need_final_words=True)
-    wp = words.select("word", "cnt", F.expr("split(trim(sym), ' ')").alias("pieces"))
-    pc = (
-        wp.select(F.explode("pieces").alias("piece"), "cnt")
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    )
-    vocab = ranked_topk(
-        pc, [("cnt", "desc"), ("piece", "asc")], BPE_VOCAB_K, rnk_col="token_id"
-    ).select("piece", F.col("token_id").cast("bigint").alias("token_id"))
-    pe = wp.select(
-        "word", F.posexplode("pieces").alias("i0", "piece")
-    ).select("word", (F.col("i0") + 1).cast("bigint").alias("i"), "piece")
-    we = (
-        pe.join(F.broadcast(vocab), "piece")
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
-            F.sum("token_id").cast("bigint").alias("s1"),
-            F.sum(F.col("i") * F.col("token_id")).cast("bigint").alias("s2"),
-        )
-    )
+    we = shared_word_pieces(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -1226,3 +1244,84 @@ def docs_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("k")
         ).alias("kn_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility QA (r9 cont.): the acceptance report an LLM pipeline
+# runs on a freshly trained tokenizer before committing a corpus encode —
+# pieces-per-word (fertility) and word-bytes-per-piece (compression) broken
+# down by source. A source whose fertility spikes is one the tokenizer
+# serves badly (wrong domain/language mix in training); this is the
+# per-source drift signal that decides retraining. Composes the learned
+# tokenizer chain: shared_word_pieces (memoized merges + piece vocab).
+# --------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    final = f"w{BPE_MERGES}"
+    return _bpe_oracle_body() + f""",
+    wn AS (SELECT word,
+                  CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
+           FROM {final}),
+    base AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0),
+    toks AS (SELECT doc_id, source, t[g.i] AS term
+             FROM base, UNNEST(generate_series(1, len(t), 1)) AS g(i)),
+    agg AS (SELECT t.source,
+                   CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(wn.n_pieces) AS BIGINT) AS n_pieces,
+                   CAST(SUM(strlen(t.term)) AS BIGINT) AS n_word_bytes
+            FROM toks t JOIN wn ON t.term = wn.word
+            GROUP BY t.source)
+    SELECT source, n_docs, n_words, n_pieces, n_word_bytes,
+           CAST(n_pieces AS DOUBLE) / n_words AS fertility,
+           CAST(n_word_bytes AS DOUBLE) / n_pieces AS bytes_per_piece
+    FROM agg ORDER BY source
+"""
+
+
+@register(
+    "text_fertility",
+    _fertility_oracle(),
+    tags=("text", "pipeline", "tokenizer"),
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (BPE pieces per whitespace word) and
+    compression (word bytes per piece) over the learned-merge tokenizer.
+
+    Scale shape: the per-word piece summary (vocabulary-sized) broadcasts
+    onto ONE corpus token scan; the report aggregates to |source| rows with
+    map-side combine. Counts are exact int64; the two ratios are single
+    IEEE divisions of exact integers (the tf*N/df precedent), so the entry
+    is hash-exact cross-engine. At 100 TB the corpus pass is the scan
+    itself — the tokenizer side is corpus-size-independent."""
+    we = shared_word_pieces(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("term"),
+    )
+    agg = (
+        toks.join(F.broadcast(we), toks["term"] == we["word"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.octet_length("term")).cast("bigint").alias("n_word_bytes"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_word_bytes",
+        F.expr("CAST(n_pieces AS DOUBLE) / n_words").alias("fertility"),
+        F.expr("CAST(n_word_bytes AS DOUBLE) / n_pieces").alias("bytes_per_piece"),
+    ).orderBy("source")
