@@ -157,6 +157,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): per-source tokenizer fertility/compression QA over the
     # now-memoized shared_word_pieces tokenizer chain
     "text_fertility",
+    # r9 (cont.): measured banded-minhash recall vs the prefix join's exact
+    # ground truth — blocking quality as a first-class oracle-verified query
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -1410,3 +1410,87 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         novelty.alias("novelty"),
         F.when(novelty >= INCR_NOVELTY_T, 1).otherwise(0).cast("bigint").alias("keep_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH candidate-recall receipt (r9 cont.): the minhash family's recall is
+# PROBABILISTIC (banding theory gives P[candidate | J] = 1-(1-J^r)^b, not a
+# guarantee); the prefix-filter join is EXACT at the same threshold. This
+# entry joins the two pipelines into the acceptance report a production
+# dedup deploy runs before trusting LSH at scale: measured recall and
+# candidate precision of the banded stage against exact ground truth —
+# self-certifying blocking quality, computed entirely from the memoized
+# family frames (ANN has bench-level recall; dedup's is now a first-class,
+# oracle-verified query).
+# --------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {oracle_shingles_cte(k=3)},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter_n
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE 3 * i.inter_n >= sa.n + sb.n),
+    mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+           FROM shd, generate_series(0, {N_HASHES - 1}) AS g(j)
+           GROUP BY doc_id, j),
+    bands AS (SELECT doc_id,
+                     CAST(j // {N_HASHES // N_BANDS} AS INTEGER) AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS key
+              FROM mh GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    hits AS (SELECT t.doc_a FROM truth t
+             JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM cand), 0) AS candidate_precision
+"""
+
+
+@register(
+    "dedup_lsh_recall_report",
+    _LSH_RECALL_ORACLE,
+    tags=("dedup", "pipeline", "lsh", "prefix"),
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall (and candidate precision) of the banded-minhash
+    candidate stage against the prefix-filter join's EXACT Jaccard >= 1/2
+    ground truth — one row: n_true, n_candidates, n_hits, recall,
+    candidate_precision.
+
+    Scale shape: both pair sets come from the memoized family chains
+    (truth = the prefix join's guarantee-complete pairs, candidates = the
+    banded buckets), the hit set is one pair-keyed join of two pair-sized
+    frames, and the three counts cross-join as broadcast 1-row aggregates.
+    Nothing here re-scans the corpus; at 100 TB the report costs one pass
+    over the PAIR tables. Ratios are single IEEE divisions of exact counts
+    with identical NULLIF guards in both engines."""
+    truth = dedup_prefix_filter(spark, sf_dir).select("doc_a", "doc_b")
+    cand = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    one = t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(h))
+    return one.select(
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        F.expr("CAST(n_hits AS DOUBLE) / NULLIF(n_true, 0)").alias("recall"),
+        F.expr("CAST(n_hits AS DOUBLE) / NULLIF(n_candidates, 0)").alias(
+            "candidate_precision"
+        ),
+    )
