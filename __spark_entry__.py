@@ -160,6 +160,10 @@ _PRIORITY: list[str] = [
     # r9 (cont.): measured banded-minhash recall vs the prefix join's exact
     # ground truth — blocking quality as a first-class oracle-verified query
     "dedup_lsh_recall_report",
+    # r9 (cont.): KMV bottom-k distinct sketch — deterministic md5 keying
+    # makes the ESTIMATE itself cross-engine hash-exact (vs HLL's bound
+    # contract), and bottom-k sets merge by union
+    "approx_distinct_kmv",
 ]
 
 

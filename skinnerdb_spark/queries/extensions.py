@@ -572,3 +572,112 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_full).alias("first_ok"),
         F.last("o_orderkey").over(w_full).alias("last_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch (r9 cont.): the DETERMINISTIC, mergeable
+# companion to approx_distinct_sketch. HLL estimates are engine-internal
+# (that entry verifies an error-bound contract, not the estimate); KMV over
+# a keyed md5 is pure relational algebra, so the ESTIMATE ITSELF is
+# cross-engine bit-exact — the property an incremental 100 TB pipeline
+# needs when yesterday's sketch must merge with today's on any engine
+# (union of bottom-k sets = bottom-k of the union; k-1 over the k-th
+# minimum uniform is the textbook KMV estimator).
+# --------------------------------------------------------------------------
+KMV_K = 256  # bottom-k size: rsd ~ 1/sqrt(k-2) ~ 6.3%
+_KMV_DOMAIN = 1 << 60  # 15 md5 hex chars
+
+
+@register(
+    "approx_distinct_kmv",
+    f"""
+    WITH dk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+    h AS (SELECT l_returnflag,
+                 CAST(('0x' || SUBSTR(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                      ::UBIGINT AS BIGINT) AS h
+          FROM dk),
+    r AS (SELECT l_returnflag, h,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM h),
+    bot AS (SELECT l_returnflag, CAST(MAX(h) AS BIGINT) AS kth_min,
+                   CAST(COUNT(*) AS BIGINT) AS in_sketch
+            FROM r WHERE rn <= {KMV_K} GROUP BY l_returnflag),
+    ex AS (SELECT l_returnflag,
+                  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT b.l_returnflag, e.exact_parts, b.kth_min,
+           CASE WHEN b.in_sketch < {KMV_K} THEN CAST(b.in_sketch AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / b.kth_min
+           END AS est_kmv,
+           ABS((CASE WHEN b.in_sketch < {KMV_K} THEN CAST(b.in_sketch AS DOUBLE)
+                     ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / b.kth_min
+                END) - e.exact_parts) / e.exact_parts AS rel_err
+    FROM bot b JOIN ex e USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    tags=("sketch", "surplus", "pipeline"),
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch of l_partkey per return flag —
+    estimate = (k-1) * H / h_(k), H = 2^60 (15 md5 hex chars), falling back
+    to the exact in-sketch count when a group has fewer than k distinct
+    keys. Deterministic md5 keying means the k-th minimum — and therefore
+    the ESTIMATE — hash-matches DuckDB exactly (est is two IEEE ops on
+    exact integers, identical expression both engines).
+
+    Scale shape: distinct (flag, key) first (map-side combinable), then
+    bottom-k in two phases — a per-(group, input-partition) window prunes
+    each task's stream to <= k rows BEFORE the exchange (the per-partition
+    bottom-k of a bottom-k union is exact, the TakeOrderedAndProject idea
+    applied per group), so the final group window sees <= k * n_partitions
+    rows however large the key space grows. The exact count (the report's
+    honesty column) is its own two-level distinct aggregate, joined on the
+    3-row group key."""
+    l = read_table(spark, sf_dir, "lineitem")
+    dk = l.select("l_returnflag", "l_partkey").distinct()
+    h = dk.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    pre_w = Window.partitionBy(
+        "l_returnflag", F.spark_partition_id()
+    ).orderBy("h")
+    pruned = (
+        h.withColumn("prn", F.row_number().over(pre_w))
+        .filter(F.col("prn") <= KMV_K)
+        .drop("prn")
+    )
+    fin_w = Window.partitionBy("l_returnflag").orderBy("h")
+    bot = (
+        pruned.withColumn("rn", F.row_number().over(fin_w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_min"),
+            F.count(F.lit(1)).cast("bigint").alias("in_sketch"),
+        )
+    )
+    ex = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_parts"))
+    )
+    est = (
+        f"CASE WHEN in_sketch < {KMV_K} THEN CAST(in_sketch AS DOUBLE)"
+        f" ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / kth_min END"
+    )
+    return (
+        bot.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "kth_min",
+            F.expr(est).alias("est_kmv"),
+            F.expr(f"ABS(({est}) - exact_parts) / exact_parts").alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
