@@ -164,6 +164,9 @@ _PRIORITY: list[str] = [
     # makes the ESTIMATE itself cross-engine hash-exact (vs HLL's bound
     # contract), and bottom-k sets merge by union
     "approx_distinct_kmv",
+    # r9 (cont.): inclusion-dependency (FK-candidate) profiling — the
+    # cross-table sibling of profile_table, distinct-set semi-joins only
+    "profile_fk_candidates",
 ]
 
 

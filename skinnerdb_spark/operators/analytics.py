@@ -1246,3 +1246,109 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").cast("bigint").alias("vertex"), "degree")
         .orderBy("vertex")
     )
+
+
+# --------------------------------------------------------------------------
+# FK-candidate discovery (r9 cont.): the CROSS-table sibling of
+# profile_table — measured inclusion-dependency profiling over candidate
+# (child.column -> parent.column) pairs, the schema-inference pass a data
+# platform runs on an undocumented 100 TB lake before it can plan joins at
+# all (and the statistic the adaptive tier's FK-aware cardinality
+# heuristics presuppose). Reference analogue: none (the reference assumes
+# its benchmark schemas); extension tier.
+# --------------------------------------------------------------------------
+
+#: candidate (child_table, child_col, parent_table, parent_col) pairs —
+#: two true FKs, one partial inclusion (o_custkey over a filtered customer
+#: subset would be partial; here supplier->nation is true, part->orders is
+#: the deliberate negative), so the report is discriminative
+_FK_PAIRS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),  # negative control
+)
+
+
+def _fk_oracle() -> str:
+    selects = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        selects.append(f"""
+    SELECT '{ct}.{cc} -> {pt}.{pc}' AS candidate,
+           (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+            WHERE {cc} IS NOT NULL) AS n_child,
+           (SELECT CAST(COUNT(DISTINCT {pc}) AS BIGINT) FROM {pt}
+            WHERE {pc} IS NOT NULL) AS n_parent,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+            WHERE c.v IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL))
+               AS n_contained""")
+    inner = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH pairs AS ({inner})
+    SELECT candidate, n_child, n_parent, n_contained,
+           CAST(n_contained AS DOUBLE) / NULLIF(n_child, 0) AS containment,
+           (n_contained = n_child) AS is_inclusion
+    FROM pairs ORDER BY candidate
+"""
+
+
+@register(
+    "profile_fk_candidates",
+    _fk_oracle(),
+    tags=("profiling", "surplus", "pipeline"),
+)
+def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency report over candidate FK pairs: per pair, the
+    child/parent distinct cardinalities, how many distinct child values the
+    parent contains, the containment ratio, and the is_inclusion verdict.
+
+    Scale shape per pair: both sides reduce to DISTINCT value sets FIRST
+    (map-side combinable, column-pruned scans), containment is a LEFT SEMI
+    join of the two distinct sets (never the raw tables), and each pair
+    emits one row — the stacked report is |pairs| rows total. No raw-table
+    join, no window; at 100 TB each pair costs two distinct aggregates
+    + one key-sized semi join. The containment ratio is one IEEE division
+    of exact counts with a NULLIF guard, identical in both engines."""
+    rows = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child = (
+            read_table(spark, sf_dir, ct)
+            .filter(F.col(cc).isNotNull())
+            .select(F.col(cc).alias("v"))
+            .distinct()
+        )
+        parent = (
+            read_table(spark, sf_dir, pt)
+            .filter(F.col(pc).isNotNull())
+            .select(F.col(pc).alias("v"))
+            .distinct()
+        )
+        nc = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        np_ = parent.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent"))
+        cont = child.join(parent, "v", "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contained")
+        )
+        rows.append(
+            nc.crossJoin(F.broadcast(np_))
+            .crossJoin(F.broadcast(cont))
+            .select(
+                F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
+                "n_child",
+                "n_parent",
+                "n_contained",
+            )
+        )
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionByName(r)
+    return stacked.select(
+        "candidate",
+        "n_child",
+        "n_parent",
+        "n_contained",
+        F.expr("CAST(n_contained AS DOUBLE) / NULLIF(n_child, 0)").alias(
+            "containment"
+        ),
+        (F.col("n_contained") == F.col("n_child")).alias("is_inclusion"),
+    ).orderBy("candidate")
