@@ -167,6 +167,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): inclusion-dependency (FK-candidate) profiling — the
     # cross-table sibling of profile_table, distinct-set semi-joins only
     "profile_fk_candidates",
+    # r9 (cont.): bounded BFS hop distances — node-sized frontier rounds
+    # over the family edge frame, recursive-CTE oracle
+    "graph_bfs_hops",
 ]
 
 

@@ -1352,3 +1352,69 @@ def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_contained") == F.col("n_child")).alias("is_inclusion"),
     ).orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
+# Bounded BFS hop distances (r9 cont.): the traversal class the graph tier
+# was missing — components label reachability, pagerank scores it, k-core
+# prunes it, but none answer "HOW FAR is everything from here", the
+# primitive behind blast-radius/recommendation-horizon queries. Exact
+# distances need iterated minimum over frontiers (not expressible as one
+# join/aggregate); bounded unrolled rounds are the proven realization
+# (dedup_clusters / kcore), and the oracle replays them as a recursive CTE.
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    seed AS (SELECT MIN(u) AS s FROM edges),
+    bfs(node, d) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT und.v, bfs.d + 1
+        FROM bfs JOIN und ON und.u = bfs.node
+        WHERE bfs.d < {BFS_MAX_HOPS})
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM bfs GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "surplus", "pipeline"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop distances (<= {BFS_MAX_HOPS}) from the smallest co-purchase
+    node: {BFS_MAX_HOPS} unrolled frontier-expansion rounds, each one
+    dist⋈edges join + a MIN-dist aggregate over (previous ∪ expanded).
+
+    Scale shape: the distance frame is NODE-sized (never path-sized — the
+    MIN aggregate after every round is what keeps the 100 TB variant
+    bounded; the oracle's recursive CTE enumerates paths because DuckDB
+    dedups them engine-side). Each round localCheckpoints (the kcore
+    lesson: the next round references the frame twice, and lazy lineage
+    re-executes prior rounds multiplicatively). The undirected expansion
+    reads the memoized family edge frame; hop counts stay exact integers,
+    so the entry is hash-exact with zero float columns."""
+    edges = shared_co_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).cast("int").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_MAX_HOPS):
+        nxt = dist.join(und, dist["node"] == und["u"]).select(
+            und["v"].alias("node"), (dist["d"] + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node", F.col("d").cast("bigint").alias("hops")
+    ).orderBy("node")
