@@ -170,6 +170,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): bounded BFS hop distances — node-sized frontier rounds
     # over the family edge frame, recursive-CTE oracle
     "graph_bfs_hops",
+    # r9 (cont.): the remaining distribution-rank window functions
+    # (NTILE/PERCENT_RANK/CUME_DIST/FIRST/NTH_VALUE)
+    "window_ntile_dist",
 ]
 
 

@@ -681,3 +681,55 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "window_ntile_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_in_segment,
+           CAST(NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_acctbal, c_custkey
+    """,
+    tags=("window", "surplus"),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: NTILE / PERCENT_RANK / CUME_DIST /
+    FIRST_VALUE / NTH_VALUE per market segment — the remaining standard
+    window functions the extension tier had not yet verified (rank/lag/
+    frames/session entries cover the others).
+
+    Exactness: the window orders by (c_acctbal, c_custkey) — a total order,
+    so tie-dependent semantics never fire; PERCENT_RANK ((rank-1)/(n-1))
+    and CUME_DIST (rank/n) are single IEEE divisions of exact integers and
+    both engines implement the same SQL-standard NTILE remainder rule
+    (larger buckets first). All windows are PARTITIONED (|segment| groups)
+    — no unpartitioned exchange; NTH_VALUE needs the full-frame variant,
+    declared explicitly."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("c_custkey").over(w).alias("poorest_in_segment"),
+            F.nth_value("c_custkey", 2).over(wf).cast("bigint").alias(
+                "second_poorest"
+            ),
+            "c_acctbal",
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+        .drop("c_acctbal")
+    )
