@@ -125,6 +125,9 @@ _REVERIFY: list[str] = [
     # IVF-PQ plan fingerprints (gate_check violation caught in-session) —
     # rotate them forward for re-verification too
     "sim_ivf_ann", "sim_ivfpq_ann",
+    # r9 (cont.): prefix pairs became a memoized family frame (the recall
+    # report's truth side) — the entry now reads the cached build
+    "dedup_prefix_filter",
     # r9: clique grid switched to unequal shares (3,2,2,2) after the sf10
     # grid sweep — plan fingerprint diff rotates it forward
     "wcoj_clique4",

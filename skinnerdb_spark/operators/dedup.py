@@ -1152,6 +1152,26 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter reduces — only bucket size does, which is why the measured
     scale contract above is stated against vocabulary realism (bucket
     sparsity) plus the hot-bucket cap rather than more per-pair filters."""
+    return shared_prefix_pairs(spark, sf_dir)
+
+
+def shared_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact prefix-filter pairs — the family build for the
+    exact-threshold side of the dedup tier. Two consumers read it
+    (dedup_prefix_filter itself and dedup_lsh_recall_report, whose truth
+    side would otherwise re-execute the whole prefix join per reference —
+    measured at 2x the join cost inside one report action before this memo
+    existed). Keyed by the bucket cap like shared_verified_pairs: a
+    mid-session cap change must rebuild the pairs, not serve ones computed
+    under the old cap."""
+    cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
+    return _memo(
+        spark, sf_dir, f"prefix_pairs@{cap}",
+        lambda: _prefix_pairs_impl(spark, sf_dir),
+    )
+
+
+def _prefix_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     if cap != _LSH_MAX_BUCKET_DEFAULT:
         import warnings
@@ -1478,7 +1498,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing here re-scans the corpus; at 100 TB the report costs one pass
     over the PAIR tables. Ratios are single IEEE divisions of exact counts
     with identical NULLIF guards in both engines."""
-    truth = dedup_prefix_filter(spark, sf_dir).select("doc_a", "doc_b")
+    truth = shared_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cand = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     hits = truth.join(cand, ["doc_a", "doc_b"])
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))

@@ -129,6 +129,7 @@ def main() -> None:
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),
         ("family:lsh_candidates", _dedup.lsh_candidates),
         ("family:verified_pairs", _dedup.shared_verified_pairs),
+        ("family:prefix_pairs", _dedup.shared_prefix_pairs),
         ("family:simhash_sigs", _dedup.shared_simhash),
         ("family:sign_bits", _sim.shared_bits),
         ("family:brute_topk", _sim.sim_bruteforce_topk),
