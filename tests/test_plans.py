@@ -385,3 +385,77 @@ def test_r9_entries_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_r9_session_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r9 continuation batch — each asserts the
+    shuffle/window/join contract its docstring promises."""
+    import re
+
+    # SQ8 ANN: candidate scoring is ONE corpus pass against broadcasts —
+    # the query side and the 1-row bounds frame ride BroadcastExchanges;
+    # no SortMergeJoin/ShuffledHashJoin anywhere (a shuffled join would
+    # mean the corpus self-joined); the only windows are query_id-keyed.
+    plan = plan_of(spark, "sim_sq_ann", sf_dir)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastExchange" in plan
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "query_id" in seg, seg
+
+    # KS test: value-domain windows are bucket-partitioned — no
+    # unpartitioned Window may appear (the two-level prefix idiom)
+    plan = plan_of(spark, "stats_ks_test", sf_dir)
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "bucket" in seg, seg
+
+    # KMV: both the pre-prune and final bottom-k windows are PARTITIONED
+    # (group, or group+input-partition); no unpartitioned window
+    plan = plan_of(spark, "approx_distinct_kmv", sf_dir)
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 500]
+        assert "l_returnflag" in seg, seg
+
+    # tokenizer fertility: corpus token stream never shuffles by term —
+    # the word-piece summary broadcasts onto it; the aggregate is the only
+    # corpus-sized exchange
+    plan = plan_of(spark, "text_fertility", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # FK profiling: containment joins run on DISTINCT value sets as LEFT
+    # SEMI joins — no raw-table join (which would carry full rows)
+    plan = plan_of(spark, "profile_fk_candidates", sf_dir)
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+
+    # window_ntile_dist: every window is segment-partitioned
+    plan = plan_of(spark, "window_ntile_dist", sf_dir)
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 500]
+        assert "c_mktsegment" in seg, seg
+
+
+def test_r9_session_cached_frame_reads(spark, sf_dir):
+    """The recall report and BFS must read their family frames from cache:
+    after forcing the builds, the returned plans contain InMemoryRelation
+    reads (report) / no re-derivation of the edge self-join (BFS reads the
+    localCheckpointed undirected frame — no parquet scan at all)."""
+    from skinnerdb_spark.operators.dedup import (
+        lsh_candidates,
+        shared_prefix_pairs,
+    )
+
+    shared_prefix_pairs(spark, sf_dir).count()
+    lsh_candidates(spark, sf_dir).count()
+    plan = plan_of(spark, "dedup_lsh_recall_report", sf_dir)
+    # (an InMemoryTableScan's description embeds its ORIGINATING plan text,
+    # parquet scans included — so the receipt here is the cache reads, not
+    # the absence of the word 'parquet')
+    assert "InMemoryTableScan" in plan, "report no longer reads cached pair frames"
+
+    plan = plan_of(spark, "graph_bfs_hops", sf_dir)
+    assert ".parquet" not in plan, (
+        "BFS rounds re-derive the edge frame — a lineage cut was dropped"
+    )
