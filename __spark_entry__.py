@@ -176,6 +176,9 @@ _PRIORITY: list[str] = [
     # r9 (cont.): the remaining distribution-rank window functions
     # (NTILE/PERCENT_RANK/CUME_DIST/FIRST/NTH_VALUE)
     "window_ntile_dist",
+    # r9 (cont.): the KMV merge receipt — per-partition sketches fold to
+    # exactly the direct sketch (merge_exact pinned true per group)
+    "approx_kmv_merge",
 ]
 
 

@@ -733,3 +733,101 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
         .drop("c_acctbal")
     )
+
+
+@register(
+    "approx_kmv_merge",
+    f"""
+    WITH dk AS (SELECT DISTINCT l_returnflag, l_linestatus, l_partkey
+                FROM lineitem),
+    h AS (SELECT l_returnflag, l_linestatus,
+                 CAST(('0x' || SUBSTR(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                      ::UBIGINT AS BIGINT) AS h
+          FROM dk),
+    part_bot AS (
+        SELECT l_returnflag, l_linestatus, h FROM (
+            SELECT l_returnflag, l_linestatus, h,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                        ORDER BY h) AS rn
+            FROM h) WHERE rn <= {KMV_K}),
+    merged AS (
+        SELECT l_returnflag, CAST(MAX(h) AS BIGINT) AS kth_min_merged
+        FROM (SELECT l_returnflag, h,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                          ORDER BY h) AS rn
+              FROM (SELECT DISTINCT l_returnflag, h FROM part_bot))
+        WHERE rn <= {KMV_K} GROUP BY l_returnflag),
+    direct AS (
+        SELECT l_returnflag, CAST(MAX(h) AS BIGINT) AS kth_min_direct
+        FROM (SELECT l_returnflag, h,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                          ORDER BY h) AS rn
+              FROM (SELECT DISTINCT l_returnflag, h FROM h))
+        WHERE rn <= {KMV_K} GROUP BY l_returnflag)
+    SELECT m.l_returnflag, d.kth_min_direct, m.kth_min_merged,
+           (m.kth_min_merged = d.kth_min_direct) AS merge_exact,
+           CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / m.kth_min_merged
+               AS est_kmv
+    FROM merged m JOIN direct d USING (l_returnflag)
+    ORDER BY m.l_returnflag
+    """,
+    tags=("sketch", "surplus", "pipeline"),
+)
+def approx_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV MERGE receipt: per-(flag, status) bottom-k sketches merged
+    per flag must equal the sketch computed directly over the flag — the
+    algebraic property (bottom-k of a union = bottom-k of the union of
+    bottom-k's) that lets a 100 TB pipeline sketch each ingestion
+    partition independently and fold results upward without re-reading
+    data. merge_exact is emitted per group and must be uniformly true;
+    the oracle re-derives both sides.
+
+    Scale shape: the partitioned sketches are (groups x statuses x k) rows;
+    the merge re-ranks THAT bounded frame (distinct-by-hash first — the
+    same key under two statuses hashes identically); the direct side
+    reuses the entry-level bottom-k shape. Every window is group-keyed."""
+    l = read_table(spark, sf_dir, "lineitem")
+    dk = l.select("l_returnflag", "l_linestatus", "l_partkey").distinct()
+    h = dk.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+
+    def bottom_k(df: DataFrame, keys: list[str]) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    part_bot = bottom_k(h, ["l_returnflag", "l_linestatus"])
+    merged = (
+        bottom_k(part_bot.select("l_returnflag", "h").distinct(), ["l_returnflag"])
+        .groupBy("l_returnflag")
+        .agg(F.max("h").cast("bigint").alias("kth_min_merged"))
+    )
+    direct = (
+        bottom_k(h.select("l_returnflag", "h").distinct(), ["l_returnflag"])
+        .groupBy("l_returnflag")
+        .agg(F.max("h").cast("bigint").alias("kth_min_direct"))
+    )
+    return (
+        merged.join(direct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "kth_min_direct",
+            "kth_min_merged",
+            (F.col("kth_min_merged") == F.col("kth_min_direct")).alias(
+                "merge_exact"
+            ),
+            F.expr(
+                f"CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / kth_min_merged"
+            ).alias("est_kmv"),
+        )
+        .orderBy("l_returnflag")
+    )
