@@ -46,6 +46,11 @@ EXCLUDE_REASONS = {
         "~n/1024); measured on the realistic-Zipf corpus instead — see the "
         "@realvocab row"
     ),
+    "dedup_lsh_recall_report": (
+        "truth side is the prefix-pair build — same dense-vocab boundary; "
+        "measured on the realistic-Zipf corpus instead — see the "
+        "@realvocab row"
+    ),
 }
 
 
@@ -160,7 +165,10 @@ def main() -> None:
                 # realistic-Zipf warehouse (datagen_scale --realvocab-docs)
                 # as a named row so the sweep carries the measured point
                 rv_dir = sf_dir.rstrip("/") + "rv"
-                if name == "dedup_prefix_filter" and os.path.isdir(rv_dir):
+                if name in (
+                    "dedup_prefix_filter",
+                    "dedup_lsh_recall_report",  # truth side = the prefix pairs
+                ) and os.path.isdir(rv_dir):
                     r = run_one(spark, spec, rv_dir, timeout)
                     r["name"] = f"{name}@realvocab"
                     r["corpus"] = rv_dir
