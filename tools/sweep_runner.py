@@ -149,6 +149,19 @@ def main() -> None:
 
     with open(out_path, "w") as out:
         for fname, fn in families:
+            # a family build whose every consumer is excluded at this corpus
+            # must not run against it (prefix_pairs on the dense-vocab sf10
+            # warehouse is quadratic BY CONSTRUCTION — its consumers carry
+            # @realvocab rows instead, and so does the family, implicitly,
+            # inside those timed runs)
+            if fname == "family:prefix_pairs" and "dedup_prefix_filter" in excluded:
+                out.write(json.dumps({
+                    "name": fname, "status": "excluded",
+                    "reason": EXCLUDE_REASONS["dedup_prefix_filter"],
+                }) + "\n")
+                out.flush()
+                print(f"{fname}: excluded (dense-vocab boundary)", flush=True)
+                continue
             r = run_one(spark, _FamilySpec(fname, fn), sf_dir, timeout)
             out.write(json.dumps(r) + "\n")
             out.flush()
