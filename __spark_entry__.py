@@ -179,6 +179,8 @@ _PRIORITY: list[str] = [
     # r9 (cont.): the KMV merge receipt — per-partition sketches fold to
     # exactly the direct sketch (merge_exact pinned true per group)
     "approx_kmv_merge",
+    # r9 (cont.): PERCENTILE_DISC selection quantiles + deterministic mode
+    "orders_percentile_disc",
 ]
 
 

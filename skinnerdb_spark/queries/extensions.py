@@ -831,3 +831,73 @@ def approx_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "orders_percentile_disc",
+    """
+    WITH pct AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(12,2)), 0.5)
+                    AS DOUBLE) AS p50_disc,
+               CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(12,2)), 0.9)
+                    AS DOUBLE) AS p90_disc
+        FROM orders GROUP BY o_orderpriority),
+    mon AS (
+        SELECT o_orderpriority, mo AS busiest_month FROM (
+            SELECT o_orderpriority, mo,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY COUNT(*) DESC, mo) AS rn
+            FROM (SELECT o_orderpriority,
+                         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo
+                  FROM orders)
+            GROUP BY o_orderpriority, mo) WHERE rn = 1)
+    SELECT p.o_orderpriority, p.n, p.p50_disc, p.p90_disc, m.busiest_month
+    FROM pct p JOIN mon m USING (o_orderpriority)
+    ORDER BY p.o_orderpriority
+    """,
+    tags=("agg", "surplus"),
+)
+def orders_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC (exact discrete quantiles) + a DETERMINISTIC mode —
+    the selection-quantile surface the quantile tier had not yet verified
+    (median_manual/equidepth are value-domain rebuilds; percentile/
+    quantile_cont interpolate). DISC quantiles SELECT an actual value
+    (first value with CDF >= p in both engines), so the result is exact
+    with no interpolation arithmetic to align — the decimal-in/double-out
+    cast is the only cross-engine surface. Mode is computed MANUALLY
+    ((count DESC, value ASC) rank — native mode() tie-breaks are
+    engine-internal) over the 12-value month domain.
+
+    Scale note: Spark's percentile_disc buffers each group's values (like
+    exact percentile) — fine on bounded groups; for corpus-scale exact
+    quantiles the engine's answer is operators/quantiles.py's value-domain
+    k-th selection, and this entry documents the boundary."""
+    o = read_table(spark, sf_dir, "orders")
+    pct = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("p50_disc"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP "
+            "(ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("p90_disc"),
+    )
+    mo = (
+        o.select("o_orderpriority", F.month("o_orderdate").cast("bigint").alias("mo"))
+        .groupBy("o_orderpriority", "mo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("cnt"), F.asc("mo"))
+    busiest = (
+        mo.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("mo").alias("busiest_month"))
+    )
+    return (
+        pct.join(busiest, "o_orderpriority")
+        .select("o_orderpriority", "n", "p50_disc", "p90_disc", "busiest_month")
+        .orderBy("o_orderpriority")
+    )
