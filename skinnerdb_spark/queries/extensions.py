@@ -901,3 +901,31 @@ def orders_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n", "p50_disc", "p90_disc", "busiest_month")
         .orderBy("o_orderpriority")
     )
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, h) bottom-k sketch rows — the reusable KMV kernel behind
+    approx_distinct_kmv / approx_kmv_merge and the streaming monitor
+    (streaming/windows.py::stream_kmv_monitor), kept in one place so the
+    batch and stream paths cannot drift arithmetically. Same two-phase
+    bottom-k as the entries: per-(group, input-partition) pre-prune, then
+    the group-keyed final window."""
+    dk = df.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("k")
+    ).distinct()
+    h = dk.select(
+        "grp",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(CAST(k AS STRING) AS BINARY)),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    pre = Window.partitionBy("grp", F.spark_partition_id()).orderBy("h")
+    fin = Window.partitionBy("grp").orderBy("h")
+    return (
+        h.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= KMV_K)
+        .withColumn("rn", F.row_number().over(fin))
+        .filter(F.col("rn") <= KMV_K)
+        .select("grp", "h")
+    )

@@ -1120,3 +1120,82 @@ def stream_cusum_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_kmv_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    monitor_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming distinct-users-per-event-type monitor — the streaming twin
+    of approx_distinct_kmv, exploiting exactly the merge algebra
+    approx_kmv_merge pins (bottom-k of a union == bottom-k of the union of
+    bottom-k's):
+
+    - state: the bottom-k hash sketch per event type — <= k rows per group
+      FOREVER, however many distinct users the stream accumulates (the
+      property that makes distinct-count state bounded where a naive
+      distinct would grow without limit);
+    - per micro-batch: sketch the batch (same kmv_sketch kernel as the
+      batch entries), union with the stored sketch, distinct by hash,
+      re-take bottom-k, persist; one monitor row per (batch, group) with
+      the current kth_min and estimate.
+
+    After a full drain the state sketch is ROW-IDENTICAL to kmv_sketch()
+    over the same files read as a batch (pinned in tests) — not just
+    approximately equal: the merge is exact selection algebra. Idempotence
+    follows the stream_ab_monitor contract (batch_id dynamic overwrite)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.queries.extensions import KMV_K, _KMV_DOMAIN, kmv_sketch
+
+    ev = stream_events(spark, src_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        delta = kmv_sketch(batch_df, "event_type", "user_id")
+        if _os.path.isdir(state_path):
+            old = spark.read.parquet(state_path).localCheckpoint(eager=True)
+            merged_in = old.unionByName(delta).distinct()
+        else:
+            merged_in = delta
+        from pyspark.sql.window import Window as _W
+
+        fin = _W.partitionBy("grp").orderBy("h")
+        merged = (
+            merged_in.withColumn("rn", F.row_number().over(fin))
+            .filter(F.col("rn") <= KMV_K)
+            .select("grp", "h")
+            .localCheckpoint(eager=True)
+        )
+        mon = merged.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("in_sketch"),
+            F.max("h").cast("bigint").alias("kth_min"),
+        ).select(
+            "grp",
+            "in_sketch",
+            "kth_min",
+            F.expr(
+                f"CASE WHEN in_sketch < {KMV_K} THEN CAST(in_sketch AS DOUBLE)"
+                f" ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN} / kth_min END"
+            ).alias("est_distinct"),
+        )
+        (
+            mon.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_path)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1797,3 +1797,60 @@ def test_sq_ann_recall_and_candidate_bound(spark, sf_dir):
         assert len(got[q]) == TOP_K
         assert got[q] == t, f"query {q}: SQ top-k diverged from brute force"
     assert TOP_K <= CAND
+
+
+def test_stream_kmv_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming KMV monitor's post-drain state sketch is ROW-IDENTICAL
+    to the sketch computed over the same files as one batch — the
+    approx_kmv_merge algebra (bottom-k of a union == bottom-k of the union
+    of bottom-k's) applied as bounded streaming state. Also pins the
+    batch_id-overwrite idempotence contract."""
+    import pyspark.sql.functions as F
+
+    from skinnerdb_spark.queries.extensions import KMV_K, kmv_sketch
+    from skinnerdb_spark.queries.util import read_table
+    from skinnerdb_spark.streaming.windows import stream_kmv_monitor
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        src = sf_dir + "/events.parquet"
+        state = str(tmp_path / "state")
+        monitor = str(tmp_path / "monitor")
+        stream_kmv_monitor(spark, src, state, monitor, str(tmp_path / "ck"))
+
+        batch = (
+            kmv_sketch(read_table(spark, sf_dir, "events"), "event_type", "user_id")
+            .toPandas()
+            .sort_values(["grp", "h"], ignore_index=True)
+        )
+        drained = (
+            spark.read.parquet(state)
+            .toPandas()
+            .sort_values(["grp", "h"], ignore_index=True)
+        )
+        assert batch.equals(drained), "drained sketch != batch sketch"
+        assert (batch.groupby("grp").size() <= KMV_K).all()
+
+        mon = spark.read.parquet(monitor)
+        last_bid = mon.agg(F.max("batch_id")).collect()[0][0]
+        last = {
+            r["grp"]: r
+            for r in mon.filter(F.col("batch_id") == last_bid).collect()
+        }
+        for grp, n in batch.groupby("grp").size().items():
+            assert last[grp]["in_sketch"] == n
+            assert last[grp]["kth_min"] == int(
+                batch[batch["grp"] == grp]["h"].max()
+            )
+
+        # replay: same batches -> same batch_id partitions rewritten
+        stream_kmv_monitor(spark, src, state + "2", monitor, str(tmp_path / "ck2"))
+        mon2 = (
+            spark.read.parquet(monitor)
+            .groupBy("batch_id", "grp")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 1 for r in mon2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
