@@ -181,6 +181,9 @@ _PRIORITY: list[str] = [
     "approx_kmv_merge",
     # r9 (cont.): PERCENTILE_DISC selection quantiles + deterministic mode
     "orders_percentile_disc",
+    # r9 (cont.): derandomized Poisson bootstrap — distributed CIs whose
+    # resampling itself is oracle-replayed
+    "stats_bootstrap_ci",
 ]
 
 

@@ -614,3 +614,147 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * SQRT(CAST(n1 AS DOUBLE) * n0 / (n1 + n0))"
         ).alias("kn"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (r9 cont.): distributed uncertainty
+# quantification — the missing capability class next to the hypothesis
+# tests. The classic bootstrap resamples n rows WITH replacement, which is
+# inherently sequential; the Poisson bootstrap (Hanley & MacGibbon 2006,
+# the production form in Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012) gives each row an independent
+# Poisson(1) multiplicity per replicate — embarrassingly parallel, one
+# pass, mergeable. Here the Poisson draw is DERANDOMIZED: u = md5(row, b)
+# / 2^32 through the Poisson(1) inverse CDF as a CASE chain over exact
+# double literals — identical in both engines, so even the RESAMPLING is
+# oracle-replayed (the sample_stratified md5-uniform recipe applied to
+# weights).
+# --------------------------------------------------------------------------
+BOOT_B = 64  # replicates; CI indices below assume this
+#: Poisson(1) CDF thresholds P(X<=k), k=0..6 (weights cap at 7 — P > 7 is
+#: ~1e-5 and the tail mass lands on w=7; both engines compare the SAME
+#: double literals so the draw is exact)
+_POIS_T = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _pois_w(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+_BOOT_ORACLE = f"""
+    WITH rows_b AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+               g.b AS b,
+               CAST(('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                    || CAST(g.b AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                   / 4294967296.0 AS u
+        FROM orders, UNNEST(generate_series(0, {BOOT_B - 1})) AS g(b)),
+    rep AS (
+        SELECT pri, b,
+               CAST(SUM(CAST({_pois_w('u')} AS DECIMAL(38,0)) * c)
+                    AS DECIMAL(38,0)) AS swc,
+               CAST(SUM(CAST({_pois_w('u')} AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sw
+        FROM rows_b GROUP BY pri, b),
+    means AS (
+        SELECT pri, b, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY
+                   CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE), b) AS rn
+        FROM rep),
+    full_mean AS (
+        SELECT o_orderpriority AS pri,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                    AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean_cents
+        FROM orders GROUP BY pri)
+    SELECT f.pri AS o_orderpriority, f.mean_cents,
+           lo.m AS ci_lo_cents, hi.m AS ci_hi_cents,
+           CAST({BOOT_B} AS BIGINT) AS n_replicates
+    FROM full_mean f
+    JOIN means lo ON lo.pri = f.pri AND lo.rn = 2
+    JOIN means hi ON hi.pri = f.pri AND hi.rn = {BOOT_B - 1}
+    ORDER BY f.pri
+"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    _BOOT_ORACLE,
+    tags=("stats", "hypothesis", "pipeline"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the mean order total per priority —
+    {BOOT_B} derandomized replicates in ONE corpus pass.
+
+    Scale shape: the corpus explodes by B map-side (no shuffle grows with
+    B beyond the (pri, b) aggregate's 5x{BOOT_B} cells), per-replicate
+    weighted sums accumulate in DECIMAL(38,0) (exact at any corpus size;
+    the decimal->double cast at the END is the only 2^53 surface, reached
+    around 9e13 weighted cents per replicate arm — document-level means at
+    100 TB would bucket first), and the CI is exact SELECTION (rank 2 /
+    rank {BOOT_B - 1} of {BOOT_B} replicate means per group — a
+    {BOOT_B}-row window per group, bounded by construction). Every
+    arithmetic step — the md5 uniform, the inverse-CDF weight, the decimal
+    sums, the two final IEEE divisions — is expression-identical in DuckDB,
+    so the CI bounds themselves hash-match."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    rows_b = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+        F.col("o_orderkey"),
+    ).select(
+        "pri", "c", "o_orderkey",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select(
+        "pri", "c", "b",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(concat(CAST(o_orderkey AS STRING),"
+            " ':', CAST(b AS STRING)) AS BINARY)), 1, 8), 16, 10) AS DOUBLE)"
+            " / 4294967296.0"
+        ).alias("u"),
+    )
+    w = _pois_w("u")
+    rep = rows_b.groupBy("pri", "b").agg(
+        F.expr(f"CAST(SUM(CAST({w} AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))").alias("swc"),
+        F.expr(f"CAST(SUM(CAST({w} AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("sw"),
+    )
+    means = rep.select(
+        "pri", "b",
+        F.expr("CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)").alias("m"),
+    )
+    rw = Window.partitionBy("pri").orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(rw))
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("pri"), F.col("m").alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(
+        F.col("pri"), F.col("m").alias("ci_hi_cents")
+    )
+    full = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100"
+            " AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean_cents")
+    )
+    return (
+        full.join(lo, "pri").join(hi, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+            F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        )
+        .orderBy("o_orderpriority")
+    )
