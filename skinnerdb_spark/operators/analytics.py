@@ -1418,3 +1418,136 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "node", F.col("d").cast("bigint").alias("hops")
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Bitmap activity rollup (r9 cont.): audience counting via bit algebra —
+# the roaring-bitmap idea at its SQL-expressible core. A month of per-user
+# activity collapses into ONE BIGINT (bit d-1 = active on day d), after
+# which every downstream audience question (active days, engagement tiers,
+# weekend-only users, partial-aggregate merges) is word-level integer
+# arithmetic instead of row expansion: the user x day fact never leaves the
+# map side. The merge receipt pins the algebra that makes bitmaps
+# partial-aggregable (bit_or over ANY partition axis folds to the same
+# word), which is exactly why Spark can combine them map-side at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "ev_bitmap_rollup",
+    """
+    WITH um AS (
+        SELECT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(date_trunc('month', ts) AS DATE) AS m0,
+               bit_or(1::BIGINT
+                      << (CAST(EXTRACT(day FROM ts) AS INT) - 1)) AS bm
+        FROM events GROUP BY 1, 2, 3),
+    umt AS (
+        SELECT user_id, month, bit_or(pbm) AS bm2
+        FROM (SELECT user_id,
+                     strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                     event_type,
+                     bit_or(1::BIGINT
+                            << (CAST(EXTRACT(day FROM ts) AS INT) - 1)) AS pbm
+              FROM events GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+    masks AS (
+        SELECT strftime(m0, '%Y-%m') AS month,
+               bit_or(CASE WHEN isodow(d) <= 5
+                           THEN 1::BIGINT << (CAST(EXTRACT(day FROM d) AS INT) - 1)
+                           ELSE 0::BIGINT END) AS weekday_mask
+        FROM (SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS m0
+              FROM events) mo,
+             LATERAL (SELECT UNNEST(generate_series(m0, last_day(m0),
+                                    INTERVAL 1 DAY)) AS d) g
+        GROUP BY 1)
+    SELECT um.month,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(bit_count(bm) AS BIGINT)) AS BIGINT) AS user_days,
+           CAST(MAX(CAST(bit_count(bm) AS BIGINT)) AS BIGINT) AS max_days,
+           CAST(SUM(CASE WHEN bit_count(bm) >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS engaged10,
+           CAST(SUM(CASE WHEN (bm & weekday_mask) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS weekend_only,
+           bool_and(bm = bm2) AS merge_exact
+    FROM um
+    JOIN umt USING (user_id, month)
+    JOIN masks ON masks.month = um.month
+    GROUP BY um.month ORDER BY um.month
+    """,
+    tags=("bitmap", "surplus", "pipeline"),
+)
+def ev_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month audience rollup over per-user day-of-month activity
+    bitmaps: one BIGINT per (user, month) via bit_or(1 << day-1), then
+    audience metrics as word arithmetic — active user-days (popcount sum),
+    the single most-active user's day count, a >=10-active-days engagement
+    tier, weekend-only users (bitmap AND the month's weekday mask = 0, the
+    mask itself built by bit_or over the month's calendar), and a
+    merge-exactness receipt: re-deriving each bitmap as the bit_or of
+    per-event-type PARTIAL bitmaps must reproduce the direct word
+    (bool_and-pinned per month) — the associativity that lets Spark fold
+    bitmaps map-side across any partitioning.
+
+    Scale shape: the only exchange is the (user, month) group-by, and
+    partial bit_or runs map-side before it, so each task ships one word per
+    (user, month) it saw — the fact rows never shuffle. Masks are
+    |months| x 31 generated rows, broadcast. Every column is exact integer
+    or boolean; bit_count/bit_or are bit-identical across engines.
+
+    Reference analogue: none (SURVEY §2 extension tier; the reference has
+    no bitmap or date-dimension machinery)."""
+    ev = read_table(spark, sf_dir, "events")
+    day_bit = F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+    month_col = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    um = (
+        ev.select("user_id", month_col,
+                  F.date_trunc("month", "ts").cast("date").alias("m0"),
+                  day_bit.alias("db"))
+        .groupBy("user_id", "month", "m0")
+        .agg(F.expr("bit_or(db)").alias("bm"))
+    )
+    umt = (
+        ev.select("user_id", month_col, "event_type", day_bit.alias("db"))
+        .groupBy("user_id", "month", "event_type")
+        .agg(F.expr("bit_or(db)").alias("pbm"))
+        .groupBy("user_id", "month")
+        .agg(F.expr("bit_or(pbm)").alias("bm2"))
+    )
+    months = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("m0")
+    ).distinct()
+    masks = (
+        months.select(
+            F.date_format("m0", "yyyy-MM").alias("month"),
+            F.explode(
+                F.sequence(F.col("m0"), F.last_day("m0"), F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+        .select(
+            "month",
+            F.when(
+                F.weekday("d") <= 4,
+                F.expr("shiftleft(CAST(1 AS BIGINT), day(d) - 1)"),
+            ).otherwise(F.lit(0).cast("bigint")).alias("wb"),
+        )
+        .groupBy("month")
+        .agg(F.expr("bit_or(wb)").alias("weekday_mask"))
+    )
+    joined = um.join(umt, ["user_id", "month"]).join(
+        F.broadcast(masks), "month"
+    )
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.expr("CAST(bit_count(bm) AS BIGINT)")).cast("bigint").alias("user_days"),
+            F.max(F.expr("CAST(bit_count(bm) AS BIGINT)")).cast("bigint").alias("max_days"),
+            F.sum(
+                F.when(F.expr("bit_count(bm)") >= 10, 1).otherwise(0)
+            ).cast("bigint").alias("engaged10"),
+            F.sum(
+                F.when(F.expr("(bm & weekday_mask) = 0"), 1).otherwise(0)
+            ).cast("bigint").alias("weekend_only"),
+            F.expr("bool_and(bm = bm2)").alias("merge_exact"),
+        )
+        .orderBy("month")
+    )

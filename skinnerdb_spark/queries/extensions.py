@@ -929,3 +929,184 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .select("grp", "h")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (r9 cont.): the RUNTIME ROW FILTER made
+# explicit, deterministic, and measurable. Spark's own
+# spark.sql.optimizer.runtime.bloomFilter.enabled injects exactly this plan
+# (build a bloom over the dim keys, prune the fact scan before the join) but
+# its filter is engine-internal and probabilistic per run; here the bloom is
+# pure relational algebra over salted md5 buckets, so the PASS SET ITSELF —
+# including every false positive — is cross-engine hash-exact, and the entry
+# reports the measured false-positive rate next to the (1 - load)-free
+# textbook bound (load^k with identical expression shape in both engines).
+# --------------------------------------------------------------------------
+BLOOM_M = 8192  # bucket count (the bloom's bit-domain)
+BLOOM_K = 3  # salted hash functions per key
+
+
+def _bloom_bucket_spark(i: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(CAST(concat(CAST(k AS STRING), '#{i}')"
+        f" AS BINARY)), 1, 15), 16, 10) % {BLOOM_M} AS BIGINT)"
+    )
+
+
+def _bloom_bucket_duck(i: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(md5(CAST(k AS VARCHAR) || '#' || {i}), 1, 15))"
+        f"::UBIGINT AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@register(
+    "approx_bloom_semijoin",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'),
+    bits AS (
+        SELECT DISTINCT {_bloom_bucket_duck("1")} AS b FROM build
+        UNION
+        SELECT DISTINCT {_bloom_bucket_duck("2")} FROM build
+        UNION
+        SELECT DISTINCT {_bloom_bucket_duck("3")} FROM build),
+    rows_probe AS (
+        SELECT l_orderkey AS k FROM lineitem
+        WHERE l_shipdate >= DATE '1995-07-01' AND l_shipdate < DATE '1996-01-01'),
+    probe AS (SELECT DISTINCT k FROM rows_probe),
+    pe AS (
+        SELECT k, i, CAST(('0x' || SUBSTR(md5(CAST(k AS VARCHAR) || '#'
+                   || CAST(i AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+                   % {BLOOM_M} AS b
+        FROM probe, (VALUES (1), (2), (3)) AS t(i)),
+    pass_keys AS (
+        SELECT k FROM pe JOIN bits USING (b) GROUP BY k HAVING COUNT(*) = {BLOOM_K}),
+    truth AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build)),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM build)      AS n_build,
+               (SELECT COUNT(*) FROM bits)       AS n_bits,
+               (SELECT COUNT(*) FROM probe)      AS n_probe,
+               (SELECT COUNT(*) FROM pass_keys)  AS n_pass,
+               (SELECT COUNT(*) FROM truth)      AS n_true_keys,
+               (SELECT COUNT(*) FROM rows_probe) AS n_rows_probe,
+               (SELECT COUNT(*) FROM rows_probe
+                WHERE k IN (SELECT k FROM pass_keys)) AS n_rows_pass,
+               (SELECT COUNT(*) FROM rows_probe
+                WHERE k IN (SELECT k FROM truth))     AS n_rows_true)
+    SELECT CAST(n_build AS BIGINT) AS n_build,
+           CAST(n_bits AS BIGINT) AS n_bits,
+           CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_true_keys AS BIGINT) AS n_true_keys,
+           CAST(n_pass - n_true_keys AS BIGINT) AS n_false_pos,
+           CAST(n_pass - n_true_keys AS DOUBLE)
+               / NULLIF(n_probe - n_true_keys, 0) AS key_fp_rate,
+           CAST(n_bits AS DOUBLE) / {BLOOM_M} AS bits_load,
+           (CAST(n_bits AS DOUBLE) / {BLOOM_M})
+               * (CAST(n_bits AS DOUBLE) / {BLOOM_M})
+               * (CAST(n_bits AS DOUBLE) / {BLOOM_M}) AS fp_bound,
+           CAST(n_rows_probe AS BIGINT) AS n_rows_probe,
+           CAST(n_rows_pass AS BIGINT) AS n_rows_pass,
+           CAST(n_rows_true AS BIGINT) AS n_rows_true
+    FROM agg
+    """,
+    tags=("sketch", "join", "surplus", "pipeline"),
+)
+def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join pruning receipt: urgent-1995
+    order keys build a {BLOOM_K}-hash bloom over {BLOOM_M} buckets (salted
+    md5, the KMV keying recipe); H2-1995 shipment keys probe it. A probe key
+    passes iff ALL {BLOOM_K} of its buckets are set. The report pins the
+    build/probe/pass/truth cardinalities, the exact false-positive count and
+    rate, the filter load, the load^k textbook bound, and the row-granular
+    scan-pruning value (rows the fact scan would skip vs ground truth).
+
+    Scale shape: the set-bit relation is AT MOST {BLOOM_M} rows whatever the
+    build side grows to — it is the broadcastable runtime filter Spark's own
+    InjectRuntimeFilter would synthesize, except reproducible. The probe
+    side reduces to distinct keys first (map-side combinable), expands to
+    exactly {BLOOM_K} rows per key, and meets the bits relation in a
+    broadcast hash join — no shuffle of the fact table at any scale. Every
+    count is an exact integer; the two rates are single fixed-shape IEEE
+    divisions, identical text in both engines.
+
+    Reference analogue: none (the reference prunes via in-RAM key indexes,
+    src/indexing/Index.java — this is the distributed, bounded-memory
+    equivalent a 100 TB fact scan actually ships)."""
+    o = read_table(spark, sf_dir, "orders")
+    build = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = None
+    for i in (1, 2, 3):
+        part = build.select(F.expr(_bloom_bucket_spark(i)).alias("b"))
+        bits = part if bits is None else bits.unionAll(part)
+    bits = bits.distinct()
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rows_probe = li.filter(
+        (F.col("l_shipdate") >= "1995-07-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select(F.col("l_orderkey").alias("k"))
+    probe = rows_probe.distinct()
+    pe = probe.select(
+        "k",
+        F.explode(
+            F.array(*[F.expr(_bloom_bucket_spark(i)) for i in (1, 2, 3)])
+        ).alias("b"),
+    )
+    pass_keys = (
+        pe.join(F.broadcast(bits), "b")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nset"))
+        .filter(F.col("nset") == BLOOM_K)
+        .select("k")
+    )
+    truth = probe.join(build, "k", "left_semi")
+
+    def c1(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    out = (
+        c1(build, "n_build")
+        .crossJoin(F.broadcast(c1(bits, "n_bits")))
+        .crossJoin(F.broadcast(c1(probe, "n_probe")))
+        .crossJoin(F.broadcast(c1(pass_keys, "n_pass")))
+        .crossJoin(F.broadcast(c1(truth, "n_true_keys")))
+        .crossJoin(F.broadcast(c1(rows_probe, "n_rows_probe")))
+        .crossJoin(
+            F.broadcast(c1(rows_probe.join(pass_keys, "k", "left_semi"), "n_rows_pass"))
+        )
+        .crossJoin(
+            F.broadcast(c1(rows_probe.join(truth, "k", "left_semi"), "n_rows_true"))
+        )
+    )
+    return out.select(
+        "n_build",
+        "n_bits",
+        "n_probe",
+        "n_pass",
+        "n_true_keys",
+        (F.col("n_pass") - F.col("n_true_keys")).cast("bigint").alias("n_false_pos"),
+        F.expr(
+            "CAST(n_pass - n_true_keys AS DOUBLE)"
+            " / NULLIF(n_probe - n_true_keys, 0)"
+        ).alias("key_fp_rate"),
+        F.expr(f"CAST(n_bits AS DOUBLE) / {BLOOM_M}").alias("bits_load"),
+        F.expr(
+            f"(CAST(n_bits AS DOUBLE) / {BLOOM_M})"
+            f" * (CAST(n_bits AS DOUBLE) / {BLOOM_M})"
+            f" * (CAST(n_bits AS DOUBLE) / {BLOOM_M})"
+        ).alias("fp_bound"),
+        "n_rows_probe",
+        "n_rows_pass",
+        "n_rows_true",
+    )
