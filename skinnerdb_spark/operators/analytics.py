@@ -1551,3 +1551,103 @@ def ev_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency profiling (r9 cont.): the WITHIN-table sibling of
+# profile_fk_candidates' cross-table inclusion dependencies. A determinant
+# set X functionally determines Y iff |distinct(X)| = |distinct(X, Y)| —
+# two distinct aggregates per candidate, no join, no window. Schema-
+# discovery stacks (Metanome/HyFD class) run exactly this check as their
+# verification primitive; here each candidate's verdict plus its violation
+# mass is a first-class oracle row.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES: list[tuple[str, tuple[str, ...], str]] = [
+    # (table, determinant columns, dependent column)
+    ("orders", ("o_orderkey",), "o_custkey"),            # PK -> holds
+    ("orders", ("o_custkey",), "o_orderpriority"),       # violated
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_shipdate"),  # PK -> holds
+    ("lineitem", ("l_partkey",), "l_suppkey"),           # 1:N -> violated
+    ("documents", ("doc_id",), "lang"),                  # PK -> holds
+    ("documents", ("source",), "lang"),                  # violated
+    ("events", ("event_id",), "user_id"),                # PK -> holds
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for t, det, dep in _FD_CANDIDATES:
+        dcols = ", ".join(det)
+        name = f"{t}.({dcols}) -> {dep}"
+        parts.append(f"""
+        SELECT '{name}' AS candidate,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT {dcols} FROM {t}))
+                   AS n_det,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT {dcols}, {dep} FROM {t}))
+                   AS n_pair""")
+    stacked = "\nUNION ALL\n".join(parts)
+    return f"""
+    WITH raw AS ({stacked})
+    SELECT candidate, CAST(n_det AS BIGINT) AS n_det,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           (n_pair = n_det) AS fd_holds,
+           CAST(n_pair - n_det AS BIGINT) AS extra_rhs_values,
+           CAST(n_pair - n_det AS DOUBLE) / NULLIF(n_det, 0) AS violation_ratio
+    FROM raw ORDER BY candidate
+    """
+
+
+@register(
+    "profile_functional_deps",
+    _fd_oracle(),
+    tags=("profiling", "surplus", "pipeline"),
+)
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification report over candidate X -> Y
+    pairs: per candidate, |distinct(X)|, |distinct(X u Y)|, the holds
+    verdict (equality of the two), the count of surplus RHS values, and a
+    violation ratio. Covers single- and composite-column determinants, with
+    deliberately-true (primary keys) and deliberately-false candidates so
+    both verdicts are exercised.
+
+    Scale shape per candidate: two distinct aggregates over pruned column
+    sets — each map-side combinable, no raw-table join, no window, output
+    exactly one row. Distinctness is computed via subquery-distinct +
+    COUNT(*) in BOTH engines (never COUNT(DISTINCT a, b), whose NULL-row
+    semantics differ between Spark and DuckDB). At 100 TB a candidate costs
+    what one group-by of its column set costs; candidates are independent
+    and pipeline in parallel.
+
+    Reference analogue: none (profiling tier alongside profile_table /
+    profile_fk_candidates)."""
+    rows = []
+    for t, det, dep in _FD_CANDIDATES:
+        tb = read_table(spark, sf_dir, t)
+        dcols = ", ".join(det)
+        name = f"{t}.({dcols}) -> {dep}"
+        n_det = (
+            tb.select(*det).distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_det"))
+        )
+        n_pair = (
+            tb.select(*det, dep).distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        )
+        rows.append(
+            n_det.crossJoin(F.broadcast(n_pair)).select(
+                F.lit(name).alias("candidate"), "n_det", "n_pair"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "candidate",
+        "n_det",
+        "n_pair",
+        (F.col("n_pair") == F.col("n_det")).alias("fd_holds"),
+        (F.col("n_pair") - F.col("n_det")).cast("bigint").alias("extra_rhs_values"),
+        F.expr(
+            "CAST(n_pair - n_det AS DOUBLE) / NULLIF(n_det, 0)"
+        ).alias("violation_ratio"),
+    ).orderBy("candidate")

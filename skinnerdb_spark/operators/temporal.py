@@ -391,3 +391,132 @@ def li_interval_overlap(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands coverage merge (r9 cont.): the interval-NORMALIZATION
+# shape the temporal tier was missing — li_interval_overlap matches two
+# interval sets, asof/range join them, but nothing yet MERGES a set of
+# overlapping intervals into maximal covered spans ("islands"), the
+# primitive behind SLA coverage, sensor uptime, and contract-period
+# consolidation. Classic two-window sweep: running max of interval ends
+# (per key, ordered by start) marks where a new island begins; a running
+# sum of those marks numbers the islands. No self-join, no explode — two
+# window passes on ONE exchange.
+# --------------------------------------------------------------------------
+@register(
+    "li_shipping_islands",
+    """
+    WITH iv AS (
+        SELECT l_suppkey,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE)
+                   + CAST(1 + l_partkey % 14 AS INT) AS e,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-07-01'),
+    marked AS (
+        SELECT l_suppkey, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY l_suppkey ORDER BY
+                        s, e, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= s THEN 0 ELSE 1 END AS new_island
+        FROM iv),
+    numbered AS (
+        SELECT l_suppkey, s, e,
+               SUM(new_island) OVER (PARTITION BY l_suppkey ORDER BY
+                   s, e, new_island DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+    islands AS (
+        SELECT l_suppkey, island,
+               MIN(s) AS island_start, MAX(e) AS island_end,
+               COUNT(*) AS n_intervals
+        FROM numbered GROUP BY l_suppkey, island)
+    SELECT l_suppkey,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(CAST(island_end - island_start AS INT) + 1) AS BIGINT)
+               AS covered_days,
+           CAST(MAX(CAST(island_end - island_start AS INT) + 1) AS BIGINT)
+               AS max_island_days,
+           MIN(island_start) AS first_start,
+           MAX(island_end) AS last_end
+    FROM islands GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+    tags=("temporal", "interval", "window", "surplus", "pipeline"),
+)
+def li_shipping_islands(spark, sf_dir):
+    """Per-supplier shipping-coverage islands over H1-1995: each lineitem
+    occupies [shipdate, shipdate + transit] (deterministic 1-14 day transit
+    from l_partkey); overlapping-or-touching intervals merge into maximal
+    islands via the running-max-of-ends sweep, then each supplier reports
+    interval count, island count, total covered days, the longest island,
+    and the coverage extent.
+
+    Scale shape: ONE exchange on l_suppkey, then two window passes over
+    each supplier's intervals (running MAX(e) to flag island starts,
+    running SUM to number them) and two aggregates — never a self-join or
+    an interval explode. Windows are per-supplier, so parallelism is the
+    supplier count and per-partition state is one row; at 100 TB the
+    suppliers with pathological interval counts are the exchange's skew
+    keys, handled like any group-by skew (AQE/salting), not a plan change.
+    Island identity is order-tie-proof: rows with equal (s, e) can permute
+    without changing which island any row joins, because the running max
+    already covers either order; the full ORDER BY is pinned anyway.
+    Every output column is an exact integer or a DATE.
+
+    Reference analogue: none (SURVEY §2 temporal extension tier; DuckDB
+    replays the identical two-window sweep)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    iv = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+    ).select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (1 + F.col("l_partkey") % 14).cast("int"),
+        ).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "l_suppkey",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e", F.col("new_island").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        "l_suppkey", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    islands = numbered.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    span_days = F.expr("CAST(datediff(island_end, island_start) AS INT) + 1")
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(
+            F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(span_days).cast("bigint").alias("covered_days"),
+            F.max(span_days).cast("bigint").alias("max_island_days"),
+            F.min("island_start").alias("first_start"),
+            F.max("island_end").alias("last_end"),
+        )
+        .orderBy("l_suppkey")
+    )
