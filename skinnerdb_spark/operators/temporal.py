@@ -520,3 +520,91 @@ def li_shipping_islands(spark, sf_dir):
         )
         .orderBy("l_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (r9 cont.): the interval-WEIGHTED aggregate the
+# state tier was missing — ev_state_history builds SCD-2 intervals,
+# li_shipping_islands merges them, but nothing weights a VALUE by how long
+# it was held, the semantics behind average position size, mean sensor
+# reading, and time-in-state billing (a plain AVG over readings
+# oversamples bursts; TWA is the physically correct mean).
+# --------------------------------------------------------------------------
+@register(
+    "ev_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events WHERE user_id < 50),
+    held AS (
+        SELECT user_id, value,
+               epoch_us(nxt) - epoch_us(ts) AS dur_us
+        FROM seq WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           CAST(SUM(CAST(ROUND(value * dur_us) AS BIGINT)) AS DOUBLE)
+               / SUM(dur_us) AS twa_value,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS plain_avg
+    FROM held GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("temporal", "window", "surplus", "pipeline"),
+)
+def ev_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the event value over a fixed probe
+    set of users (user_id < 50, the bounded-probe precedent): each event's
+    value is held until the user's next event (LEAD over one per-user
+    window); TWA = sum(value x held-seconds) / sum(held-seconds), reported
+    next to the plain per-event AVG it corrects. Each user's last event has
+    no successor and is excluded (half-open span semantics).
+
+    Scale shape: one exchange on user_id, one LEAD window pass, one
+    aggregate — identical to ev_state_history's plan class. Durations are
+    exact epoch-MICROsecond integers (epoch_us / unix_micros — second
+    truncation diverges across engines on sub-second timestamps); the
+    value x duration products are quantized to integer value-microseconds
+    with ROUND (half-away-from-zero in both engines, the chi2 precedent)
+    BEFORE the sum — at product magnitude ~1e12 a 6-decimal DECIMAL cast
+    rounds BELOW one double ulp, where engine tie-breaking diverges —
+    so the accumulation is associative integer addition; the value x duration products accumulate
+    as DECIMAL(30,6) (order-independent) with ONE final IEEE division per
+    user, so the doubles are bit-identical across engines at any
+    parallelism. The probe set bounds output rows; the full-population
+    variant is the same plan with the filter dropped (output then scales
+    with |users|, linear).
+
+    Reference analogue: none (SURVEY §2 temporal extension tier)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    )
+    held = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("dur_us").cast("bigint").alias("held_us"),
+            (
+                F.sum(
+                    F.round(F.col("value") * F.col("dur_us")).cast("bigint")
+                ).cast("double")
+                / F.sum("dur_us")
+            ).alias("twa_value"),
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
