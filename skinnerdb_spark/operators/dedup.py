@@ -1514,3 +1514,111 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_precision"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (r9 cont.): the third classic blocking
+# family, completing the set — LSH banding (probabilistic), prefix
+# filtering (exact-threshold), and now SORTED NEIGHBORHOOD (Hernandez &
+# Stolfo's merge/purge): sort records by a normalized key and compare only
+# rows within a fixed window w of each other, so candidates grow O(w * n)
+# whatever the corpus does. The relational realization replaces the global
+# sort (anti-scale) with per-bin sorts: records partition by a short key
+# prefix, rank within the bin, and the window becomes an EQUI-join on
+# (bin, rank + j), j in 1..w — no window function ever crosses bins, no
+# global row_number exists anywhere.
+# --------------------------------------------------------------------------
+SN_WINDOW = 4  # sorted-neighborhood comparison window
+SN_KEY_LEN = 24  # normalized sort-key length
+SN_MAX_LEV = 4  # verify threshold on key edit distance
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               SUBSTR(regexp_replace(LOWER(SUBSTR(text, 1, 80)),
+                      '[^a-z0-9]', '', 'g'), 1, {SN_KEY_LEN}) AS k
+        FROM documents),
+    binned AS (
+        SELECT doc_id, k, SUBSTR(k, 1, 2) AS bin,
+               ROW_NUMBER() OVER (PARTITION BY SUBSTR(k, 1, 2)
+                                  ORDER BY k, doc_id) AS rn
+        FROM keyed WHERE LENGTH(k) >= 8),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS k_a, b.k AS k_b
+        FROM binned a
+        JOIN (VALUES (1), (2), (3), (4)) AS off(j) ON TRUE
+        JOIN binned b ON b.bin = a.bin AND b.rn = a.rn + off.j)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(k_a, k_b) AS BIGINT) AS key_dist
+    FROM cand
+    WHERE levenshtein(k_a, k_b) <= {SN_MAX_LEV}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "blocking", "pipeline"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: documents keyed by their
+    normalized {SN_KEY_LEN}-char head (lowercased, non-alphanumerics
+    stripped), ranked inside 2-char key-prefix bins, compared only to the
+    {SN_WINDOW} rank-neighbors ahead of them, and kept when the keys'
+    edit distance is <= {SN_MAX_LEV}. Short keys (< 8 chars of signal)
+    are dropped before ranking.
+
+    Scale shape: the rank window partitions by BIN (~36^2 groups), never
+    globally — each bin sorts independently, and the neighbor window is an
+    equi-join on (bin, rn + j) after a {SN_WINDOW}-way rank explode, so
+    candidates are exactly w rows per record: O(w*n) growth by
+    construction, the property that makes sorted neighborhood the
+    bounded-cost blocking pass. At 100 TB the bin prefix widens (3-4
+    chars) to keep per-bin sorts partition-sized; boundary pairs straddling
+    a bin edge are the documented recall trade of the binned variant
+    (the multi-pass remedy is a second run with a shifted key). Verify is
+    in-row levenshtein on {SN_KEY_LEN}-char keys — constant cost per
+    candidate, identical in both engines.
+
+    Reference analogue: none (dedup/blocking tier, SURVEY §2 extension)."""
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.substring("text", 1, 80)), "[^a-z0-9]", ""),
+            1,
+            SN_KEY_LEN,
+        ).alias("k"),
+    ).filter(F.length("k") >= 8)
+    binned = keyed.select(
+        "doc_id",
+        "k",
+        F.substring("k", 1, 2).alias("bin"),
+        F.row_number()
+        .over(Window.partitionBy(F.substring("k", 1, 2)).orderBy("k", "doc_id"))
+        .alias("rn"),
+    )
+    probe = binned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").alias("k_a"),
+        "bin",
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + SN_WINDOW)
+        ).alias("rn_b"),
+    )
+    cand = probe.join(
+        binned.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("k").alias("k_b"),
+            "bin",
+            F.col("rn").alias("rn_b"),
+        ),
+        ["bin", "rn_b"],
+    )
+    return (
+        cand.withColumn(
+            "key_dist", F.levenshtein("k_a", "k_b").cast("bigint")
+        )
+        .filter(F.col("key_dist") <= SN_MAX_LEV)
+        .select("doc_a", "doc_b", "key_dist")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from skinnerdb_spark.queries.util import read_table
 from skinnerdb_spark.registry import register
@@ -755,6 +756,136 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_lo_cents",
             "ci_hi_cents",
             F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope (r9 cont.): the robust counterpart of
+# stats_linear_fit's OLS — the median of all pairwise slopes, with a ~29%
+# breakdown point where OLS breaks on one outlier. The estimator's
+# textbook obstacle at scale is its O(n^2) pair set; here the x-domain is
+# the CALENDAR (daily aggregates), so pairs are bounded by days^2 per
+# group regardless of row count — the aggregate-first-then-pair shape a
+# 100 TB trend monitor actually runs. Slopes are single IEEE divisions of
+# exact integers; the median is a rank selection, not an average, so no
+# float accumulation exists anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "stats_theil_sen",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        GROUP BY 1, 2),
+    slopes AS (
+        SELECT a.pri, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS m
+        FROM daily a JOIN daily b ON a.pri = b.pri AND b.x > a.x),
+    ranked AS (
+        SELECT pri, m,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY m) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n_pairs
+        FROM slopes),
+    ts AS (
+        SELECT pri, m AS ts_slope, n_pairs
+        FROM ranked WHERE rn = (n_pairs + 1) // 2),
+    moments AS (
+        SELECT pri,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY pri)
+    SELECT m.pri AS o_orderpriority, m.n_points,
+           CAST(t.n_pairs AS BIGINT) AS n_pairs, t.ts_slope,
+           CAST(m.n_points * m.sxy - m.sx * m.sy AS DOUBLE)
+               / (m.n_points * m.sxx - m.sx * m.sx) AS ols_slope
+    FROM moments m JOIN ts t ON t.pri = m.pri
+    ORDER BY o_orderpriority
+    """,
+    tags=("stats", "surplus", "pipeline"),
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil-Sen trend of 1995 daily order volume — the median
+    of all pairwise slopes over (day, count) points — reported beside the
+    OLS slope on the same points (robust-vs-LS divergence is the outlier
+    diagnostic). Median = lower rank selection at (n+1)/2, deterministic
+    under slope ties because selection is by VALUE.
+
+    Scale shape: the corpus collapses to per-(priority, day) counts FIRST
+    (map-side combinable; <= 365 points per group at any SF), so the
+    pairwise self-join is calendar-bounded — <= 365^2/2 slope rows per
+    group FOREVER, while the raw table grows without bound. The rank
+    windows partition per priority over those bounded slope sets. OLS
+    moments are exact BIGINT sums (x <= 364, products can't overflow);
+    each slope and both estimators are one fixed-shape IEEE division of
+    exact integers — bit-identical across engines at any parallelism.
+
+    Reference analogue: none (stats tier beside stats_linear_fit /
+    stats_bootstrap_ci)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+            .cast("int")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = daily.select("pri", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("pri", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "pri")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "pri",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("m"),
+        )
+    )
+    wr = Window.partitionBy("pri").orderBy("m")
+    wc = Window.partitionBy("pri")
+    ranked = slopes.select(
+        "pri",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_pairs"),
+    )
+    ts = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select("pri", F.col("m").alias("ts_slope"), "n_pairs")
+    moments = daily.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        moments.join(ts, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_points",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "ts_slope",
+            F.expr(
+                "CAST(n_points * sxy - sx * sy AS DOUBLE)"
+                " / (n_points * sxx - sx * sx)"
+            ).alias("ols_slope"),
         )
         .orderBy("o_orderpriority")
     )
