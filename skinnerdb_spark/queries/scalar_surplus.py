@@ -482,3 +482,61 @@ def scalar_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_render"),
     )
+
+
+@register(
+    "scalar_bitwise_surface",
+    """
+    SELECT o_orderkey,
+           k,
+           k & 2654435761 AS band,
+           k | 255 AS bor,
+           xor(k, 2654435761) AS bxor,
+           ~k AS bnot,
+           k << 3 AS shl3,
+           k >> 2 AS shr2,
+           CAST(bit_count(k) AS BIGINT) AS popcnt,
+           (k >> 5) & 1 AS bit5,
+           xor(k, k >> 1) AS gray,
+           k & (k - 1) AS drop_low,
+           k & (-k) AS low_bit
+    FROM (SELECT o_orderkey,
+                 CAST(o_orderkey * 2654435761 % 4294967296 AS BIGINT) AS k
+          FROM orders WHERE o_orderkey % 257 = 0)
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "bitwise", "surplus"),
+)
+def scalar_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface sweep: AND/OR/XOR/NOT, left/right shifts,
+    popcount, single-bit extraction, Gray coding, and the two classic
+    lowest-set-bit identities (k & (k-1) clears it, k & -k isolates it) —
+    over Knuth-hash-mixed order keys so every word shape (dense, sparse,
+    high-bit-set) appears. Completes §2.8's integer-expression coverage
+    next to scalar_math's arithmetic ops; these are the primitives the
+    bitmap tier (ev_bitmap_rollup) and every hash/sketch entry compile to.
+
+    Dialect note: XOR spells `^` in Spark and `xor()` in DuckDB; NOT/shift
+    semantics on BIGINT are two's-complement-identical in both. All columns
+    exact integers — nothing float anywhere.
+
+    Reference analogue: none (the reference's expression surface has no
+    bitwise operators, SURVEY §2.8)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 257 == 0)
+    k = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    base = o.select("o_orderkey", k.cast("bigint").alias("k"))
+    return base.select(
+        "o_orderkey",
+        "k",
+        F.expr("k & 2654435761").alias("band"),
+        F.expr("k | 255").alias("bor"),
+        F.expr("k ^ 2654435761").alias("bxor"),
+        F.expr("~k").alias("bnot"),
+        F.expr("shiftleft(k, 3)").alias("shl3"),
+        F.expr("shiftright(k, 2)").alias("shr2"),
+        F.expr("CAST(bit_count(k) AS BIGINT)").alias("popcnt"),
+        F.expr("shiftright(k, 5) & 1").alias("bit5"),
+        F.expr("k ^ shiftright(k, 1)").alias("gray"),
+        F.expr("k & (k - 1)").alias("drop_low"),
+        F.expr("k & (-k)").alias("low_bit"),
+    ).orderBy("o_orderkey")
