@@ -184,6 +184,29 @@ _PRIORITY: list[str] = [
     # r9 (cont.): derandomized Poisson bootstrap — distributed CIs whose
     # resampling itself is oracle-replayed
     "stats_bootstrap_ci",
+    # r9 (cont. 2): deterministic Bloom-filter semi-join pruning — the
+    # runtime row filter as verifiable relational algebra, FP rate measured
+    "approx_bloom_semijoin",
+    # r9 (cont. 2): bitmap audience rollup (BIGINT day bitmaps, popcount
+    # tiers, weekday-mask algebra, partial-merge receipt)
+    "ev_bitmap_rollup",
+    # r9 (cont. 2): functional-dependency verification report — the
+    # within-table sibling of profile_fk_candidates
+    "profile_functional_deps",
+    # r9 (cont. 2): gaps-and-islands interval coverage merge (two-window
+    # sweep, no self-join)
+    "li_shipping_islands",
+    # r9 (cont. 2): time-weighted average over event hold intervals
+    # (exact microsecond weighting, integer-quantized products)
+    "ev_time_weighted_avg",
+    # r9 (cont. 2): sorted-neighborhood blocking — the third blocking
+    # family (bin-ranked neighbor equi-join, O(w*n) candidates)
+    "dedup_sorted_neighborhood",
+    # r9 (cont. 2): Theil-Sen robust slope beside OLS on calendar-bounded
+    # pairwise slopes (rank-selected median, zero float accumulation)
+    "stats_theil_sen",
+    # r9 (cont. 2): bitwise expression surface (§2.8 integer ops closure)
+    "scalar_bitwise_surface",
 ]
 
 

@@ -459,3 +459,71 @@ def test_r9_session_cached_frame_reads(spark, sf_dir):
     assert ".parquet" not in plan, (
         "BFS rounds re-derive the edge frame — a lineage cut was dropped"
     )
+
+
+def test_r9_session2_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the r9 continuation-2 batch — each asserts the
+    shuffle/window/join contract its docstring promises."""
+    import re
+
+    def executed(name):
+        df = SPECS[name].spark(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def window_specs(plan):
+        return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+    # Bloom semi-join: the set-bit relation and every 1-row count ride
+    # broadcasts — a shuffled join would mean the fact side exchanged
+    plan = executed("approx_bloom_semijoin")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # build filter pushed
+    assert not window_specs(plan)
+
+    # bitmap rollup: pure group-by algebra — zero windows; the calendar
+    # masks broadcast onto the (user, month) frame
+    plan = executed("ev_bitmap_rollup")
+    assert not window_specs(plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # FD profiling: two distinct aggregates per candidate, stacked via
+    # broadcast 1-row cross joins — no window, no shuffled join
+    plan = executed("profile_functional_deps")
+    assert not window_specs(plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # islands: NO join of any kind (the sweep is two windows), every
+    # window keyed by supplier, ship-window filter pushed to the scan
+    plan = executed("li_shipping_islands")
+    assert "Join" not in plan
+    specs = window_specs(plan)
+    assert specs and all("l_suppkey" in s for s in specs), specs
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+    # TWA: one LEAD window per user, probe-set filter pushed to the scan
+    plan = executed("ev_time_weighted_avg")
+    specs = window_specs(plan)
+    assert specs and all("user_id" in s for s in specs), specs
+    assert "LessThan(user_id,50)" in plan
+
+    # sorted neighborhood: rank windows partition by the 2-char BIN,
+    # never globally; candidates meet in broadcast equi-joins
+    plan = executed("dedup_sorted_neighborhood")
+    specs = window_specs(plan)
+    # the bin expression is projected as _w0 before partitioning; the pin is
+    # that a partition key EXISTS (first spec token is not an ORDER BY key)
+    assert specs and all("ASC" not in s.split(", ")[0] for s in specs), specs
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # Theil-Sen: rank selection windows partition by priority group
+    plan = executed("stats_theil_sen")
+    specs = window_specs(plan)
+    assert specs and all("pri" in s for s in specs), specs
+
+    # bitwise sweep: a single scan-project — no join, no window, and the
+    # only exchange is the final presentation sort
+    plan = executed("scalar_bitwise_surface")
+    assert "Join" not in plan and not window_specs(plan)
+    assert plan.count("Exchange") <= 2
