@@ -1431,6 +1431,22 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial-aggregable (bit_or over ANY partition axis folds to the same
 # word), which is exactly why Spark can combine them map-side at 100 TB.
 # --------------------------------------------------------------------------
+
+def user_month_bitmaps(ev):
+    """(user_id, month, bm) day-of-month activity bitmaps — the reusable
+    kernel behind ev_bitmap_rollup and the streaming monitor
+    (streaming/windows.py::stream_bitmap_monitor), kept in one place so the
+    batch and stream paths cannot drift arithmetically. bm is one BIGINT
+    per (user, month): bit d-1 set iff the user was active on day d."""
+    day_bit = F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+    month_col = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    return (
+        ev.select("user_id", month_col, day_bit.alias("db"))
+        .groupBy("user_id", "month")
+        .agg(F.expr("bit_or(db)").alias("bm"))
+    )
+
+
 @register(
     "ev_bitmap_rollup",
     """
@@ -1498,12 +1514,8 @@ def ev_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     day_bit = F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
     month_col = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
-    um = (
-        ev.select("user_id", month_col,
-                  F.date_trunc("month", "ts").cast("date").alias("m0"),
-                  day_bit.alias("db"))
-        .groupBy("user_id", "month", "m0")
-        .agg(F.expr("bit_or(db)").alias("bm"))
+    um = user_month_bitmaps(ev).withColumn(
+        "m0", F.to_date(F.concat(F.col("month"), F.lit("-01")))
     )
     umt = (
         ev.select("user_id", month_col, "event_type", day_bit.alias("db"))

@@ -1199,3 +1199,75 @@ def stream_kmv_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_bitmap_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    monitor_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming activity-bitmap monitor — the streaming twin of
+    ev_bitmap_rollup, exploiting exactly the merge algebra that entry's
+    merge_exact receipt pins (bit_or over ANY partition of the rows folds
+    to the same word):
+
+    - state: one BIGINT day-bitmap per (user, month) — the state table is
+      |users| x |active months| WORDS forever, however many events the
+      stream accumulates (a naive distinct-(user, day) state grows with the
+      day count; the bitmap folds it into the word);
+    - per micro-batch: bitmap the batch (same user_month_bitmaps kernel as
+      the batch entry), bit_or-merge with the stored words, persist; one
+      monitor row per (batch, month) with current n_users / user_days /
+      max_days.
+
+    After a full drain the state table is ROW-IDENTICAL to the batch kernel
+    over the same files (pinned in tests) — bit_or merging is exact, not
+    approximate. Idempotence follows the stream_ab_monitor contract
+    (batch_id dynamic overwrite)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.analytics import user_month_bitmaps
+
+    ev = stream_events(spark, src_dir)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        delta = user_month_bitmaps(batch_df)
+        if _os.path.isdir(state_path):
+            old = spark.read.parquet(state_path).localCheckpoint(eager=True)
+            merged_in = old.unionByName(delta)
+        else:
+            merged_in = delta
+        merged = (
+            merged_in.groupBy("user_id", "month")
+            .agg(F.expr("bit_or(bm)").alias("bm"))
+            .localCheckpoint(eager=True)
+        )
+        mon = merged.groupBy("month").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.expr("CAST(bit_count(bm) AS BIGINT)"))
+            .cast("bigint")
+            .alias("user_days"),
+            F.max(F.expr("CAST(bit_count(bm) AS BIGINT)"))
+            .cast("bigint")
+            .alias("max_days"),
+        )
+        (
+            mon.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_path)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1854,3 +1854,64 @@ def test_stream_kmv_monitor_matches_batch(spark, sf_dir, tmp_path):
         assert all(r["count"] == 1 for r in mon2)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_stream_bitmap_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming bitmap monitor's post-drain state table is
+    ROW-IDENTICAL to the batch kernel over the same files — bit_or merge
+    associativity (the ev_bitmap_rollup merge_exact receipt) applied as
+    bounded streaming state: one word per (user, month) forever. Also pins
+    the batch_id-overwrite idempotence contract."""
+    import pyspark.sql.functions as F
+
+    from skinnerdb_spark.operators.analytics import user_month_bitmaps
+    from skinnerdb_spark.queries.util import read_table
+    from skinnerdb_spark.streaming.windows import stream_bitmap_monitor
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        src = sf_dir + "/events.parquet"
+        state = str(tmp_path / "state")
+        monitor = str(tmp_path / "monitor")
+        stream_bitmap_monitor(spark, src, state, monitor, str(tmp_path / "ck"))
+
+        batch = (
+            user_month_bitmaps(read_table(spark, sf_dir, "events"))
+            .toPandas()
+            .sort_values(["user_id", "month"], ignore_index=True)
+        )
+        drained = (
+            spark.read.parquet(state)
+            .toPandas()[["user_id", "month", "bm"]]
+            .sort_values(["user_id", "month"], ignore_index=True)
+        )
+        assert batch.equals(drained), "drained bitmap state != batch kernel"
+
+        mon = spark.read.parquet(monitor)
+        last_bid = mon.agg(F.max("batch_id")).collect()[0][0]
+        last = {
+            r["month"]: r
+            for r in mon.filter(F.col("batch_id") == last_bid).collect()
+        }
+        truth = (
+            batch.assign(days=batch["bm"].map(lambda w: bin(int(w)).count("1")))
+            .groupby("month")
+            .agg(n_users=("user_id", "size"), user_days=("days", "sum"),
+                 max_days=("days", "max"))
+        )
+        for month, row in truth.iterrows():
+            assert last[month]["n_users"] == row["n_users"]
+            assert last[month]["user_days"] == row["user_days"]
+            assert last[month]["max_days"] == row["max_days"]
+
+        # replay: same batches -> same batch_id partitions rewritten
+        stream_bitmap_monitor(spark, src, state + "2", monitor, str(tmp_path / "ck2"))
+        mon2 = (
+            spark.read.parquet(monitor)
+            .groupBy("batch_id", "month")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 1 for r in mon2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
