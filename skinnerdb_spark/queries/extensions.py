@@ -1070,7 +1070,38 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nset") == BLOOM_K)
         .select("k")
     )
-    truth = probe.join(build, "k", "left_semi")
+    # one flag frame, one counting pass: every key/row statistic folds out
+    # of a single rows_probe |><| flags join (the first ladder cut this
+    # entry 54 s -> see PERFORMANCE.md — the naive 8-aggregate layout
+    # re-scanned the fact table and re-computed the probe distinct per
+    # count; flags carries (is_true, is_pass) per key instead)
+    flags = (
+        probe.join(
+            build.withColumn("is_true", F.lit(True)), "k", "left"
+        )
+        .join(pass_keys.withColumn("is_pass", F.lit(True)), "k", "left")
+        .select(
+            "k",
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+            F.coalesce("is_pass", F.lit(False)).alias("is_pass"),
+        )
+    )
+    counts = rows_probe.join(flags, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_probe"),
+        F.sum(F.when(F.col("is_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_true"),
+        F.countDistinct("k").cast("bigint").alias("n_probe"),
+        F.countDistinct(F.when(F.col("is_pass"), F.col("k")))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.countDistinct(F.when(F.col("is_true"), F.col("k")))
+        .cast("bigint")
+        .alias("n_true_keys"),
+    )
 
     def c1(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
@@ -1078,16 +1109,7 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         c1(build, "n_build")
         .crossJoin(F.broadcast(c1(bits, "n_bits")))
-        .crossJoin(F.broadcast(c1(probe, "n_probe")))
-        .crossJoin(F.broadcast(c1(pass_keys, "n_pass")))
-        .crossJoin(F.broadcast(c1(truth, "n_true_keys")))
-        .crossJoin(F.broadcast(c1(rows_probe, "n_rows_probe")))
-        .crossJoin(
-            F.broadcast(c1(rows_probe.join(pass_keys, "k", "left_semi"), "n_rows_pass"))
-        )
-        .crossJoin(
-            F.broadcast(c1(rows_probe.join(truth, "k", "left_semi"), "n_rows_true"))
-        )
+        .crossJoin(F.broadcast(counts))
     )
     return out.select(
         "n_build",
