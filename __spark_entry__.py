@@ -210,6 +210,12 @@ _PRIORITY: list[str] = [
     # r9 (cont. 2): Benford first-digit screen (fixed-literal expectations,
     # nano-quantized chi-square)
     "stats_benford_check",
+    # r9 (cont. 2): polite crawl-wave scheduling over the canonical frontier
+    # (per-host rank DIV rate; politeness receipt as data)
+    "docs_crawl_schedule",
+    # r9 (cont. 2): Markov stationary distribution by nano-quantized power
+    # iteration over the transition matrix
+    "ev_markov_stationary",
 ]
 
 

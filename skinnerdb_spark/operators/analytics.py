@@ -1663,3 +1663,146 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_pair - n_det AS DOUBLE) / NULLIF(n_det, 0)"
         ).alias("violation_ratio"),
     ).orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution (r9 cont.): ev_event_transitions builds
+# the chain's transition matrix; this entry answers the question the matrix
+# exists for — where does the process SPEND ITS TIME — via unrolled power
+# iteration (pi' = pi P), the same bounded-rounds realization as pagerank.
+# Exactness recipe: pi lives as BIGINT nano-probabilities; each update term
+# is ONE fixed-shape IEEE expression (pi_nano * n_edge / n_row_total)
+# ROUNDed back to nano-units BEFORE the per-state sum, so every reduction
+# is associative integer addition at any parallelism (the chi2/TWA recipe
+# applied to an iterative kernel).
+# --------------------------------------------------------------------------
+MARKOV_ROUNDS = 3
+_NANO = 1_000_000_000
+
+
+def _markov_oracle() -> str:
+    # pi0 = uniform over states, in nano-units (remainder on the first state
+    # so the total is exactly 1e9)
+    step = """
+    pi{j} AS (
+        SELECT t.next_type AS state,
+               CAST(SUM(CAST(ROUND(CAST(p.nano AS DOUBLE) * t.n / t.row_total)
+                             AS BIGINT)) AS BIGINT) AS nano
+        FROM pi{i} p JOIN trans t ON t.prev_type = p.state
+        GROUP BY t.next_type)"""
+    chain = ",".join(
+        step.format(i=i, j=i + 1) for i in range(MARKOV_ROUNDS)
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+                   AS row_total
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+    states AS (
+        SELECT prev_type AS state,
+               ROW_NUMBER() OVER (ORDER BY prev_type) AS sid,
+               COUNT(*) OVER () AS n_states
+        FROM (SELECT DISTINCT prev_type FROM trans)),
+    pi0 AS (
+        SELECT state,
+               CAST({_NANO} // n_states
+                    + CASE WHEN sid = 1 THEN {_NANO} % n_states
+                           ELSE 0 END AS BIGINT) AS nano
+        FROM states),
+    {chain}
+    SELECT state, nano AS pi_nano,
+           CAST(nano AS DOUBLE) / {_NANO} AS pi,
+           (SELECT CAST(SUM(nano) AS BIGINT) FROM pi{MARKOV_ROUNDS})
+               AS total_nano
+    FROM pi{MARKOV_ROUNDS} ORDER BY state
+    """
+
+
+@register(
+    "ev_markov_stationary",
+    _markov_oracle(),
+    tags=("analytics", "graph", "surplus", "pipeline"),
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain after
+    {MARKOV_ROUNDS} power-iteration rounds from the uniform start (remainder
+    nano-units assigned to the first state so pi0 sums to exactly 1e9).
+    Emits each state's nano-integer mass, its double rendering, and the
+    chain-wide total as the conservation receipt (mass can drift only by
+    the per-term rounding, visible in the column — never by float
+    accumulation order).
+
+    Scale shape: the corpus collapses to the |types|^2 transition matrix
+    FIRST (one lag window on the user exchange + a map-side-combinable
+    bigram aggregate — ev_event_transitions' plan); each round is then a
+    join+aggregate over <= |types|^2 rows, constant work at any SF. Each
+    update term is one fixed-shape IEEE expression rounded to nano-units
+    BEFORE the per-state integer sum.
+
+    Reference analogue: none (sequence-analytics tier beside
+    ev_event_transitions / graph_pagerank)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wtot = Window.partitionBy("prev_type")
+    trans = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("row_total", F.sum("n").over(wtot).cast("bigint"))
+        # |types|^2 rows; checkpointed so the unrolled rounds join a
+        # materialized matrix instead of re-running the corpus lag window
+        # once per round (the BFS/kcore lesson)
+        .localCheckpoint(eager=True)
+    )
+    ws = Window.orderBy("state").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    states = (
+        trans.select(F.col("prev_type").alias("state"))
+        .distinct()
+        .withColumn(
+            "sid", F.row_number().over(Window.orderBy("state"))
+        )
+        .withColumn("n_states", F.count(F.lit(1)).over(ws))
+    )
+    pi = states.select(
+        "state",
+        (
+            F.expr(f"{_NANO} DIV n_states")
+            + F.when(F.col("sid") == 1, F.expr(f"{_NANO} % n_states")).otherwise(0)
+        ).cast("bigint").alias("nano"),
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            pi.join(trans, pi.state == trans.prev_type)
+            .select(
+                F.col("next_type").alias("state"),
+                F.expr(
+                    "CAST(ROUND(CAST(nano AS DOUBLE) * n / row_total)"
+                    " AS BIGINT)"
+                ).alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("bigint").alias("nano"))
+        )
+    tot = pi.agg(F.sum("nano").cast("bigint").alias("total_nano"))
+    return (
+        pi.crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.col("nano").alias("pi_nano"),
+            F.expr(f"CAST(nano AS DOUBLE) / {_NANO}").alias("pi"),
+            "total_nano",
+        )
+        .orderBy("state")
+    )

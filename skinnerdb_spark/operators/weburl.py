@@ -174,3 +174,103 @@ def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("bigint").alias("kept_doc"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Crawl frontier scheduling (r9 cont.): the stage between URL dedup and
+# fetching — a polite crawler may hit each host at most `rate` times per
+# round, so the frontier must be striped into waves host-by-host. The
+# relational realization: rank pages within their host, wave = rank DIV
+# rate — one window per host (never global), the per-wave politeness bound
+# then PROVEN in the output (max_per_host <= rate as a pinned column, not
+# a comment).
+# --------------------------------------------------------------------------
+CRAWL_RATE = 2  # max requests per host per wave
+
+
+@register(
+    "docs_crawl_schedule",
+    f"""
+    WITH caps AS (
+        SELECT doc_id, {_SYNTH_URL_SQL} AS raw FROM documents),
+    pages AS (
+        SELECT DISTINCT {_CANON_SQL} AS canon_url FROM caps),
+    hosted AS (
+        SELECT canon_url,
+               regexp_extract(canon_url, '^https?://([^/]+)', 1) AS host
+        FROM pages),
+    waved AS (
+        SELECT host, canon_url,
+               (ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon_url) - 1)
+                   // {CRAWL_RATE} AS wave
+        FROM hosted),
+    per_host AS (
+        SELECT wave, host, CAST(COUNT(*) AS BIGINT) AS n
+        FROM waved GROUP BY wave, host)
+    SELECT CAST(wave AS BIGINT) AS wave,
+           CAST(SUM(n) AS BIGINT) AS n_requests,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(MAX(n) AS BIGINT) AS max_per_host,
+           (MAX(n) <= {CRAWL_RATE}) AS politeness_ok
+    FROM per_host GROUP BY wave ORDER BY wave
+    """,
+    tags=("web", "pipeline", "surplus"),
+)
+def docs_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl-wave schedule over the deduped canonical frontier: pages
+    rank within their host (deterministic canon_url order), wave =
+    rank DIV {CRAWL_RATE}, and each wave row reports its request count,
+    distinct hosts, and the politeness receipt max_per_host <= {CRAWL_RATE}
+    as data. Consumes the same canonicalization chain as docs_url_dedup, so
+    the frontier this schedules is exactly the keep-set that entry emits.
+
+    Scale shape: canonicalization and host extraction are zero-shuffle
+    column algebra; the rank window partitions per HOST (the crawl's
+    natural parallelism unit — never a global row_number), and the two
+    aggregates are map-side combinable. Wave count grows with the largest
+    host's page count / {CRAWL_RATE}; every other dimension is bounded by
+    the host count. At 100 TB hot hosts are the skew keys of the (wave,
+    host) exchange — AQE territory, not a plan change.
+
+    Reference analogue: none (web tier beside docs_url_dedup)."""
+    d = read_table(spark, sf_dir, "documents")
+    caps = d.select(
+        "doc_id",
+        _synth_url_spark(F.col("doc_id"), F.col("source")).alias("raw"),
+    )
+    pages = caps.select(
+        canonicalize_url(F.col("raw")).alias("canon_url")
+    ).distinct()
+    hosted = pages.select(
+        "canon_url",
+        F.regexp_extract("canon_url", r"^https?://([^/]+)", 1).alias("host"),
+    )
+    # DIV (exact integer division) — `/` would detour through doubles and
+    # Spark-truncate vs DuckDB-round at the cast (the stats_theil_sen trap)
+    waved = hosted.select(
+        "host",
+        F.expr(
+            f"(ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon_url) - 1)"
+            f" DIV {CRAWL_RATE}"
+        ).alias("wave"),
+    )
+    per_host = waved.groupBy("wave", "host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        per_host.groupBy("wave")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_requests"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+            F.max("n").cast("bigint").alias("max_per_host"),
+            (F.max("n") <= CRAWL_RATE).alias("politeness_ok"),
+        )
+        .select(
+            F.col("wave").cast("bigint").alias("wave"),
+            "n_requests",
+            "n_hosts",
+            "max_per_host",
+            "politeness_ok",
+        )
+        .orderBy("wave")
+    )
