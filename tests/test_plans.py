@@ -527,3 +527,33 @@ def test_r9_session2_entries_plan_shapes(spark, sf_dir):
     plan = executed("scalar_bitwise_surface")
     assert "Join" not in plan and not window_specs(plan)
     assert plan.count("Exchange") <= 2
+
+
+def test_r9_session2b_entries_plan_shapes(spark, sf_dir):
+    """Plan pins for the late continuation-2 entries."""
+    import re
+
+    def executed(name):
+        df = SPECS[name].spark(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def window_specs(plan):
+        return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+    # Benford: one scan -> 9-row histogram; everything downstream constant
+    # size and broadcast; no window, no shuffled join
+    plan = executed("stats_benford_check")
+    assert not window_specs(plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # crawl schedule: the rank window partitions per HOST, never globally
+    plan = executed("docs_crawl_schedule")
+    specs = window_specs(plan)
+    assert specs and all("host" in s for s in specs), specs
+
+    # Markov stationary: the corpus lag window is user-keyed; the unrolled
+    # rounds join the CHECKPOINTED |types|^2 matrix (no parquet re-scan —
+    # the only scan nodes in the returned plan belong to the checkpoint)
+    plan = executed("ev_markov_stationary")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan[:600]
+    assert "FileScan parquet" not in plan
