@@ -202,6 +202,17 @@ def main() -> None:
             out.write(json.dumps(r) + "\n")
             out.flush()
             print(f"[{i + 1}/{len(specs)}] {name}: {r['status']} {r.get('sec', '')}", flush=True)
+            if r.get("status") == "timeout":
+                # a watchdog cancellation can wound the shared session (the
+                # r9 finding: clique4's job-group interrupt broke the Arrow
+                # worker pool, and the NEXT vectorized entry then "timed
+                # out" too while being fine standalone) — recycle the
+                # session so one overrun can't cascade. Family memo caches
+                # die with the session; downstream members rebuild, which
+                # costs seconds and keeps every row honest.
+                print(f"recycling session after {name} timeout", flush=True)
+                spark.stop()
+                spark = get_spark(app_name="scale-sweep")
 
 
 if __name__ == "__main__":
