@@ -13,7 +13,11 @@ line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1,
-     "runs": [N1, N2], "best_total": N}
+     "runs": [N1, N2], "best_total": N, "calibration_sec": C}
+
+`calibration_sec` is a pinned constant-work scan+shuffle+agg probe timed
+before pass 1 — divide totals by it to compare across hosts/rounds
+(this box's VM class alone moved totals ~2x between r8 and r9).
 
 Noise protocol (VERDICT r6 item 7): this box's ambient band moves
 round-over-round totals by up to ~50% cross-day, so a single-shot total is
@@ -136,6 +140,38 @@ def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dic
     return per_query, rows
 
 
+def calibration_sec(spark) -> float:
+    """Pinned constant-work host-speed probe: 16M synthetic rows through a
+    scan -> md5 fold -> hash shuffle -> aggregate, independent of SF dir and
+    registry. Timed best-of-2 (the first run pays codegen/JIT, which is not
+    host speed). Cross-round total comparisons divide by this number —
+    VERDICT r9 spent hours attributing a ~2x total swing to VM class; the
+    recorded `calibration_sec` makes that one division.
+    """
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.plans.metrics import run_and_count
+
+    def one() -> float:
+        t0 = time.monotonic()
+        df = (
+            spark.range(0, 16_000_000, 1, 64)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(CAST(id AS STRING)"
+                    " AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+                ).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        run_and_count(df)
+        return time.monotonic() - t0
+
+    return round(min(one(), one()), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", PAIRS_DEFAULT))
@@ -156,6 +192,10 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    # host-speed calibration FIRST (constant work, SF-independent): lands in
+    # the JSON so cross-round totals can be compared as ratios
+    cal_sec = calibration_sec(spark)
 
     csv_lines = [
         "Query,Millis,Rows,ShuffleCnt,ShuffleWriteBytes,ShuffleReadBytes,"
@@ -226,6 +266,7 @@ def main() -> None:
         "total_rows": sum(rows.values()),
         "runs": [round(sum(p.values()), 4) for p in passes],
         "best_total": round(sum(best_query.values()), 4),
+        "calibration_sec": cal_sec,
         "ann_recall": ann_recall,
         # adaptive-tier episode spend this run (VERDICT r7 item 3: the
         # exploit-only fast path's effect must be observable per run)
