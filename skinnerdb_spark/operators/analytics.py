@@ -1736,9 +1736,20 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MARKOV_ROUNDS} power-iteration rounds from the uniform start (remainder
     nano-units assigned to the first state so pi0 sums to exactly 1e9).
     Emits each state's nano-integer mass, its double rendering, and the
-    chain-wide total as the conservation receipt (mass can drift only by
-    the per-term rounding, visible in the column — never by float
-    accumulation order).
+    chain-wide total as the conservation receipt. Two distinct leaks show
+    up in that total, and the receipt deliberately exposes both: (a)
+    per-term ROUND drift (bounded by one nano-unit per matrix cell per
+    round — never float accumulation order), and (b) SINK-STATE loss:
+    each round's inner join on prev_type DROPS the entire mass of any
+    state with no outgoing transitions (one that appears only as a
+    next_type), so total_nano can fall far below 1e9 when the chain has
+    absorbing states. The state list is built from DISTINCT prev_type, so
+    such states also vanish from the output rows — this entry computes
+    the stationary mass over the recurrent communicating part, matching
+    the oracle exactly (both engines drop identically). A conservation-
+    strict variant would add implicit self-loops for sinks; the event
+    corpus here has none (every type both enters and exits), which the
+    receipt verifies per run.
 
     Scale shape: the corpus collapses to the |types|^2 transition matrix
     FIRST (one lag window on the user exchange + a map-side-combinable

@@ -564,15 +564,16 @@ def ev_time_weighted_avg(spark, sf_dir):
     Scale shape: one exchange on user_id, one LEAD window pass, one
     aggregate — identical to ev_state_history's plan class. Durations are
     exact epoch-MICROsecond integers (epoch_us / unix_micros — second
-    truncation diverges across engines on sub-second timestamps); the
-    value x duration products are quantized to integer value-microseconds
-    with ROUND (half-away-from-zero in both engines, the chi2 precedent)
-    BEFORE the sum — at product magnitude ~1e12 a 6-decimal DECIMAL cast
-    rounds BELOW one double ulp, where engine tie-breaking diverges —
-    so the accumulation is associative integer addition; the value x duration products accumulate
-    as DECIMAL(30,6) (order-independent) with ONE final IEEE division per
-    user, so the doubles are bit-identical across engines at any
-    parallelism. The probe set bounds output rows; the full-population
+    truncation diverges across engines on sub-second timestamps). Each
+    aggregate has its own exact carrier: `twa_value` quantizes each
+    value x duration product to integer value-microseconds with ROUND
+    (half-away-from-zero in both engines, the chi2 precedent) BEFORE the
+    sum — at product magnitude ~1e12 a 6-decimal DECIMAL cast would round
+    BELOW one double ulp, where engine tie-breaking diverges — so its
+    accumulation is associative BIGINT addition; `plain_avg` sums the raw
+    values as DECIMAL(30,6) (order-independent). Both end in ONE final
+    IEEE division per user, so the doubles are bit-identical across
+    engines at any parallelism. The probe set bounds output rows; the full-population
     variant is the same plan with the filter dropped (output then scales
     with |users|, linear).
 
