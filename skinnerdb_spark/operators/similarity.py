@@ -484,20 +484,26 @@ def _multi_ann(
 @register(
     "sim_lsh_ann",
     _multi_ann_oracle(ANN_TABLES, ANN_BITS),
-    tags=("similarity", "pipeline", "lsh"),
+    tags=("similarity", "pipeline", "lsh", "baseline"),
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN: candidates = union of 8 independent 4-bit bucket
     joins, exact cosine top-k on candidates only. Measured recall@5 = 0.64 on
     the (worst-case, near-orthogonal) test corpus at ~40% candidate cost.
 
-    DESIGN POINT, not the default: a cost-recall sweep (PERFORMANCE.md,
-    round 5) showed sign-LSH cannot reach recall 0.8 on this corpus below
-    ~57% candidate cost (4x5-bit Hamming-1: 0.86 @ 0.571; 8x3: 0.88 @ 0.644)
-    — random hyperplanes don't adapt to the data. The DEFAULT ANN entry is
-    sim_ivf_ann (learned k-means cells: 0.86 @ 0.121); sign-LSH stays as the
-    train-free variant for streaming-ingest corpora where retraining
-    centroids is not an option. bench.py emits live recall for all three."""
+    SINGLE-PROBE BASELINE, deliberately kept below 0.8 recall: this entry
+    is the contrast row that `sim_lsh_multiprobe` improves on — SAME
+    tables, SAME bits, SAME signature build; the ONLY delta is probing
+    Hamming-neighbor buckets, which lifts recall 0.64 -> 0.96 at
+    comparable candidate cost. Raising this entry's tables/bits to reach
+    0.8 would erase the pair's point (the r5 cost-recall sweep showed
+    single-probe sign-LSH cannot reach 0.8 on this corpus below ~57%
+    candidate cost: 4x5-bit Hamming-1: 0.86 @ 0.571; 8x3: 0.88 @ 0.644 —
+    random hyperplanes don't adapt to the data). The DEFAULT ANN entry is
+    sim_ivf_ann (learned k-means cells: 0.86 @ 0.121); sign-LSH stays as
+    the train-free variant for streaming-ingest corpora where retraining
+    centroids is not an option. bench.py emits live recall for every ANN
+    entry, so the baseline-vs-multiprobe gap is a per-run receipt."""
     return _multi_ann(spark, sf_dir, ANN_TABLES, ANN_BITS)
 
 

@@ -135,11 +135,12 @@ def test_generic_join_cell_matches_bruteforce(seed):
     edges = sorted({(u, v) for u in nodes for v in nodes
                     if u < v and rng.random() < 0.3})
     atoms_vars = (("a", "b"), ("b", "c"), ("a", "c"))
+    # packed wire format: positional __v0/__v1 slots, mapped to variables
+    # per atom via atoms_vars (see _generic_join_cell docstring)
     rows = []
-    for rel, (x, y) in enumerate(atoms_vars):
+    for rel in range(len(atoms_vars)):
         for u, v in edges:
-            rows.append({"__rel": rel, "a": 0, "b": 0, "c": 0})
-            rows[-1][x], rows[-1][y] = u, v
+            rows.append({"__rel": rel, "__v0": u, "__v1": v})
     pdf = pd.DataFrame(rows)
     got = _generic_join_cell(pdf, atoms_vars, ("a", "b", "c"))
     got_set = set(map(tuple, got.to_numpy().tolist()))
