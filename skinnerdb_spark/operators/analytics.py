@@ -1622,13 +1622,19 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately-true (primary keys) and deliberately-false candidates so
     both verdicts are exercised.
 
-    Scale shape per candidate: two distinct aggregates over pruned column
-    sets — each map-side combinable, no raw-table join, no window, output
-    exactly one row. Distinctness is computed via subquery-distinct +
-    COUNT(*) in BOTH engines (never COUNT(DISTINCT a, b), whose NULL-row
-    semantics differ between Spark and DuckDB). At 100 TB a candidate costs
-    what one group-by of its column set costs; candidates are independent
-    and pipeline in parallel.
+    Scale shape per candidate: ONE corpus-scale pass — the raw table is
+    scanned once and shuffled once for the (X, Y) pair-distinct
+    (map-side combinable); BOTH counts then fold out of that frame
+    (group the distinct pairs by X: n_det = group count, n_pair = row
+    count), so the determinant-side distinct never touches the raw table
+    (r10 fold: the previous two-independent-distincts layout scanned and
+    shuffled the corpus twice per candidate — honest cost 31.5 s at sf10
+    once the count-pruning ladder artifact was fixed). Distinctness is
+    subquery-distinct + COUNT(*) in BOTH engines (never
+    COUNT(DISTINCT a, b), whose NULL-row semantics differ between Spark
+    and DuckDB; groupBy treats NULL as a group in both, matching). At
+    100 TB a candidate costs one group-by of its column set; candidates
+    are independent and pipeline in parallel.
 
     Reference analogue: none (profiling tier alongside profile_table /
     profile_fk_candidates)."""
@@ -1637,18 +1643,15 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         tb = read_table(spark, sf_dir, t)
         dcols = ", ".join(det)
         name = f"{t}.({dcols}) -> {dep}"
-        n_det = (
-            tb.select(*det).distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_det"))
-        )
-        n_pair = (
-            tb.select(*det, dep).distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        pairs = tb.select(*det, dep).distinct()
+        per_det = pairs.groupBy(*det).agg(
+            F.count(F.lit(1)).cast("bigint").alias("rhs_n")
         )
         rows.append(
-            n_det.crossJoin(F.broadcast(n_pair)).select(
-                F.lit(name).alias("candidate"), "n_det", "n_pair"
-            )
+            per_det.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_det"),
+                F.sum("rhs_n").cast("bigint").alias("n_pair"),
+            ).select(F.lit(name).alias("candidate"), "n_det", "n_pair")
         )
     out = rows[0]
     for r in rows[1:]:

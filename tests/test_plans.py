@@ -488,11 +488,11 @@ def test_r9_session2_entries_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
-    # FD profiling: two distinct aggregates per candidate, stacked via
-    # broadcast 1-row cross joins — no window, no shuffled join
+    # FD profiling: ONE pair-distinct pass per candidate, both counts
+    # folded out of it (r10) — no window, no join of ANY kind
     plan = executed("profile_functional_deps")
     assert not window_specs(plan)
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
 
     # islands: NO join of any kind (the sweep is two windows), every
     # window keyed by supplier, ship-window filter pushed to the scan
