@@ -95,6 +95,22 @@ _R12345678_SAMPLED = frozenset(
        "scalar_map_surface", "scalar_try_surface", "stats_ab_ztest",
        "stats_chi2_independence", "stats_skew_report", "text_bpe_encode",
        "text_word_offsets_udtf", "dedup_keep_best"]
+    # r9 sample (CORRECTNESS_r09: 49/50 hash-green; the one red,
+    # stats_benford_check — DuckDB rounds the double->BIGINT cast where
+    # Spark truncates — is fixed in r10 and rotates forward via _REVERIFY)
+    + ["approx_bloom_semijoin", "approx_distinct_kmv", "approx_kmv_merge",
+       "dedup_lsh_recall_report", "dedup_sorted_neighborhood",
+       "docs_crawl_schedule", "docs_kn_bigram_score", "ev_bitmap_rollup",
+       "ev_cusum_drift", "ev_markov_stationary", "ev_time_weighted_avg",
+       "graph_bfs_hops", "graph_kcore_peel", "li_interval_overlap",
+       "li_shipping_islands", "multimodal_tiff_roundtrip",
+       "orders_group_by_all", "orders_percentile_disc",
+       "profile_fk_candidates", "profile_functional_deps",
+       "sample_systematic_pps", "scalar_bitwise_surface",
+       "scalar_collation_surface", "scalar_sql_table_udf", "scalar_sql_udf",
+       "sim_sq_ann", "sql_script_chain_report", "stats_benford_check",
+       "stats_bootstrap_ci", "stats_ks_test", "stats_mann_whitney",
+       "stats_theil_sen", "text_fertility", "window_ntile_dist"]
 )
 
 #: sampled before, but rotate forward again for re-verification in r7:
@@ -103,120 +119,33 @@ _R12345678_SAMPLED = frozenset(
 #: diff vs GATE_FINGERPRINTS.json), which closed the r6 hygiene miss where
 #: two changed entries never rotated forward.
 _REVERIFY: list[str] = [
-    # r9: the hash-red r8 row — final chain_spend now DOUBLE in both
-    # engines, recursion conf scoped to a child session; MUST get a green
-    # driver row this round (VERDICT r8 item 1)
-    "rcte_order_chains",
-    # r9: seq_id switched to exact bigint DIV (ADVICE r8)
-    "text_bpe_encode",
-    # r9: SUM() OVER () replaced by the broadcast-total idiom
-    "sample_shard_manifest",
-    # r9: LSH-chain memo keys now carry the bucket cap (ADVICE r8) —
-    # producer + all consumers rotate forward
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_keep_best",
-    "sample_leakage_free_split", "dedup_pipeline_decisions",
-    # r9: adaptive exploit gate + episode sampling switched to footer/CBO
-    # row estimates (ADVICE r8) — winning order must stay identical
-    "adaptive_star_join",
-    # r9: multiprobe rebuilt as query-directed margin probing (8x10x600),
-    # MAX_PLANES 32 -> 80 reshapes every shared_bits consumer's plan
-    "sim_lsh_multiprobe", "sim_lsh_ann", "sim_lsh_buckets",
-    # r9 (cont.): the int64-fold/rescore refactor also moved the IVF and
-    # IVF-PQ plan fingerprints (gate_check violation caught in-session) —
-    # rotate them forward for re-verification too
-    "sim_ivf_ann", "sim_ivfpq_ann",
-    # r9 (cont.): prefix pairs became a memoized family frame (the recall
-    # report's truth side) — the entry now reads the cached build
-    "dedup_prefix_filter",
-    # r9: clique grid switched to unequal shares (3,2,2,2) after the sf10
-    # grid sweep — plan fingerprint diff rotates it forward
-    "wcoj_clique4",
+    # r10: the r9 hash-RED row — leading digit now extracted from
+    # FLOOR(o_totalprice) before the BIGINT cast in BOTH engines (Spark
+    # truncates the bare cast, DuckDB rounds); MUST get a green driver row
+    # this round (VERDICT r9 item 1)
+    "stats_benford_check",
+    # r10: md5-sliced uniforms (one digest per replicate-group-of-4),
+    # weight projected once, BIGINT accumulation, fan_out before the
+    # explode — 16.0 -> 2.9 s at sf0.1 (VERDICT r9 items 3/4)
+    "stats_bootstrap_ci",
+    # r10: hypercube wire format packed to positional __v columns (both
+    # WCOJ plans reshape); clique grid now sized from the measured edge
+    # count (VERDICT r9 item 7)
+    "wcoj_clique4", "wcoj_triangle_listing",
+    # r10: both FD counts fold out of ONE pair-distinct pass per candidate
+    "profile_functional_deps",
+    # r10: docstring-only (src fingerprint): sink-state mass-loss
+    # disclosure / per-aggregate carrier description / single-probe
+    # baseline role (ADVICE r9 lows + item 8)
+    "ev_markov_stationary", "ev_time_weighted_avg", "sim_lsh_ann",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
 #: this round, listed explicitly so their first driver rows are immune to
-#: registration order.
-_PRIORITY: list[str] = [
-    # r9 new entries (front of the gate window): the remaining Spark-4 SQL
-    # authoring surfaces + the interval-overlap bin-join idiom
-    "scalar_sql_udf", "scalar_sql_table_udf", "sql_script_chain_report",
-    "scalar_collation_surface", "orders_group_by_all", "li_interval_overlap",
-    # r9: systematic PPS sampling (two-level distributed prefix sum)
-    "sample_systematic_pps",
-    # r9: graph k-core peeling + sort-free Mann-Whitney U
-    "graph_kcore_peel", "stats_mann_whitney",
-    # r9: Kneser-Ney smoothed bigram fluency (the CCNet-grade LM filter)
-    "docs_kn_bigram_score",
-    # r9: baseline TIFF 6.0 codec (multi-strip PackBits, both endians)
-    "multimodal_tiff_roundtrip",
-    # r9: CUSUM drift monitor (nonlinear recurrence as a bounded in-row fold)
-    "ev_cusum_drift",
-    # r9 (cont.): trainless SQ8 ANN — the only family member whose oracle
-    # re-derives even the index build from raw parquet (operators/sq.py)
-    "sim_sq_ann",
-    # r9 (cont.): two-sample Kolmogorov-Smirnov on the MW value-domain
-    # machinery — the snapshot/source drift detector
-    "stats_ks_test",
-    # r9 (cont.): per-source tokenizer fertility/compression QA over the
-    # now-memoized shared_word_pieces tokenizer chain
-    "text_fertility",
-    # r9 (cont.): measured banded-minhash recall vs the prefix join's exact
-    # ground truth — blocking quality as a first-class oracle-verified query
-    "dedup_lsh_recall_report",
-    # r9 (cont.): KMV bottom-k distinct sketch — deterministic md5 keying
-    # makes the ESTIMATE itself cross-engine hash-exact (vs HLL's bound
-    # contract), and bottom-k sets merge by union
-    "approx_distinct_kmv",
-    # r9 (cont.): inclusion-dependency (FK-candidate) profiling — the
-    # cross-table sibling of profile_table, distinct-set semi-joins only
-    "profile_fk_candidates",
-    # r9 (cont.): bounded BFS hop distances — node-sized frontier rounds
-    # over the family edge frame, recursive-CTE oracle
-    "graph_bfs_hops",
-    # r9 (cont.): the remaining distribution-rank window functions
-    # (NTILE/PERCENT_RANK/CUME_DIST/FIRST/NTH_VALUE)
-    "window_ntile_dist",
-    # r9 (cont.): the KMV merge receipt — per-partition sketches fold to
-    # exactly the direct sketch (merge_exact pinned true per group)
-    "approx_kmv_merge",
-    # r9 (cont.): PERCENTILE_DISC selection quantiles + deterministic mode
-    "orders_percentile_disc",
-    # r9 (cont.): derandomized Poisson bootstrap — distributed CIs whose
-    # resampling itself is oracle-replayed
-    "stats_bootstrap_ci",
-    # r9 (cont. 2): deterministic Bloom-filter semi-join pruning — the
-    # runtime row filter as verifiable relational algebra, FP rate measured
-    "approx_bloom_semijoin",
-    # r9 (cont. 2): bitmap audience rollup (BIGINT day bitmaps, popcount
-    # tiers, weekday-mask algebra, partial-merge receipt)
-    "ev_bitmap_rollup",
-    # r9 (cont. 2): functional-dependency verification report — the
-    # within-table sibling of profile_fk_candidates
-    "profile_functional_deps",
-    # r9 (cont. 2): gaps-and-islands interval coverage merge (two-window
-    # sweep, no self-join)
-    "li_shipping_islands",
-    # r9 (cont. 2): time-weighted average over event hold intervals
-    # (exact microsecond weighting, integer-quantized products)
-    "ev_time_weighted_avg",
-    # r9 (cont. 2): sorted-neighborhood blocking — the third blocking
-    # family (bin-ranked neighbor equi-join, O(w*n) candidates)
-    "dedup_sorted_neighborhood",
-    # r9 (cont. 2): Theil-Sen robust slope beside OLS on calendar-bounded
-    # pairwise slopes (rank-selected median, zero float accumulation)
-    "stats_theil_sen",
-    # r9 (cont. 2): bitwise expression surface (§2.8 integer ops closure)
-    "scalar_bitwise_surface",
-    # r9 (cont. 2): Benford first-digit screen (fixed-literal expectations,
-    # nano-quantized chi-square)
-    "stats_benford_check",
-    # r9 (cont. 2): polite crawl-wave scheduling over the canonical frontier
-    # (per-host rank DIV rate; politeness receipt as data)
-    "docs_crawl_schedule",
-    # r9 (cont. 2): Markov stationary distribution by nano-quantized power
-    # iteration over the transition matrix
-    "ev_markov_stationary",
-]
+#: registration order. r10 is a consolidation round (VERDICT r9 item 9):
+#: no new entries yet — changed entries rotate via _REVERIFY above, and
+#: the remaining gate slots re-sample the cumulative tail.
+_PRIORITY: list[str] = []
 
 
 def _driver_ordered() -> list[str]:
