@@ -93,7 +93,10 @@ def run_one(spark, spec, sf_dir: str, timeout: float) -> dict:
     th.start()
     th.join(timeout)
     if th.is_alive():
-        spark.sparkContext.cancelJobGroup(group)
+        try:
+            spark.sparkContext.cancelJobGroup(group)
+        except Exception:  # dead gateway: the recycle helper handles it
+            pass
         th.join(30)
         # the worker may have FINISHED during the grace join (ADVICE r8):
         # only stamp timeout if it didn't record a completed run — a
@@ -117,6 +120,32 @@ def main() -> None:
     ]
     spark = get_spark(app_name="scale-sweep")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+
+    def recycle_if_wounded(session, r):
+        """Recycle the shared session after ANY watchdog cancellation or a
+        dead-gateway error, in EVERY loop — the r10 sweep proved the r9
+        main-loop-only recycle insufficient: a timeout in the @realvocab
+        branch wounded the session, the JVM died, and every remaining row
+        recorded a cascade Py4J error (the whole sweep was lost). Family
+        memo caches die with the session; downstream members rebuild,
+        which costs seconds and keeps every row honest."""
+        dead_markers = (
+            "Py4JNetworkError", "ConnectionRefused", "Connection reset",
+            "RpcEndpointNotFound", "Cannot find endpoint", "Answer from Java",
+        )
+        wounded = r.get("status") == "timeout" or (
+            r.get("status") == "error"
+            and any(m in r.get("error", "") for m in dead_markers)
+        )
+        if not wounded:
+            return session
+        print(f"recycling session after {r.get('name', '?')} "
+              f"{r.get('status')}", flush=True)
+        try:
+            session.stop()
+        except Exception:
+            pass
+        return get_spark(app_name="scale-sweep")
 
     # family builds FIRST, as explicit rows — same attribution contract as
     # bench.py (VERDICT r5 item 6): member entries measure steady-state,
@@ -163,9 +192,11 @@ def main() -> None:
                 print(f"{fname}: excluded (dense-vocab boundary)", flush=True)
                 continue
             r = run_one(spark, _FamilySpec(fname, fn), sf_dir, timeout)
+            r.setdefault("name", fname)
             out.write(json.dumps(r) + "\n")
             out.flush()
-            print(f"{fname}: {r['status']} {r.get('sec', '')}", flush=True)
+            print(f"{fname}: {r.get('status')} {r.get('sec', '')}", flush=True)
+            spark = recycle_if_wounded(spark, r)
         for name in excluded:
             if name in specs:
                 spec = specs.pop(name)
@@ -182,12 +213,20 @@ def main() -> None:
                     "dedup_prefix_filter",
                     "dedup_lsh_recall_report",  # truth side = the prefix pairs
                 ) and os.path.isdir(rv_dir):
-                    r = run_one(spark, spec, rv_dir, timeout)
+                    # the @realvocab rows ARE the measured points for these
+                    # entries (that is why they are excluded from the dense
+                    # corpus) — the cold family pair build costs ~450 s on
+                    # the slow-host class, so a flat `timeout` cap can only
+                    # truncate the one number the row exists to carry; give
+                    # the branch 3x and record the budget in the row
+                    r = run_one(spark, spec, rv_dir, timeout * 3)
                     r["name"] = f"{name}@realvocab"
                     r["corpus"] = rv_dir
+                    r["timeout_budget_s"] = timeout * 3
                     out.write(json.dumps(r) + "\n")
                     out.flush()
-                    print(f"{r['name']}: {r['status']} {r.get('sec', '')}", flush=True)
+                    print(f"{r['name']}: {r.get('status')} {r.get('sec', '')}", flush=True)
+                    spark = recycle_if_wounded(spark, r)
         for i, (name, spec) in enumerate(specs.items()):
             free_gb = shutil.disk_usage("/").free / 1e9
             if free_gb < MIN_FREE_GB:
@@ -199,20 +238,11 @@ def main() -> None:
                 print(f"ABORT: {free_gb:.1f} GB free < {MIN_FREE_GB}", flush=True)
                 break
             r = run_one(spark, spec, sf_dir, timeout)
+            r.setdefault("name", name)
             out.write(json.dumps(r) + "\n")
             out.flush()
-            print(f"[{i + 1}/{len(specs)}] {name}: {r['status']} {r.get('sec', '')}", flush=True)
-            if r.get("status") == "timeout":
-                # a watchdog cancellation can wound the shared session (the
-                # r9 finding: clique4's job-group interrupt broke the Arrow
-                # worker pool, and the NEXT vectorized entry then "timed
-                # out" too while being fine standalone) — recycle the
-                # session so one overrun can't cascade. Family memo caches
-                # die with the session; downstream members rebuild, which
-                # costs seconds and keeps every row honest.
-                print(f"recycling session after {name} timeout", flush=True)
-                spark.stop()
-                spark = get_spark(app_name="scale-sweep")
+            print(f"[{i + 1}/{len(specs)}] {name}: {r.get('status')} {r.get('sec', '')}", flush=True)
+            spark = recycle_if_wounded(spark, r)
 
 
 if __name__ == "__main__":
