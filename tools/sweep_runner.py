@@ -121,37 +121,56 @@ def main() -> None:
     spark = get_spark(app_name="scale-sweep")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
 
-    def recycle_if_wounded(session, r):
-        """Recycle the shared session after ANY watchdog cancellation or a
-        dead-gateway error, in EVERY loop — the r10 sweep proved the r9
-        main-loop-only recycle insufficient: a timeout in the @realvocab
-        branch wounded the session, the JVM died, and every remaining row
-        recorded a cascade Py4J error (the whole sweep was lost). Family
-        memo caches die with the session; downstream members rebuild,
-        which costs seconds and keeps every row honest."""
-        dead_markers = (
-            "Py4JNetworkError", "ConnectionRefused", "Connection reset",
-            "RpcEndpointNotFound", "Cannot find endpoint", "Answer from Java",
-        )
-        wounded = r.get("status") == "timeout" or (
-            r.get("status") == "error"
-            and any(m in r.get("error", "") for m in dead_markers)
-        )
-        if not wounded:
-            return session
-        print(f"recycling session after {r.get('name', '?')} "
-              f"{r.get('status')}", flush=True)
+    def fresh_session(session):
+        """Stop the session and build a new one, surviving a DEAD JVM.
+
+        After the backing JVM dies (the r10 sweep: a 685 s build GC-starved
+        the heartbeat thread until the local-mode executor self-terminated),
+        a plain getOrCreate() fails forever: pyspark caches the py4j gateway
+        and the active-context singletons process-wide and keeps dialing the
+        dead port. Clear them so get_spark launches a NEW JVM."""
         try:
             session.stop()
         except Exception:
             pass
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession as _SS
+
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            _SS._instantiatedSession = None
+            _SS._activeSession = None
+        except Exception:
+            pass
         return get_spark(app_name="scale-sweep")
 
-    # family builds FIRST, as explicit rows — same attribution contract as
-    # bench.py (VERDICT r5 item 6): member entries measure steady-state,
-    # not whichever member alphabetically absorbs the shared build. Without
-    # this the r8 sweep showed dedup_clusters at 100 s (99.8 s of which was
-    # the LSH chain build it happened to trigger first).
+    def recycle_if_wounded(session, r):
+        """Recycle the shared session after ANY non-ok row, in EVERY loop.
+
+        The r10 sweep proved both halves the hard way: (a) the r9
+        main-loop-only recycle let a timeout in the @realvocab branch
+        cascade; (b) a marker-list test for "dead gateway" errors missed
+        the first SparkContext-shut-down error row, so the cascade ran for
+        40+ rows before a recognizable ConnectionRefused appeared. A
+        healthy sweep has ZERO non-ok rows, so recycling on every one
+        costs nothing and removes the classification problem entirely.
+        Family memo caches die with the session; downstream members
+        rebuild, which costs seconds and keeps every row honest."""
+        if r.get("status") in (None, "timeout", "error"):
+            print(f"recycling session after {r.get('name', '?')} "
+                  f"{r.get('status')}", flush=True)
+            return fresh_session(session)
+        return session
+
+    # family builds BEFORE their member entries, as explicit rows — same
+    # attribution contract as bench.py (VERDICT r5 item 6): member entries
+    # measure steady-state, not whichever member alphabetically absorbs the
+    # shared build. Without this the r8 sweep showed dedup_clusters at
+    # 100 s (99.8 s of which was the LSH chain build it happened to
+    # trigger first). (Since r10 the @realvocab branch precedes families —
+    # see the ordering note in the output loop.)
     from skinnerdb_spark.operators import analytics as _ana
     from skinnerdb_spark.operators import dedup as _dedup
     from skinnerdb_spark.operators import similarity as _sim
@@ -177,26 +196,12 @@ def main() -> None:
             return self._fn(session, sf)
 
     with open(out_path, "w") as out:
-        for fname, fn in families:
-            # a family build whose every consumer is excluded at this corpus
-            # must not run against it (prefix_pairs on the dense-vocab sf10
-            # warehouse is quadratic BY CONSTRUCTION — its consumers carry
-            # @realvocab rows instead, and so does the family, implicitly,
-            # inside those timed runs)
-            if fname == "family:prefix_pairs" and "dedup_prefix_filter" in excluded:
-                out.write(json.dumps({
-                    "name": fname, "status": "excluded",
-                    "reason": EXCLUDE_REASONS["dedup_prefix_filter"],
-                }) + "\n")
-                out.flush()
-                print(f"{fname}: excluded (dense-vocab boundary)", flush=True)
-                continue
-            r = run_one(spark, _FamilySpec(fname, fn), sf_dir, timeout)
-            r.setdefault("name", fname)
-            out.write(json.dumps(r) + "\n")
-            out.flush()
-            print(f"{fname}: {r.get('status')} {r.get('sec', '')}", flush=True)
-            spark = recycle_if_wounded(spark, r)
+        # order matters (r10): the @realvocab branch runs FIRST, against
+        # its own corpus, and the session is recycled before the dense-
+        # corpus family builds — so the ~700 s cold pair build can neither
+        # GC-scar the JVM the main loop uses (the r10 heartbeat-starvation
+        # cascade) nor leave the family attribution rows reading a session
+        # polluted with another corpus's caches.
         for name in excluded:
             if name in specs:
                 spec = specs.pop(name)
@@ -227,6 +232,39 @@ def main() -> None:
                     out.flush()
                     print(f"{r['name']}: {r.get('status')} {r.get('sec', '')}", flush=True)
                     spark = recycle_if_wounded(spark, r)
+        if any(
+            n in ("dedup_prefix_filter", "dedup_lsh_recall_report")
+            for n in excluded
+        ) and os.path.isdir(sf_dir.rstrip("/") + "rv"):
+            # the @realvocab branch runs against a DIFFERENT corpus: its
+            # cached family frames are dead weight for the dense-corpus
+            # main loop, and the ~700 s cold pair build leaves the JVM
+            # GC-scarred (r10: heartbeat starvation killed the local-mode
+            # executor three entries later). Start the main loop on a
+            # fresh session unconditionally; the dense-corpus families
+            # rebuild lazily inside their member rows if needed.
+            print("recycling session after the @realvocab branch", flush=True)
+            spark = fresh_session(spark)
+        for fname, fn in families:
+            # a family build whose every consumer is excluded at this corpus
+            # must not run against it (prefix_pairs on the dense-vocab sf10
+            # warehouse is quadratic BY CONSTRUCTION — its consumers carry
+            # @realvocab rows instead, and so does the family, implicitly,
+            # inside those timed runs)
+            if fname == "family:prefix_pairs" and "dedup_prefix_filter" in excluded:
+                out.write(json.dumps({
+                    "name": fname, "status": "excluded",
+                    "reason": EXCLUDE_REASONS["dedup_prefix_filter"],
+                }) + "\n")
+                out.flush()
+                print(f"{fname}: excluded (dense-vocab boundary)", flush=True)
+                continue
+            r = run_one(spark, _FamilySpec(fname, fn), sf_dir, timeout)
+            r.setdefault("name", fname)
+            out.write(json.dumps(r) + "\n")
+            out.flush()
+            print(f"{fname}: {r.get('status')} {r.get('sec', '')}", flush=True)
+            spark = recycle_if_wounded(spark, r)
         for i, (name, spec) in enumerate(specs.items()):
             free_gb = shutil.disk_usage("/").free / 1e9
             if free_gb < MIN_FREE_GB:
