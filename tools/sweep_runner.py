@@ -137,6 +137,28 @@ def main() -> None:
             from pyspark import SparkContext
             from pyspark.sql import SparkSession as _SS
 
+            # ACTUALLY end the old JVM: stop() only stops the context —
+            # the gateway JVM process lives on, and a recycle that leaves
+            # it running stacks a second (third, ...) 32-thread JVM onto
+            # the same cores; attempt 3 of the r10 sweep measured
+            # family:minhash_sigs "timing out" under exactly that
+            # self-inflicted contention.
+            gw = SparkContext._gateway
+            if gw is not None:
+                proc = getattr(gw, "proc", None)
+                try:
+                    gw.shutdown()
+                except Exception:
+                    pass
+                if proc is not None:
+                    try:
+                        proc.terminate()
+                        proc.wait(timeout=15)
+                    except Exception:
+                        try:
+                            proc.kill()
+                        except Exception:
+                            pass
             SparkContext._active_spark_context = None
             SparkContext._gateway = None
             SparkContext._jvm = None
@@ -144,6 +166,7 @@ def main() -> None:
             _SS._activeSession = None
         except Exception:
             pass
+        time.sleep(3)  # let the old JVM's ports/threads drain
         return get_spark(app_name="scale-sweep")
 
     def recycle_if_wounded(session, r):
