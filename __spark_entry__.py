@@ -119,25 +119,25 @@ _R12345678_SAMPLED = frozenset(
 #: diff vs GATE_FINGERPRINTS.json), which closed the r6 hygiene miss where
 #: two changed entries never rotated forward.
 _REVERIFY: list[str] = [
-    # r10: the r9 hash-RED row — leading digit now extracted from
-    # FLOOR(o_totalprice) before the BIGINT cast in BOTH engines (Spark
-    # truncates the bare cast, DuckDB rounds); MUST get a green driver row
-    # this round (VERDICT r9 item 1)
+    # r11: the r9/r10 hash-RED row — the LAST divergence (Spark typed the
+    # Benford CASE over mixed-scale decimal literals as DECIMAL(17,17)
+    # where DuckDB promotes to DOUBLE) closed by CAST(CASE ... AS DOUBLE)
+    # in _benford_p_sql; verified bit-identical cross-engine at sf0.01 and
+    # the local harness is now dtype-faithful so this bug class fails
+    # pytest (VERDICT r10 items 1+2). MUST get a green driver row.
     "stats_benford_check",
-    # r10: md5-sliced uniforms (one digest per replicate-group-of-4),
-    # weight projected once, BIGINT accumulation, fan_out before the
-    # explode — 16.0 -> 2.9 s at sf0.1 (VERDICT r9 items 3/4)
-    "stats_bootstrap_ci",
-    # r10: hypercube wire format packed to positional __v columns (both
-    # WCOJ plans reshape); clique grid now sized from the measured edge
-    # count (VERDICT r9 item 7)
-    "wcoj_clique4", "wcoj_triangle_listing",
-    # r10: both FD counts fold out of ONE pair-distinct pass per candidate
-    "profile_functional_deps",
-    # r10: docstring-only (src fingerprint): sink-state mass-loss
-    # disclosure / per-aggregate carrier description / single-probe
-    # baseline role (ADVICE r9 lows + item 8)
-    "ev_markov_stationary", "ev_time_weighted_avg", "sim_lsh_ann",
+    # r11: pair dedup pushed INTO the bin join as the canonical-bin filter
+    # (interval_overlap_join dedup=True) — the full-output DISTINCT shuffle
+    # is gone (VERDICT r10 item 5)
+    "li_interval_overlap",
+    # r11: DISC ranks now selected by the value-domain k-th selection
+    # kernel (exact_value_at_ranks) instead of native percentile_disc's
+    # per-group value buffering (VERDICT r10 item 6)
+    "orders_percentile_disc",
+    # r11: execution-time raise_error guards added (ADVICE r10): BIGINT
+    # replicate-accumulator overflow bound / sink-state mass-drain
+    # precondition — same outputs on compliant inputs, loud on violation
+    "stats_bootstrap_ci", "ev_markov_stationary",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -1751,8 +1751,10 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stationary mass over the recurrent communicating part, matching
     the oracle exactly (both engines drop identically). A conservation-
     strict variant would add implicit self-loops for sinks; the event
-    corpus here has none (every type both enters and exits), which the
-    receipt verifies per run.
+    corpus here has none (every type both enters and exits), and since
+    r11 that precondition is ENFORCED, not just observable: a constant-
+    cost anti-join (distinct next_type minus distinct prev_type over the
+    checkpointed matrix) raise_error()s if a sink appears (ADVICE r10).
 
     Scale shape: the corpus collapses to the |types|^2 transition matrix
     FIRST (one lag window on the user exchange + a map-side-combinable
@@ -1810,6 +1812,32 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("term").cast("bigint").alias("nano"))
         )
     tot = pi.agg(F.sum("nano").cast("bigint").alias("total_nano"))
+    # sink-free precondition, ENFORCED (ADVICE r10): a state appearing only
+    # as next_type would silently drain its whole mass each round (the
+    # documented inner-join loss), observable only by reading the receipt.
+    # The anti-join runs over the two <= |types|-row distinct projections of
+    # the checkpointed matrix — constant cost — and raise_error()s loudly if
+    # a future corpus introduces an absorbing state, instead of shipping a
+    # quietly non-conserving total.
+    sinks = (
+        trans.select(F.col("next_type").alias("t"))
+        .distinct()
+        .join(
+            trans.select(F.col("prev_type").alias("t")).distinct(),
+            "t",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_sinks"))
+    )
+    tot = tot.crossJoin(F.broadcast(sinks)).select(
+        F.expr(
+            "CASE WHEN __n_sinks > 0 THEN CAST(raise_error(concat("
+            "'ev_markov_stationary: ', CAST(__n_sinks AS STRING),"
+            " ' sink state(s) with no outgoing transitions — mass would"
+            " drain each round; add self-loops or drop the sinks'))"
+            " AS BIGINT) ELSE total_nano END"
+        ).alias("total_nano")
+    )
     return (
         pi.crossJoin(F.broadcast(tot))
         .select(

@@ -707,7 +707,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in BIGINT — exact while a replicate arm's weighted cents
     stay under 2^63, i.e. ~3e13 orders per priority (a ~1e12-row 100 TB
     table has 30x headroom; past that, re-widen to DECIMAL(38,0) — values
-    are identical, this is purely the cheaper carrier). The CI is exact
+    are identical, this is purely the cheaper carrier). The bound is
+    ENFORCED at execution time (ADVICE r10): a raise_error guard on the
+    full-mean aggregate fails loudly if n * 7 * max_cents approaches 2^63,
+    because Spark SUM(bigint) wraps silently where DuckDB widens — an
+    overflow would otherwise be wrong-but-green. The CI is exact
     SELECTION (rank 2 / rank {BOOT_B - 1} of {BOOT_B} replicate means per
     group — a {BOOT_B}-row window per group, bounded by construction).
     Every arithmetic step — the md5 uniform, the inverse-CDF weight, the
@@ -773,7 +777,28 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100"
             " AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)"
-        ).alias("mean_cents")
+        ).alias("mean_cents"),
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.max("o_totalprice").alias("__max_price"),
+    )
+    # overflow guard (ADVICE r10): Spark SUM(bigint) WRAPS silently
+    # (non-ANSI) while DuckDB widens to HUGEINT, so past the documented
+    # ~3e13-orders-per-priority bound the Spark replicate sums would be
+    # wrong-but-green. The bound check rides the existing full-mean
+    # aggregate (n and max price are free partials) and raise_error()s at
+    # execution time: worst replicate sum <= n * w_max(7) * max_cents,
+    # compared in DOUBLE (the product itself could overflow BIGINT) with
+    # margin against 2^63 ~ 9.22e18.
+    full = full.select(
+        "pri",
+        F.expr(
+            "CASE WHEN CAST(__n_rows AS DOUBLE) * 7.0"
+            " * (CAST(__max_price AS DOUBLE) * 100.0) >= 9.0e18"
+            " THEN CAST(raise_error(concat('stats_bootstrap_ci: replicate"
+            " BIGINT accumulator would overflow for priority ', pri,"
+            " ' — re-widen swc/sw to DECIMAL(38,0)')) AS DOUBLE)"
+            " ELSE mean_cents END"
+        ).alias("mean_cents"),
     )
     return (
         full.join(F.broadcast(ci), "pri")
@@ -941,10 +966,15 @@ _BENFORD_CRIT = "15.507"
 
 
 def _benford_p_sql(col: str = "digit") -> str:
+    # The CAST AS DOUBLE is load-bearing: without it the CASE over
+    # mixed-scale decimal literals types as DECIMAL(17,17) in Spark but
+    # DOUBLE in DuckDB, so the canonical text of benford_p diverges
+    # ("0.30102999566398120" vs "0.3010299956639812") and the driver
+    # value-hash stays red while rows/schema pass (r10 verdict item 1).
     cases = " ".join(
         f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
     )
-    return f"CASE {col} {cases} END"
+    return f"CAST(CASE {col} {cases} END AS DOUBLE)"
 
 
 @register(

@@ -265,6 +265,7 @@ def interval_overlap_join(
     a_end: str,
     b_start: str,
     b_end: str,
+    dedup: bool = False,
 ) -> DataFrame:
     """Interval-x-interval OVERLAP join (no equi key): both sides explode
     into the calendar months their interval covers, the join runs equi on
@@ -277,9 +278,16 @@ def interval_overlap_join(
     length / bin width — pick the bin at or above the typical interval so
     it stays 1-2). An overlapping pair shares at least one covered month
     (overlap implies a common day, hence a common month), so no pair is
-    missed; a pair CAN meet in several shared months — callers dedupe on
-    their pair identity after this join (documented contract, mirrors
-    range_join's residual-filter pattern)."""
+    missed; a pair CAN meet in several shared months. ``dedup=True`` keeps
+    exactly ONE copy per overlapping pair via the canonical-bin filter —
+    a pair survives only in the month of GREATEST(a_start, b_start), the
+    overlap's first day, which is provably a covered month of BOTH
+    intervals (a_start <= max(a_start, b_start): trivial / overlap gives
+    b_start <= a_end, symmetrically for b), so the dedup is a free
+    map-side filter inside the join instead of a full-output DISTINCT
+    shuffle (VERDICT r10 item 5: the DISTINCT was ~half the
+    li_interval_overlap cost at sf10). ``dedup=False`` preserves the
+    multi-bin contract for callers that dedupe on a wider pair identity."""
     ab = a.withColumn(
         "__bin",
         F.explode(F.sequence(F.date_trunc("month", F.col(a_start)).cast("date"),
@@ -292,11 +300,17 @@ def interval_overlap_join(
                              F.date_trunc("month", F.col(b_end)).cast("date"),
                              F.expr("INTERVAL 1 MONTH"))),
     )
-    return (
-        ab.join(bb, "__bin")
-        .filter((F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end)))
-        .drop("__bin")
+    joined = ab.join(bb, "__bin").filter(
+        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
     )
+    if dedup:
+        joined = joined.filter(
+            F.col("__bin")
+            == F.date_trunc(
+                "month", F.greatest(F.col(a_start), F.col(b_start))
+            ).cast("date")
+        )
+    return joined.drop("__bin")
 
 
 @register(
@@ -336,9 +350,10 @@ def li_interval_overlap(spark, sf_dir):
     intervals overlap — the no-equi-key interval-matching shape that a
     naive plan answers with a nested-loop cross product. The bin turns it
     into ONE hash exchange; each interval lands in at most 2 month bins;
-    pairs are deduped on (l_orderkey, l_linenumber, o_orderkey) after the
-    join (a pair can meet in both shared months). Oracle: DuckDB's native
-    inequality join over the identical intervals.
+    pair dedup (a pair can meet in both shared months) is the canonical-bin
+    FILTER inside the join (interval_overlap_join dedup=True) — map-side,
+    zero extra shuffle — not a DISTINCT over the pair output. Oracle:
+    DuckDB's native inequality join over the identical intervals.
 
     Output-boundedness (r9 sf1 ladder lesson): with BOTH interval sets
     growing with SF the overlap-pair OUTPUT grows as SF^2 — 94 GB of
@@ -377,11 +392,13 @@ def li_interval_overlap(spark, sf_dir):
             F.date_add(F.col("o_orderdate").cast("date"), 30).alias("b_end"),
         )
     )
-    pairs = (
-        interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderkey", "b_start")
-        .distinct()
-    )
+    # dedup=True replaces the former full-output DISTINCT: each overlapping
+    # pair is kept only in its canonical (overlap-start) month bin, so the
+    # dedup costs a map-side filter, not a 5-column shuffle of every pair
+    # (VERDICT r10 item 5 — the DISTINCT dominated the sf10 cost)
+    pairs = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", dedup=True
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderkey", "b_start")
     return (
         pairs.groupBy(F.date_format(F.date_trunc("month", "b_start"), "yyyy-MM").alias("month"))
         .agg(

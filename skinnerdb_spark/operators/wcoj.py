@@ -279,7 +279,19 @@ def _cliq_shares(n_edges: int) -> dict[str, int]:
     this returns exactly ``_CLIQ_SHARES`` (the measured optimum); the
     growth path trades shuffle replication (grows ~s) for bounded cell
     memory (shrinks ~1/s^2), which is the right trade only when the cell
-    would not fit — hence the cap, not an unconditional scale-up."""
+    would not fit — hence the cap, not an unconditional scale-up.
+
+    Uniformity assumption (ADVICE r10): the rows-per-cell estimate divides
+    total replicated rows by cell count, i.e. it assumes xxhash spreads
+    edge endpoints evenly across coordinates. That holds for hash grids on
+    DISTINCT vertex ids, but a heavy-hitter VERTEX (degree >> |E|/s) still
+    concentrates its incident edges in one coordinate SLICE: a vertex of
+    degree d contributes ~d*rep/s^2 rows to each of the s^2 cells sharing
+    its hash coordinate, so a cell can exceed the cap by ~(d*s/|E|)x on a
+    power-law graph. The cap is therefore a budget for near-uniform degree
+    graphs (the events-derived corpus here); for adversarially skewed
+    graphs, split heavy vertices first (the skew-salting precedent in
+    plans/skew.py) rather than trusting the average."""
     s = 2
     while s < 64:
         cells = (s + 1) * s**3

@@ -9,6 +9,7 @@ compare row count, column names, and values (order-insensitive).
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import pandas as pd
@@ -35,6 +36,67 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _canonical(v) -> str:
+    """Canonical per-value text, mirroring the driver's value-hash
+    serialization closely enough to catch output-TYPE divergences the old
+    float-coercing compare missed (r10 verdict item 2: benford's
+    DECIMAL(17,17)-vs-DOUBLE column passed pytest two rounds while the
+    driver hash stayed red). str(Decimal) keeps trailing zeros
+    ("0.30102999566398120") while repr(float) is shortest-roundtrip
+    ("0.3010299956639812"), so a decimal-vs-double split fails HERE now."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: pd.isna is ambiguous; handled by caller's gate
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(float(v))
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def _is_scalar_numericish(series: pd.Series) -> bool:
+    """True for the column kinds where canonical-text divergence is the
+    decimal/double/int bug class: numeric dtypes, or object columns holding
+    Decimal/float/int scalars. Arrays, strings, dates stay with the
+    value-level compare (dates are already normalized to datetime64)."""
+    if pd.api.types.is_float_dtype(series) or pd.api.types.is_integer_dtype(series):
+        return True
+    if series.dtype == object and len(series):
+        sample = series.dropna()
+        if len(sample):
+            return sample.map(
+                lambda v: isinstance(v, (decimal.Decimal, float, int))
+                and not isinstance(v, bool)
+            ).all()
+    return False
+
+
+def assert_canonical_text_match(
+    s: pd.DataFrame, o: pd.DataFrame, name: str
+) -> None:
+    """Driver-faithful output-type check: for every numeric-ish column,
+    the canonical text of each (sorted) value must be IDENTICAL across
+    engines — equal floats are not enough, the serialized form must match,
+    which is what the driver's value-hash actually compares."""
+    for col in s.columns:
+        sv, ov = s[col], o[col]
+        if not (_is_scalar_numericish(sv) and _is_scalar_numericish(ov)):
+            continue
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            ca, cb = _canonical(a), _canonical(b)
+            assert ca == cb, (
+                f"{name}.{col}[{i}]: canonical text diverges {ca!r} != {cb!r}"
+                f" (types {type(a).__name__} vs {type(b).__name__}) — the"
+                " driver value-hash would be RED even if floats are equal"
+            )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
@@ -58,6 +120,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             pd.testing.assert_series_equal(
                 sv, ov, check_dtype=False, check_names=False, obj=f"{name}.{col}"
             )
+    assert_canonical_text_match(s, o, name)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

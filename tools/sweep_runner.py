@@ -143,6 +143,7 @@ def main() -> None:
             # the same cores; attempt 3 of the r10 sweep measured
             # family:minhash_sigs "timing out" under exactly that
             # self-inflicted contention.
+            proc = None
             gw = SparkContext._gateway
             if gw is not None:
                 proc = getattr(gw, "proc", None)
@@ -164,8 +165,27 @@ def main() -> None:
             SparkContext._jvm = None
             _SS._instantiatedSession = None
             _SS._activeSession = None
-        except Exception:
-            pass
+            # verify the old JVM is ACTUALLY gone (ADVICE r10): this block
+            # leans on pyspark private internals, and a pyspark upgrade
+            # could silently no-op the whole cleanup inside the except —
+            # regressing to the stacked-JVM contention mode it exists to
+            # fix. poll() is None means the process is still alive: say so
+            # loudly instead of letting the next rows time out mysteriously.
+            if proc is not None and proc.poll() is None:
+                print(
+                    "WARNING: fresh_session could not terminate the old"
+                    f" gateway JVM (pid {getattr(proc, 'pid', '?')}) — the"
+                    " recycled session will CONTEND with it; sweep timings"
+                    " from here on are suspect",
+                    flush=True,
+                )
+        except Exception as exc:
+            print(
+                "WARNING: fresh_session JVM cleanup raised"
+                f" ({type(exc).__name__}: {exc}) — pyspark internals may"
+                " have changed; the old gateway JVM may still be running",
+                flush=True,
+            )
         time.sleep(3)  # let the old JVM's ports/threads drain
         return get_spark(app_name="scale-sweep")
 
@@ -218,6 +238,11 @@ def main() -> None:
         def spark(self, session, sf):
             return self._fn(session, sf)
 
+    # single derivation of the realvocab corpus dir (ADVICE r10: the
+    # excluded-loop and the post-branch recycle guard each re-derived it,
+    # and two derivations can silently drift apart)
+    rv_dir = sf_dir.rstrip("/") + "rv"
+
     with open(out_path, "w") as out:
         # order matters (r10): the @realvocab branch runs FIRST, against
         # its own corpus, and the session is recycled before the dense-
@@ -236,7 +261,6 @@ def main() -> None:
                 # dense-vocab corpus, not the algorithm — measure it on the
                 # realistic-Zipf warehouse (datagen_scale --realvocab-docs)
                 # as a named row so the sweep carries the measured point
-                rv_dir = sf_dir.rstrip("/") + "rv"
                 if name in (
                     "dedup_prefix_filter",
                     "dedup_lsh_recall_report",  # truth side = the prefix pairs
@@ -258,7 +282,7 @@ def main() -> None:
         if any(
             n in ("dedup_prefix_filter", "dedup_lsh_recall_report")
             for n in excluded
-        ) and os.path.isdir(sf_dir.rstrip("/") + "rv"):
+        ) and os.path.isdir(rv_dir):
             # the @realvocab branch runs against a DIFFERENT corpus: its
             # cached family frames are dead weight for the dense-corpus
             # main loop, and the ~700 s cold pair build leaves the JVM
