@@ -165,3 +165,32 @@ def test_corpus_sql_matches_oracle(spark, oracle_con, sf_dir, fname):
     spark_pdf = spark.sql(q).toPandas()
     oracle_pdf = oracle_con.execute(q).df()
     assert_frames_match(spark_pdf, oracle_pdf, fname)
+
+
+def test_canonical_check_catches_decimal_double_mismatch():
+    """The r10 escape, pinned (VERDICT r10 item 2 'done' criterion): a
+    Spark DECIMAL(17,17) column vs a DuckDB DOUBLE column with EQUAL float
+    values must fail assert_frames_match — the driver's value-hash compares
+    canonical text ("0.30102999566398120" vs "0.3010299956639812"), and the
+    old float-coercing compare passed this for two rounds while the driver
+    row stayed red."""
+    oracle = pd.DataFrame({"k": [1, 2], "p": [0.3010299956639812, 0.5]})
+    good = pd.DataFrame({"k": [1, 2], "p": [0.3010299956639812, 0.5]})
+    assert_frames_match(good, oracle, "good")  # identical floats: fine
+    bad = pd.DataFrame({
+        "k": [1, 2],
+        "p": [
+            decimal.Decimal("0.30102999566398120"),
+            decimal.Decimal("0.50000000000000000"),
+        ],
+    })
+    with pytest.raises(AssertionError, match="canonical text diverges"):
+        assert_frames_match(bad, oracle, "injected_decimal_vs_double")
+
+
+def test_canonical_check_accepts_equal_decimals():
+    """Decimal-vs-decimal with IDENTICAL canonical text must pass — the
+    check targets representation divergence, not decimal use per se."""
+    a = pd.DataFrame({"v": [decimal.Decimal("1.25"), decimal.Decimal("2.50")]})
+    b = pd.DataFrame({"v": [decimal.Decimal("1.25"), decimal.Decimal("2.50")]})
+    assert_frames_match(a, b, "equal_decimals")
