@@ -138,6 +138,14 @@ _REVERIFY: list[str] = [
     # replicate-accumulator overflow bound / sink-state mass-drain
     # precondition — same outputs on compliant inputs, loud on violation
     "stats_bootstrap_ci", "ev_markov_stationary",
+    # r11 (cont.): the outer key bound is restated on the inner correlation
+    # column so it reaches the orders parquet scan — Catalyst infers it but
+    # parks it ABOVE the WindowGroupLimit stack (sf10: 48.8 s -> scan-bound)
+    "lateral_top1_order",
+    # r11 (cont.): bigram entries fold to ONE corpus explode — cab/model
+    # tables now derive from the (doc_id,a,b) pre-aggregate (cab = SUM(k),
+    # exact); ccnet composes the shared memo so its plan rotates too
+    "docs_bigram_lm_score", "docs_kn_bigram_score", "docs_ccnet_buckets",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -993,8 +993,9 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     final mean is a single decimal->double cast divided by an integer.
 
     Scale shape: the corpus explodes to bigram instances ONCE and is
-    immediately pre-aggregated twice — (doc_id, a, b) with map-side combine,
-    and the (a, b) model from which prefix totals derive. The model join is
+    immediately pre-aggregated to (doc_id, a, b) with map-side combine;
+    the (a, b) model and its prefix totals derive from that frame (cab =
+    SUM(k)) so no second corpus pass exists in the DAG. The model join is
     vocabulary^2-bounded (AQE broadcasts it when small; co-partitions on the
     bigram key otherwise); the corpus-sized side shuffles once on the join
     key and once on doc_id. No UDFs, no floating-point order dependence.
@@ -1026,11 +1027,16 @@ def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p")
     ).select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
-    ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+    # ONE corpus explode: the (doc_id, a, b) pre-aggregate is computed
+    # first and the corpus-wide model derives from it — c(ab) = SUM(k)
+    # over doc_id, exactly (r11: the earlier cab-from-big branch made the
+    # DAG explode+split the corpus TWICE, once per consumer; the
+    # "explodes ONCE" contract in the docstring now matches the plan).
     inst = big.groupBy("doc_id", "a", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
     )
+    cab = inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
     j = (
         inst.join(cab, ["a", "b"])
         .join(ca, "a")
@@ -1220,16 +1226,20 @@ def docs_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
     )
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    # ONE corpus explode (r11, same fold as _bigram_lm_scores): the
+    # (doc_id, a, b) pre-aggregate comes first; the bigram model and all
+    # three N1+ distinct-context counts derive from it exactly
+    # (c(ab) = SUM(k) over doc_id).
+    inst = big.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cab = inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab"))
     ca = cab.groupBy("a").agg(
         F.sum("cab").cast("bigint").alias("ca"),
         F.count(F.lit(1)).cast("bigint").alias("n1a"),
     )
     cb = cab.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
     ntot = cab.agg(F.count(F.lit(1)).cast("bigint").alias("n1tot"))
-    inst = big.groupBy("doc_id", "a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
     j = (
         inst.join(cab, ["a", "b"])
         .join(ca, "a")

@@ -167,6 +167,7 @@ def subq_from_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
     FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                               WHERE o.o_custkey = c.c_custkey
+                                AND o.o_custkey <= 500
                               ORDER BY o_totalprice DESC, o_orderkey
                               LIMIT 1) t
     WHERE c.c_custkey <= 500
@@ -179,7 +180,17 @@ def lateral_top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a join + per-key limit rather than re-executing it per customer row
     (the reference's unnesting visitor has no lateral support at all —
     SURVEY §3.1); customers with no orders drop, per inner-lateral
-    semantics. Runs through the engine's spark.sql surface."""
+    semantics. Runs through the engine's spark.sql surface.
+
+    Scale note (r11): Catalyst DOES infer `o_custkey <= 500` from the
+    decorrelated equality, but places the inferred filter ABOVE the
+    WindowGroupLimit stack — so the top-1 window ran over ALL orders
+    (48.8 s at sf10) before the 500-key cut. Stating the key bound inside
+    the lateral body, where it is uncorrelated, lets it reach the parquet
+    scan (`PushedFilters: LessThanOrEqual(o_custkey,500)`); semantics are
+    identical because the correlation equality already implies it. The
+    general lesson for selective-outer laterals at 100 TB: restate outer
+    key bounds on the inner correlation column."""
     for t in ("customer", "orders"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
@@ -187,6 +198,7 @@ def lateral_top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                                   WHERE o.o_custkey = c.c_custkey
+                                    AND o.o_custkey <= 500
                                   ORDER BY o_totalprice DESC, o_orderkey
                                   LIMIT 1) t
         WHERE c.c_custkey <= 500
