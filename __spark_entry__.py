@@ -146,6 +146,17 @@ _REVERIFY: list[str] = [
     # tables now derive from the (doc_id,a,b) pre-aggregate (cab = SUM(k),
     # exact); ccnet composes the shared memo so its plan rotates too
     "docs_bigram_lm_score", "docs_kn_bigram_score", "docs_ccnet_buckets",
+    # r11 (cont.): quantized-domain order statistics — median_manual and
+    # ev_winsorize move to the ONE-corpus-scan (group, value) count shape
+    # (ev_mad_outliers' design-(3) doctrine, now shared via
+    # quality.value_at_rank); ev_mad_outliers rotates because the shared
+    # helper reshapes its plan too
+    "median_manual", "ev_winsorize", "ev_mad_outliers",
+    # r11 (cont.): the live re-duel receipt (VERDICT r10 item 4) updates the
+    # learned-order cache during bench runs, so the adaptive entry's plan
+    # can legitimately change between rounds — rotate it forward for a
+    # fresh driver row whenever that happens
+    "adaptive_star_join",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

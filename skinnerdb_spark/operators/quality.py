@@ -316,6 +316,36 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINSOR_LO_PCT, WINSOR_HI_PCT = 5, 95
 
 
+def value_at_rank(
+    counts: DataFrame, group_col: str, col: str, out: str, k_sql: str
+) -> DataFrame:
+    """Value at ascending rank ``k`` within each group, selected from a
+    per-distinct-value count frame ``(group_col, col, cnt)``: the row whose
+    cumulative-count interval covers the rank. ``k_sql`` is a SQL expression
+    over ``n`` (the group's total row count, = SUM(cnt)).
+
+    This is the quantized-domain order-statistics shape (see
+    ev_mad_outliers' design note): the caller pays ONE map-side-combinable
+    corpus aggregation to build ``counts``; every rank selection after that
+    runs over the bounded distinct-value frame — windows never touch input
+    rows. For unbounded value domains use
+    operators/quantiles.py::exact_value_at_ranks instead."""
+    wn = Window.partitionBy(group_col)
+    c = counts.select(
+        group_col,
+        col,
+        "cnt",
+        F.sum("cnt")
+        .over(wn.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    k = F.expr(k_sql)
+    return c.filter((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)).select(
+        group_col, F.col(col).alias(out)
+    )
+
+
 @register(
     "ev_winsorize",
     f"""
@@ -355,30 +385,34 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer form (p·n + 99) div 100. The clamped mean rides DECIMAL(18,6)
     so the per-group sum is associative (order-independent) across engines.
 
-    Scale shape: the rank window is PARTITIONED by event_type (bounded
-    cardinality, parallel); the bounds frame is |event_type| rows and
-    broadcasts into the clamp join; one corpus shuffle for the window, one
-    for the final aggregate."""
+    Scale shape (r11, replacing the row_number window): events.value is
+    2-decimal quantized (the ev_mad_outliers design-(3) doctrine), so ONE
+    map-side-combinable (event_type, value) count aggregate — the only
+    corpus-sized stage — reduces the input to a bounded distinct-value
+    frame; both percentile ranks AND the clamped mean derive from that
+    frame (clamp each distinct value once, weight by its count). The old
+    window shape shuffled and SORTED the full corpus with parallelism =
+    |event_type| (5 tasks regardless of cluster size — a 1000-executor
+    anti-pattern) and re-scanned it for the clamp. The value-at-rank is
+    identical under either tie-break: permuting equal values never changes
+    which VALUE sits at a rank, and the weighted sum of clamped distinct
+    values is exactly the row-wise sum (decimal × exact count)."""
     e = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = e.select(
-        "event_type",
-        "event_id",
-        "value",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    vc = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    lo_rank = F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100")
-    hi_rank = F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100")
-    bounds = r.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("p_lo"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("p_hi"),
+    p_lo = value_at_rank(
+        vc, "event_type", "value", "p_lo", f"({WINSOR_LO_PCT} * n + 99) div 100"
     )
-    clamped = e.join(F.broadcast(bounds), "event_type").select(
+    p_hi = value_at_rank(
+        vc, "event_type", "value", "p_hi", f"({WINSOR_HI_PCT} * n + 99) div 100"
+    )
+    bounds = p_lo.join(p_hi, "event_type")
+    clamped = vc.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         "p_lo",
         "p_hi",
+        "cnt",
         F.when(F.col("value") < F.col("p_lo"), F.col("p_lo"))
         .when(F.col("value") > F.col("p_hi"), F.col("p_hi"))
         .otherwise(F.col("value"))
@@ -386,8 +420,10 @@ def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cv"),
     )
     return clamped.groupBy("event_type", "p_lo", "p_hi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        (F.sum("cv").cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        (F.sum(F.col("cv") * F.col("cnt")).cast("double") / F.sum("cnt")).alias(
+            "winsor_mean"
+        ),
     )
 
 
@@ -758,25 +794,7 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = e.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    wn = Window.partitionBy("event_type")
-
-    def rank_value(counts: DataFrame, col: str, out: str) -> DataFrame:
-        """Value at ascending rank (n+1) div 2 from a (type, value, cnt)
-        frame: the row whose cumulative-count interval covers the rank."""
-        c = counts.select(
-            "event_type",
-            col,
-            "cnt",
-            F.sum("cnt").over(wn.orderBy(col).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-            F.sum("cnt").over(wn).alias("n"),
-        )
-        k = F.expr("(n + 1) div 2")
-        return c.filter((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)).select(
-            "event_type", F.col(col).alias(out)
-        )
-
-    med = rank_value(vc, "value", "med")
+    med = value_at_rank(vc, "event_type", "value", "med", "(n + 1) div 2")
     # deviations per DISTINCT value, weights carried as counts — no corpus rescan
     devc = (
         vc.join(F.broadcast(med), "event_type")
@@ -789,7 +807,7 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "med", "adev")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = rank_value(devc, "adev", "mad")
+    mad = value_at_rank(devc, "event_type", "adev", "mad", "(n + 1) div 2")
     return (
         devc.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")

@@ -181,43 +181,65 @@ def exact_value_at_ranks(
 
     # final exact selection: per-VALUE counts inside each leaf range, then
     # the rank'th distinct value via a cumulative count — the window sorts
-    # only the distinct values of a leaf, never input rows
-    leaf_rows = [
-        {"id": t["tid"], "g": t["g"], "lo": t["lo"], "hi": t["hi"]} for t in targets
-    ]
-    if not leaf_rows:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [T.StructField(f.name, f.dataType) for f in group_fields]
-                + [
-                    T.StructField("qi", T.IntegerType()),
-                    T.StructField("rank", T.LongType()),
-                    T.StructField("value", value_type),
-                ]
-            ),
-        )
-    ldf = _ranges_frame(leaf_rows, "__tid")
-    meta_schema = T.StructType(
+    # only the distinct values of a leaf, never input rows.
+    #
+    # Targets whose range already collapsed to a single value (lo == hi —
+    # e.g. every target over a small discrete domain like l_quantity's 50
+    # values, where each level-1 cell holds exactly one value) are RESOLVED:
+    # the rank'th value in a one-value range is that value, so they skip the
+    # leaf scan entirely. For such domains this removes one full corpus pass.
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in group_fields]
+        + [
+            T.StructField("qi", T.IntegerType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("value", value_type),
+        ]
+    )
+    if not targets:
+        return spark.createDataFrame([], out_schema)
+    unresolved = [t for t in targets if t["lo"] != t["hi"]]
+    picked_schema = T.StructType(
         [
             T.StructField("__tid", T.LongType()),
             T.StructField("qi", T.IntegerType()),
             T.StructField("rank", T.LongType()),
-            T.StructField("__r", T.LongType()),
+            T.StructField("value", value_type),
         ]
     )
-    meta = spark.createDataFrame(
-        [(t["tid"], t["qi"], t["rank"], t["r"]) for t in targets], meta_schema
+    picked = spark.createDataFrame(
+        [(t["tid"], t["qi"], t["rank"], t["lo"]) for t in targets if t["lo"] == t["hi"]],
+        picked_schema,
     )
-    cand = _candidates(ldf)
-    vc = cand.groupBy("__tid", value_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.partitionBy("__tid").orderBy(value_col)
-    cum = vc.withColumn("__cum", F.sum("__c").over(w))
-    picked = (
-        cum.join(F.broadcast(meta), "__tid")
-        .filter((F.col("__cum") - F.col("__c") < F.col("__r")) & (F.col("__r") <= F.col("__cum")))
-        .select("__tid", "qi", "rank", F.col(value_col).alias("value"))
-    )
+    if unresolved:
+        leaf_rows = [
+            {"id": t["tid"], "g": t["g"], "lo": t["lo"], "hi": t["hi"]}
+            for t in unresolved
+        ]
+        ldf = _ranges_frame(leaf_rows, "__tid")
+        meta_schema = T.StructType(
+            [
+                T.StructField("__tid", T.LongType()),
+                T.StructField("qi", T.IntegerType()),
+                T.StructField("rank", T.LongType()),
+                T.StructField("__r", T.LongType()),
+            ]
+        )
+        meta = spark.createDataFrame(
+            [(t["tid"], t["qi"], t["rank"], t["r"]) for t in unresolved], meta_schema
+        )
+        cand = _candidates(ldf)
+        vc = cand.groupBy("__tid", value_col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("__tid").orderBy(value_col)
+        cum = vc.withColumn("__cum", F.sum("__c").over(w))
+        picked = picked.unionByName(
+            cum.join(F.broadcast(meta), "__tid")
+            .filter(
+                (F.col("__cum") - F.col("__c") < F.col("__r"))
+                & (F.col("__r") <= F.col("__cum"))
+            )
+            .select("__tid", "qi", "rank", F.col(value_col).alias("value"))
+        )
     gmap_schema = T.StructType(
         [T.StructField("__tid", T.LongType())]
         + [T.StructField(f.name, f.dataType) for f in group_fields]

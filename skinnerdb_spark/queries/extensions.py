@@ -9,7 +9,7 @@ an oracle-checked query so the capability is *verified*, not just claimed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -255,28 +255,51 @@ def median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact arithmetic). Native percentile_cont interpolation arithmetic
     is not guaranteed bit-identical across engines; rank selection is.
 
-    Scale shape (r8, VERDICT r7 item 2): the middle elements come from
-    distributed value-domain k-th selection (operators/quantiles.py) — two
-    map-side-combined histogram scans plus a cumulative count over the
-    distinct values of one leaf cell — instead of the previous
-    row_number window, which sorted the FULL 60M-row lineitem per group
-    (the sf10 sweep's slowest absolute rows). Same exact answer; no
-    per-group full sort, no value buffering."""
-    from skinnerdb_spark.operators.quantiles import exact_value_at_ranks
-
+    Scale shape (r11, following ev_mad_outliers' quantized-domain doctrine):
+    l_quantity has exactly 50 distinct values, so ONE map-side-combinable
+    (l_returnflag, l_quantity) count aggregate — the only corpus-sized
+    stage — reduces lineitem to <=150 rows and both middle ranks are read
+    off a cumulative count over that frame. Replaces the generic
+    value-domain descent (operators/quantiles.py, the r8 shape), which
+    paid two extra full corpus scans to rediscover the tiny domain each
+    call; the kernel remains the documented shape for unbounded domains
+    (orders_equidepth_hist). A distinct value covering BOTH middle ranks
+    gets weight 2, reproducing the oracle's two-row SUM/COUNT exactly
+    (decimal x exact count; odd n has one middle rank, weight 1)."""
     l = read_table(spark, sf_dir, "lineitem")
-    mid = exact_value_at_ranks(
-        l,
-        ["l_returnflag"],
-        "l_quantity",
-        lambda n: F.array(
-            F.floor((n + 1) / 2).cast("long"), F.floor((n + 2) / 2).cast("long")
-        ),
+    vc = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    # odd n requests the same rank twice -> avg of two identical values ==
-    # the oracle's single-row SUM/COUNT (both exact decimal paths)
-    return mid.groupBy("l_returnflag").agg(
-        (dsum(F.col("value")) / F.count(F.lit(1))).alias("median_qty")
+    wn = Window.partitionBy("l_returnflag")
+    c = vc.select(
+        "l_returnflag",
+        "l_quantity",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            wn.orderBy("l_quantity").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    k1 = F.expr("(n + 1) div 2")
+    k2 = F.expr("(n + 2) div 2")
+
+    def covers(k: Column) -> Column:
+        return (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)
+
+    w = covers(k1).cast("int") + (covers(k2) & (k2 != k1)).cast("int")
+    picked = c.select("l_returnflag", "l_quantity", w.alias("w")).filter(
+        F.col("w") > 0
+    )
+    return picked.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(26,8)") * F.col("w"))
+            .cast("double")
+            / F.sum("w")
+        ).alias("median_qty")
     )
 
 

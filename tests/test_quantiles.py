@@ -6,6 +6,7 @@ plan-pinned on the two registry entries that use it."""
 from __future__ import annotations
 
 import random
+import re
 from collections import defaultdict
 from decimal import Decimal
 
@@ -79,17 +80,22 @@ def test_exact_value_at_ranks_edges(spark):
 
 
 def test_percentile_entries_plan_has_no_full_sort(spark, sf_dir):
-    """The r8 restructure's contract: neither entry may plan the old
-    full-input shapes — a row_number window partitioned by the group
-    column over raw lineitem (median_manual) or the value-buffering
-    `percentile` aggregate (orders_equidepth_hist). The only Window left
-    sorts the distinct values of one leaf cell, partitioned by target id."""
+    """The r8/r11 restructure's contract: neither entry may plan the old
+    full-input shapes — a row_number window over raw lineitem rows
+    (median_manual) or the value-buffering `percentile` aggregate
+    (orders_equidepth_hist). Since r11 median_manual windows over the
+    (l_returnflag, l_quantity) COUNT aggregate — <=150 rows — so a Window
+    is allowed ONLY above that aggregate: the tree printout lists parents
+    first, so the aggregate must appear after the window spec."""
     from skinnerdb_spark.operators.analytics import orders_equidepth_hist
     from skinnerdb_spark.queries.extensions import median_manual
 
     mplan = median_manual(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
-    assert "windowspecdefinition(l_returnflag" not in mplan
     assert "row_number" not in mplan
+    if "windowspecdefinition(l_returnflag" in mplan:
+        m = re.search(r"Aggregate \[l_returnflag#\d+, l_quantity#\d+\]", mplan)
+        assert m, "window must sit above the (flag, quantity) count aggregate"
+        assert mplan.find("windowspecdefinition(l_returnflag") < m.start()
 
     hplan = (
         orders_equidepth_hist(spark, sf_dir)
