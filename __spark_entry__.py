@@ -146,11 +146,13 @@ _REVERIFY: list[str] = [
     # tables now derive from the (doc_id,a,b) pre-aggregate (cab = SUM(k),
     # exact); ccnet composes the shared memo so its plan rotates too
     "docs_bigram_lm_score", "docs_kn_bigram_score", "docs_ccnet_buckets",
-    # r11 (cont.): quantized-domain order statistics — median_manual and
-    # ev_winsorize move to the ONE-corpus-scan (group, value) count shape
-    # (ev_mad_outliers' design-(3) doctrine, now shared via
-    # quality.value_at_rank); ev_mad_outliers rotates because the shared
-    # helper reshapes its plan too
+    # r11 (cont.): order statistics — ev_winsorize moves to the
+    # ONE-corpus-scan (group, value) count shape (ev_mad_outliers'
+    # design-(3) doctrine, shared via quality.value_at_rank; events.value
+    # is quantized cents at every scale); ev_mad_outliers rotates because
+    # the shared helper reshapes its plan; median_manual rotates because
+    # the selection kernel now skips the leaf scan once a target's range
+    # collapses to one value (l_quantity resolves at level 1 at sf<=0.1)
     "median_manual", "ev_winsorize", "ev_mad_outliers",
     # r11 (cont.): the live re-duel receipt (VERDICT r10 item 4) updates the
     # learned-order cache during bench runs, so the adaptive entry's plan

@@ -255,51 +255,36 @@ def median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact arithmetic). Native percentile_cont interpolation arithmetic
     is not guaranteed bit-identical across engines; rank selection is.
 
-    Scale shape (r11, following ev_mad_outliers' quantized-domain doctrine):
-    l_quantity has exactly 50 distinct values, so ONE map-side-combinable
-    (l_returnflag, l_quantity) count aggregate — the only corpus-sized
-    stage — reduces lineitem to <=150 rows and both middle ranks are read
-    off a cumulative count over that frame. Replaces the generic
-    value-domain descent (operators/quantiles.py, the r8 shape), which
-    paid two extra full corpus scans to rediscover the tiny domain each
-    call; the kernel remains the documented shape for unbounded domains
-    (orders_equidepth_hist). A distinct value covering BOTH middle ranks
-    gets weight 2, reproducing the oracle's two-row SUM/COUNT exactly
-    (decimal x exact count; odd n has one middle rank, weight 1)."""
+    Scale shape (r8, VERDICT r7 item 2; re-adjudicated r11): the middle
+    elements come from distributed value-domain k-th selection
+    (operators/quantiles.py) — map-side-combined histogram scans plus a
+    cumulative count over the distinct values of one leaf cell — never a
+    per-group sort of the input. r11 tried the quantized-domain one-scan
+    shape here (ev_mad_outliers design (3): a (flag, quantity) count
+    aggregate + windows over the distinct frame) on the strength of
+    l_quantity's 50-value domain at sf<=0.1 — and MEASURED it 47.1 s vs
+    the kernel's 35.1 s at sf10, because the scale generator draws
+    l_quantity continuously (28.5M distinct at sf10) and the windows then
+    sort a near-unique 29M-row frame on |l_returnflag| = 3 partitions.
+    The kernel is domain-agnostic: small domains resolve at level 1 and
+    (since r11) skip the leaf scan outright; continuous domains descend
+    with O(bins) state. The quantized shape stays where the domain is
+    quantized BY CONSTRUCTION at every scale (ev_winsorize's cents)."""
+    from skinnerdb_spark.operators.quantiles import exact_value_at_ranks
+
     l = read_table(spark, sf_dir, "lineitem")
-    vc = l.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    wn = Window.partitionBy("l_returnflag")
-    c = vc.select(
-        "l_returnflag",
+    mid = exact_value_at_ranks(
+        l,
+        ["l_returnflag"],
         "l_quantity",
-        "cnt",
-        F.sum("cnt")
-        .over(
-            wn.orderBy("l_quantity").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
+        lambda n: F.array(
+            F.floor((n + 1) / 2).cast("long"), F.floor((n + 2) / 2).cast("long")
+        ),
     )
-    k1 = F.expr("(n + 1) div 2")
-    k2 = F.expr("(n + 2) div 2")
-
-    def covers(k: Column) -> Column:
-        return (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)
-
-    w = covers(k1).cast("int") + (covers(k2) & (k2 != k1)).cast("int")
-    picked = c.select("l_returnflag", "l_quantity", w.alias("w")).filter(
-        F.col("w") > 0
-    )
-    return picked.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(26,8)") * F.col("w"))
-            .cast("double")
-            / F.sum("w")
-        ).alias("median_qty")
+    # odd n requests the same rank twice -> avg of two identical values ==
+    # the oracle's single-row SUM/COUNT (both exact decimal paths)
+    return mid.groupBy("l_returnflag").agg(
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("median_qty")
     )
 
 
