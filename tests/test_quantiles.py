@@ -83,10 +83,12 @@ def test_percentile_entries_plan_has_no_full_sort(spark, sf_dir):
     """The r8/r11 restructure's contract: neither entry may plan the old
     full-input shapes — a row_number window over raw lineitem rows
     (median_manual) or the value-buffering `percentile` aggregate
-    (orders_equidepth_hist). Since r11 median_manual windows over the
-    (l_returnflag, l_quantity) COUNT aggregate — <=150 rows — so a Window
-    is allowed ONLY above that aggregate: the tree printout lists parents
-    first, so the aggregate must appear after the window spec."""
+    (orders_equidepth_hist). median_manual is back on the selection kernel
+    (the r11 quantized-domain variant measured SLOWER at sf10 and was
+    reverted — see its docstring); if a grouped window ever reappears it
+    is allowed ONLY above the (flag, quantity) COUNT aggregate: the tree
+    printout lists parents first, so the aggregate must print after the
+    window spec."""
     from skinnerdb_spark.operators.analytics import orders_equidepth_hist
     from skinnerdb_spark.queries.extensions import median_manual
 
