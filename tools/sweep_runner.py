@@ -115,9 +115,18 @@ def main() -> None:
     from skinnerdb_spark.registry import all_specs
     from skinnerdb_spark.session import get_spark
 
-    excluded = [
-        e for e in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if e
-    ]
+    # the adjudicated exclusions are the runner's OWN default — r11 learned
+    # this the expensive way: a sweep launched without the env var ran the
+    # dense-vocab prefix family + both output-bound pair entries to their
+    # 300 s timeouts and skipped the @realvocab measured points, i.e. the
+    # artifact silently lost exactly the rows the adjudications exist to
+    # carry. The env var is now an OVERRIDE (set it to "," for a
+    # no-exclusions sweep), not the only way to get a correct one.
+    env_excl = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE")
+    if env_excl is None:
+        excluded = list(EXCLUDE_REASONS)
+    else:
+        excluded = [e for e in env_excl.split(",") if e]
     spark = get_spark(app_name="scale-sweep")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
 
