@@ -88,9 +88,167 @@ def _adaptive_order(atoms: list[tuple[DataFrame, tuple[str, ...]]]) -> list[str]
     return sorted(base, key=lambda v: (distinct[v], base.index(v)))
 
 
+#: packed-key bound: two non-negative int64 values below 2^31 pack into one
+#: int64 as hi * 2^31 + lo with no overflow (product < 2^62)
+_PACK_LIMIT = 1 << 31
+
+
 def _generic_join_cell(pdf: pd.DataFrame, atoms_vars: tuple[tuple[str, ...], ...],
                        var_order: tuple[str, ...]) -> pd.DataFrame:
-    """GenericJoin inside one hypercube cell (pure pandas/numpy, Arrow-fed).
+    """GenericJoin inside one hypercube cell, Arrow-fed.
+
+    Dispatches to the packed-int64 numpy kernel
+    (:func:`_generic_join_cell_np`) when its preconditions hold — every
+    atom binary (so the per-binding join key during the descent is at most
+    ONE bound variable) and every value in [0, 2^31) — and otherwise falls
+    back to the general pandas kernel (:func:`_generic_join_cell_pd`).
+    Both kernels realize the same GenericJoin (expand from the smallest
+    candidate list, semijoin-filter with the rest) and are pinned
+    row-identical by tests/test_wcoj.py; the numpy kernel measured
+    3-4x faster per cell at sf1 (r11: pandas merge machinery — key
+    factorization + indexers — was >70% of the cell profile, guide §4.2:
+    hand whole batches to vectorized native code)."""
+    if max(len(vs) for vs in atoms_vars) <= 2:
+        vals = pdf[[c for c in pdf.columns if c.startswith("__v")]].to_numpy()
+        if len(vals) == 0 or (vals.min() >= 0 and vals.max() < _PACK_LIMIT):
+            return _generic_join_cell_np(pdf, atoms_vars, var_order)
+    return _generic_join_cell_pd(pdf, atoms_vars, var_order)
+
+
+def _generic_join_cell_np(pdf: pd.DataFrame,
+                          atoms_vars: tuple[tuple[str, ...], ...],
+                          var_order: tuple[str, ...]) -> pd.DataFrame:
+    """Packed-int64 numpy GenericJoin kernel (binary atoms only).
+
+    Key ideas: a (key, value) pair of ids below 2^31 packs into one int64,
+    so every dedup is ``np.unique``, every per-binding candidate count is a
+    ``searchsorted`` range lookup against the unique-packed projection, the
+    expansion from the smallest candidate list is one gather over those
+    ranges, and each semijoin filter is a packed membership probe — no
+    hash-table factorization, no pandas block manager.
+    Output is identical to the pandas kernel: same candidate sets, same
+    expansion order per binding (values ascend within a binding because the
+    projections are sorted), and the final frame is sorted by the caller's
+    ORDER BY anyway."""
+    import numpy as np
+
+    empty = pd.DataFrame({v: pd.Series(dtype="int64") for v in var_order})
+    rel_col = pdf["__rel"].to_numpy()
+    rels: list[dict[str, "np.ndarray"]] = []
+    for i, vs in enumerate(atoms_vars):
+        m = rel_col == i
+        rels.append({
+            vs[j]: pdf[f"__v{j}"].to_numpy()[m].astype(np.int64)
+            for j in range(len(vs))
+        })
+    if any(len(next(iter(r.values()))) == 0 for r in rels):
+        return empty
+
+    frontier: dict[str, "np.ndarray"] = {}
+    n_front = 1  # the single empty binding
+    bound: list[str] = []
+    for v in var_order:
+        # projections of each atom containing v onto (key-so-far, v);
+        # binary atoms mean the key is at most one bound variable
+        projs: list[tuple[list[str], "np.ndarray | None", "np.ndarray"]] = []
+        for vs, r in zip(atoms_vars, rels):
+            if v not in vs:
+                continue
+            keys = [b for b in bound if b in vs]
+            projs.append((keys, r[keys[0]] if keys else None, r[v]))
+
+        # candidate-set size per (binding, atom); a binding any atom cannot
+        # extend is dead
+        sizes = np.empty((n_front, len(projs)), dtype=np.int64)
+        tables = []
+        for j, (keys, kcol, vcol) in enumerate(projs):
+            if keys:
+                packed = np.unique(kcol * _PACK_LIMIT + vcol)
+                uk, starts, counts = np.unique(
+                    packed >> 31, return_index=True, return_counts=True)
+                vals_sorted = packed & (_PACK_LIMIT - 1)
+                probe = frontier[keys[0]]
+                ii = np.minimum(np.searchsorted(uk, probe), len(uk) - 1)
+                hit = uk[ii] == probe
+                pos = np.where(hit, starts[ii], 0)
+                cnt = np.where(hit, counts[ii], 0)
+                sizes[:, j] = cnt
+                tables.append((vals_sorted, pos, cnt))
+            else:
+                u = np.unique(vcol)
+                sizes[:, j] = len(u)
+                tables.append((u, None, None))
+        alive = (sizes > 0).all(axis=1)
+        if not alive.any():
+            return empty
+        if not alive.all():
+            for k in bound:
+                frontier[k] = frontier[k][alive]
+            sizes = sizes[alive]
+            tables = [
+                (vals_sorted,
+                 pos[alive] if pos is not None else None,
+                 cnt[alive] if cnt is not None else None)
+                for (vals_sorted, pos, cnt) in tables
+            ]
+        n_front = int(alive.sum())
+
+        # worst-case-optimality step: expand each binding from its SMALLEST
+        # candidate list, filter with the rest
+        pick = np.argmin(sizes, axis=1)
+        new_front: dict[str, list] = {k: [] for k in bound}
+        new_vals: list = []
+        for j, (keys, _kcol, _vcol) in enumerate(projs):
+            sel = pick == j
+            if not sel.any():
+                continue
+            vals_sorted, pos, cnt = tables[j]
+            if pos is not None:
+                p = pos[sel]
+                c = cnt[sel]
+                total = int(c.sum())
+                # gather indices p[i] .. p[i]+c[i] for each selected binding
+                idx = np.repeat(p, c) + (
+                    np.arange(total) - np.repeat(np.cumsum(c) - c, c))
+                vals = vals_sorted[idx]
+                row_of = np.repeat(np.nonzero(sel)[0], c)
+            else:
+                row_of = np.repeat(np.nonzero(sel)[0], len(vals_sorted))
+                vals = np.tile(vals_sorted, int(sel.sum()))
+            keep = np.ones(len(vals), dtype=bool)
+            for jj, (k2, kcol2, vcol2) in enumerate(projs):
+                if jj == j:
+                    continue
+                if k2:
+                    table2 = np.unique(kcol2 * _PACK_LIMIT + vcol2)
+                    probe = frontier[k2[0]][row_of] * _PACK_LIMIT + vals
+                else:
+                    table2 = np.unique(vcol2)
+                    probe = vals
+                ii = np.minimum(np.searchsorted(table2, probe), len(table2) - 1)
+                keep &= table2[ii] == probe
+                if not keep.any():
+                    break
+            row_of = row_of[keep]
+            vals = vals[keep]
+            for k in bound:
+                new_front[k].append(frontier[k][row_of])
+            new_vals.append(vals)
+        if not new_vals:
+            return empty
+        frontier = {k: np.concatenate(new_front[k]) for k in bound}
+        frontier[v] = np.concatenate(new_vals)
+        n_front = len(frontier[v])
+        if n_front == 0:
+            return empty
+        bound.append(v)
+    return pd.DataFrame({v: frontier[v] for v in var_order})
+
+
+def _generic_join_cell_pd(pdf: pd.DataFrame, atoms_vars: tuple[tuple[str, ...], ...],
+                          var_order: tuple[str, ...]) -> pd.DataFrame:
+    """General GenericJoin kernel (pure pandas/numpy, Arrow-fed) — the
+    fallback for n-ary atoms or values outside the packed-int64 range.
 
     The wire format is PACKED: the frame carries ``__v0..__v{arity-1}``
     positional columns, and atom i's row slice maps position j to variable

@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas_udf / mapInPandas operator (operators/).
+        # arrow.maxRecordsPerBatch stays at the 10k default: raising it to
+        # 256k measured NEUTRAL in a same-session toggled A/B on the
+        # heaviest Arrow boundary (WCOJ sf10: clique4 59.6 vs 61.4 s best,
+        # triangle 7.5 vs 6.0 s — within the host band). An earlier
+        # cross-window reading that suggested 6x was host drift, not the
+        # conf (OPTIMIZATION_r11.md "negative results").
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read as long and convert in catalog.read_table.

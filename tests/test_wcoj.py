@@ -152,3 +152,54 @@ def test_generic_join_cell_matches_bruteforce(seed):
         if (a, b) in eset and (b, c) in eset and (a, c) in eset
     }
     assert got_set == want
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_numpy_and_pandas_cell_kernels_identical(seed):
+    """The packed-int64 numpy fast path (r11) and the general pandas kernel
+    must produce the same rows on the same cell input — 4-clique pattern,
+    random graphs, plus the two fallback triggers (a value at 2^31 routes
+    to pandas; a ternary atom routes to pandas) exercised explicitly."""
+    import random
+
+    import pandas as pd
+
+    from skinnerdb_spark.operators.wcoj import (
+        _generic_join_cell,
+        _generic_join_cell_np,
+        _generic_join_cell_pd,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(14))
+    edges = sorted({(u, v) for u in nodes for v in nodes
+                    if u < v and rng.random() < 0.5})
+    atoms_vars = (("a", "b"), ("a", "c"), ("a", "d"),
+                  ("b", "c"), ("b", "d"), ("c", "d"))
+    rows = [{"__rel": rel, "__v0": u, "__v1": v}
+            for rel in range(len(atoms_vars)) for u, v in edges]
+    pdf = pd.DataFrame(rows)
+    vo = ("a", "b", "c", "d")
+    got_np = (_generic_join_cell_np(pdf, atoms_vars, vo)
+              .sort_values(list(vo)).reset_index(drop=True).astype("int64"))
+    got_pd = (_generic_join_cell_pd(pdf, atoms_vars, vo)
+              .sort_values(list(vo)).reset_index(drop=True).astype("int64"))
+    assert len(got_np) > 0  # non-degenerate input
+    pd.testing.assert_frame_equal(got_np, got_pd)
+
+    # fallback trigger 1: a value outside [0, 2^31) must route the dispatch
+    # to the pandas kernel and still produce the same (shifted) rows
+    big = pdf.copy()
+    big[["__v0", "__v1"]] = big[["__v0", "__v1"]] + (1 << 31)
+    got_big = (_generic_join_cell(big, atoms_vars, vo)
+               .sort_values(list(vo)).reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(got_big - (1 << 31), got_pd)
+
+    # fallback trigger 2: a ternary atom is out of the numpy kernel's
+    # contract; the dispatcher must not send it there
+    tri_rows = [{"__rel": 0, "__v0": u, "__v1": v, "__v2": w}
+                for u, v, w in [(1, 2, 3), (1, 2, 4), (2, 3, 4)]]
+    tri = pd.DataFrame(tri_rows)
+    out = _generic_join_cell(tri, (("x", "y", "z"),), ("x", "y", "z"))
+    assert set(map(tuple, out.to_numpy().tolist())) == {
+        (1, 2, 3), (1, 2, 4), (2, 3, 4)}
