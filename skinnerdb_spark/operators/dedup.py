@@ -1060,9 +1060,28 @@ _PREFIX_ORACLE = f"""
 
 def _rarity_prefix(sh: DataFrame) -> DataFrame:
     """(doc_id, n, s, rn): each doc's rarity-first prefix — distinct
-    shingles ranked by (corpus frequency, shingle), cut to the first
-    n - ceil(t*n) + 1 (t = 1/2). rn is kept for the positional filter."""
-    tok = sh.select("doc_id", "n", F.explode("sh_set").alias("s"))
+    shingles ranked by corpus rarity, cut to the first n - ceil(t*n) + 1
+    (t = 1/2). rn is kept for the positional filter.
+
+    ``s`` is the shingle's **xxhash64** (int64), not the string, and the
+    rank order is (corpus frequency, hash) — r11, guide §2.3 "narrower
+    types": this stage was ~100% of the sf10rv pipeline cost (93.8 s of
+    90.7 s measured), and its two corpus-sized exchanges (freq join, rank
+    window) were shuffling + sorting ~27M 3-gram STRINGS. Hashing at the
+    explode keeps every exchanged row at 3 fixed-width columns.
+    Output-pair invariance: the prefix-filter completeness proof (see
+    dedup_prefix_filter) holds for ANY consistent global total order on
+    shingles, and the verify stage recomputes exact intersections from
+    the full hash arrays — so the candidate SET may differ from the
+    string-ranked one, but the verified output is the same qualifying
+    pairs either way. A cross-shingle hash collision could merge two
+    shingles' freq counts or produce a spurious candidate (rejected at
+    verify); that is the same ~2^-64-per-pair risk class already accepted
+    and gate-certified for :func:`shared_shingle_hashes`."""
+    tok = sh.select(
+        "doc_id", "n",
+        F.explode(F.expr("transform(sh_set, x -> xxhash64(x))")).alias("s"),
+    )
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     wrank = Window.partitionBy("doc_id").orderBy("f", "s")
     return (
@@ -1076,7 +1095,10 @@ def _rarity_prefix(sh: DataFrame) -> DataFrame:
 def prefix_hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(s, bucket_n) for prefix-shingle buckets the cap excluded — the
     'no silent caps' twin of :func:`hot_bucket_report` for the exact
-    prefix-filter join."""
+    prefix-filter join. ``s`` is the shingle's xxhash64 (the prefix join
+    key since r11); recover the offending string by filtering
+    ``shared_shingle_sets`` for docs whose transform(sh_set, xxhash64)
+    contains it."""
     cap = int(spark.conf.get(LSH_MAX_BUCKET, str(_LSH_MAX_BUCKET_DEFAULT)))
     prefix = _rarity_prefix(shared_shingle_sets(spark, sf_dir))
     return (
