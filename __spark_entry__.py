@@ -159,6 +159,16 @@ _REVERIFY: list[str] = [
     # can legitimately change between rounds — rotate it forward for a
     # fresh driver row whenever that happens
     "adaptive_star_join",
+    # r11 session 2: WCOJ cells dispatch to the packed-int64 numpy kernel —
+    # a worker-side kernel change gate_check cannot fingerprint (the plan
+    # and the registered functions' source are unchanged), which is
+    # exactly the documented manual-_REVERIFY case
+    "wcoj_triangle_listing", "wcoj_clique4",
+    # r11 session 2: the rarity prefix ranks/joins xxhash64(shingle)
+    # instead of the string — both consumers of the shared pair build
+    # rotate (verified output invariant under any consistent global
+    # shingle order; see _rarity_prefix)
+    "dedup_prefix_filter", "dedup_lsh_recall_report",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
