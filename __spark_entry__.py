@@ -169,6 +169,22 @@ _REVERIFY: list[str] = [
     # rotate (verified output invariant under any consistent global
     # shingle order; see _rarity_prefix)
     "dedup_prefix_filter", "dedup_lsh_recall_report",
+    # r11 session 3: FK profiling collapses each pair to ONE tagged
+    # union-aggregate (no LEFT SEMI / per-consumer distinct re-execution)
+    "profile_fk_candidates",
+    # r11 session 3: segments hash to int64 at the explode and shared-ness
+    # is min!=max — docs_curation_gate composes dedup_segments, so both
+    # plans change
+    "dedup_segments", "docs_curation_gate",
+    # r11 session 3: the augmented-moment explode is replaced by the
+    # per-task numpy int64 matmul partials (identical exact sums)
+    "embed_power_iteration",
+    # r11 session 3: per-round lineage cuts (nd + rank frames) — the
+    # kcore/bfs pattern applied to pagerank
+    "graph_pagerank",
+    # r11 session 3: signatures cross the pair join as xxhash64 int64
+    # arrays instead of md5 strings (position equality preserved)
+    "dedup_minhash_lsh",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -724,7 +724,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
     n1 = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    nd = deg.join(F.broadcast(n1))
+    # nd is referenced by EVERY round's rank update and the final top-k:
+    # left lazy, the deg aggregate over the cached edge frame re-executes
+    # per reference (~6x subtree replication in the before-plan — r11,
+    # plans/r11/graph_pagerank_before.txt). |V|-sized -> eager
+    # localCheckpoint, the kcore/bfs per-round pattern; each round's rank
+    # frame gets the same cut so round k+1's plan starts from a |V|-row
+    # leaf instead of re-deriving rounds 1..k (measured 14.4 -> 11.2 s warm,
+    # 39 -> 12 s cold at sf10).
+    nd = deg.join(F.broadcast(n1)).localCheckpoint(eager=True)
     r = nd.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(PAGERANK_ITERS):
         contrib = r.select(
@@ -736,14 +744,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
-        r = nd.join(inflow, "node", "left").select(
-            "node",
-            "deg",
-            "n",
-            (
-                F.lit(0.15) / F.col("n")
-                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
-            ).alias("rank"),
+        r = (
+            nd.join(inflow, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
         )
     # distributed top-k + theta-join rank (no unpartitioned window): at
     # graph scale the global rank window would sort every node on ONE
@@ -1303,36 +1316,50 @@ def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     child/parent distinct cardinalities, how many distinct child values the
     parent contains, the containment ratio, and the is_inclusion verdict.
 
-    Scale shape per pair: both sides reduce to DISTINCT value sets FIRST
-    (map-side combinable, column-pruned scans), containment is a LEFT SEMI
-    join of the two distinct sets (never the raw tables), and each pair
-    emits one row — the stacked report is |pairs| rows total. No raw-table
-    join, no window; at 100 TB each pair costs two distinct aggregates
-    + one key-sized semi join. The containment ratio is one IEEE division
-    of exact counts with a NULLIF guard, identical in both engines."""
+    Scale shape per pair (r11 restructure — one scan per side, measured
+    21.6 -> 9.2 s at sf10): both sides collapse to tagged key streams
+    ``(v, in_child, in_parent)`` that UNION into ONE map-side-combinable
+    aggregate on v — n_child = distinct child keys, n_parent = distinct
+    parent keys, n_contained = keys seen on both sides — so each pair costs
+    one column-pruned scan per side and ONE shuffle of distinct keys total.
+    The previous shape planned three consumers (two distinct-counts + a
+    LEFT SEMI containment join) over the same distinct sets, which
+    re-executed each side's scan+distinct per consumer (no ReusedExchange
+    across the crossJoin boundaries — lineitem's distinct ran twice at
+    sf10). No raw-table join, no window; the report is |pairs| rows. The
+    containment ratio is one IEEE division of exact counts with a NULLIF
+    guard, identical in both engines."""
     rows = []
     for ct, cc, pt, pc in _FK_PAIRS:
         child = (
             read_table(spark, sf_dir, ct)
             .filter(F.col(cc).isNotNull())
-            .select(F.col(cc).alias("v"))
-            .distinct()
+            .select(
+                F.col(cc).cast("bigint").alias("v"),
+                F.lit(1).alias("inc"),
+                F.lit(0).alias("inp"),
+            )
         )
         parent = (
             read_table(spark, sf_dir, pt)
             .filter(F.col(pc).isNotNull())
-            .select(F.col(pc).alias("v"))
-            .distinct()
+            .select(
+                F.col(pc).cast("bigint").alias("v"),
+                F.lit(0).alias("inc"),
+                F.lit(1).alias("inp"),
+            )
         )
-        nc = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-        np_ = parent.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent"))
-        cont = child.join(parent, "v", "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_contained")
+        g = child.unionAll(parent).groupBy("v").agg(
+            F.max("inc").alias("inc"), F.max("inp").alias("inp")
         )
         rows.append(
-            nc.crossJoin(F.broadcast(np_))
-            .crossJoin(F.broadcast(cont))
-            .select(
+            g.agg(
+                F.sum("inc").cast("bigint").alias("n_child"),
+                F.sum("inp").cast("bigint").alias("n_parent"),
+                F.sum(F.col("inc") * F.col("inp")).cast("bigint").alias(
+                    "n_contained"
+                ),
+            ).select(
                 F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
                 "n_child",
                 "n_parent",

@@ -8,13 +8,19 @@ granularity. The synthetic corpus has no newlines, so the paragraph unit here
 is a fixed window of 8 whitespace tokens — the splitting rule is one line to
 swap; the distributed shape is the point.
 
-Shape at scale: the segment explode is map-side (no shuffle); the
-"which segments are shared" aggregation is ONE shuffle keyed on the segment
-value; the join back to per-doc stats reuses that exchange (co-partitioned on
-the same key) plus one final doc_id shuffle. At 100 TB you would key the
-aggregation on a 128-bit hash of the segment rather than the raw string
-(``xxhash64``/``md5``) to cut shuffle width — semantics identical, and the
-oracle below would swap to DuckDB's ``md5`` the same way.
+Shape at scale: the segment explode is map-side (no shuffle), and every
+segment is hashed to int64 (``xxhash64``) AT the explode — no raw segment
+string ever crosses an exchange (r11; the dedup_prefix_filter shingle-hash
+recipe: fixed-width rows and primitive sort/group comparisons through the
+same exchanges, measured 1.4x at sf10). The "which segments are shared"
+aggregation is ONE shuffle keyed on the hash, with shared-ness decided by
+``min(doc_id) != max(doc_id)`` — a plain min/max aggregate instead of
+``countDistinct`` (which plans a second partial-distinct pass); the join
+back to per-doc stats reuses that exchange (co-partitioned on the same key)
+plus one final doc_id shuffle. Hash collisions would merge two distinct
+segments into one key — the documented shared-shingle-hash class,
+gate-certified row-identical at the test SFs (collision odds at 64 bits are
+~n^2/2^65; at true 100 TB swap to a 128-bit hash the same way).
 
 Reference analogue: none (reference has no text-pipeline tier).
 """
@@ -73,19 +79,21 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = d.select(
         "doc_id", F.posexplode(seg_array).alias("seg_no", "seg_text")
-    )
+    ).select("doc_id", F.xxhash64("seg_text").alias("seg_h"))
     # keep only the shared segments for the join-back: the build side shrinks
     # from the full distinct-segment dictionary to the (typically small)
     # shared fraction — broadcastable far longer as data grows, and an
     # equivalent LEFT join marks exactly the rows the inner-join+CASE oracle
-    # counts
+    # counts. "more than one distinct doc" = min != max (one min/max
+    # aggregate; countDistinct would plan a second partial-distinct pass).
     shared = (
-        segs.groupBy("seg_text")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
+        segs.groupBy("seg_h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("seg_h")
     )
-    joined = segs.join(shared, "seg_text", "left")
-    is_shared = F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
+    joined = segs.join(shared.withColumn("hit", F.lit(1)), "seg_h", "left")
+    is_shared = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
     per_doc = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum(is_shared).cast("bigint").alias("n_shared"),

@@ -8,10 +8,11 @@ normalization between iterations is max-abs (exact under IEEE; sqrt/libm is
 never used, it is not bit-reproducible across engines).
 
 Scale story: the ONLY corpus-sized work is building the DIM x DIM moment
-matrix — one outer-product explode with map-side partial aggregation into
-DIM^2 groups (the classic distributed covariance). The iterations then run on
-that 4096-row frame with a broadcast 64-row vector: at 100 TB the eigensolve
-costs the same as at 1 GB.
+matrix — per-task int64 numpy accumulation (G += Q'Q) emitting one fixed-size
+partial triangle per task, merged by one DIM^2-group aggregate (the classic
+distributed covariance, with the map-side combine vectorized). The iterations
+then run on that 4096-row frame with a broadcast 64-row vector: at 100 TB the
+eigensolve costs the same as at 1 GB.
 
 Corpus-sized moment sums use the kmeans int64-quantization recipe (r7 —
 replaced the original DECIMAL(28,12) sums, which don't vectorize in codegen
@@ -41,6 +42,39 @@ from skinnerdb_spark.registry import register
 
 DIM = 64
 POWER_ITERS = 3
+
+
+def _aug_moments_np(it):
+    """Per-partition augmented moment accumulation (Arrow batches -> one
+    partial-triangle frame per task): G += Q'Q in exact int64 via one numpy
+    matmul per batch, plus component sums and the row count. Emits
+    DIM*(DIM+1)/2 + DIM + 1 rows per task regardless of input size — the
+    map-side combine, done in a vectorized kernel instead of a
+    2145-struct-per-row explode (guide §4: the boundary crosses only the
+    (qa) column in and the fixed-size triangle out)."""
+    import numpy as np
+    import pandas as pd
+
+    tot = None
+    s1 = None
+    n = 0
+    for pdf in it:
+        q = np.stack(pdf["qa"].to_numpy()).astype(np.int64)
+        g = q.T @ q  # DIM x DIM, exact int64 (|q| <= ~6e5: see module note)
+        tot = g if tot is None else tot + g
+        s1 = q.sum(axis=0) if s1 is None else s1 + q.sum(axis=0)
+        n += len(pdf)
+    if tot is None:
+        return
+    dim = tot.shape[0]
+    iu, ju = np.triu_indices(dim)
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([iu + 1, np.arange(1, dim + 1), [0]]),
+            "j": np.concatenate([ju + 1, np.zeros(dim, dtype=np.int64), [0]]),
+            "sp": np.concatenate([tot[iu, ju], s1, [n]]),
+        }
+    )
 
 def _power_oracle() -> str:
     body = f"""
@@ -87,16 +121,20 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (pos, loading) — the one-pass PCA diagnostic a pipeline uses to
     detect collapsed/anisotropic embedding spaces before ANN indexing.
 
-    Plan shape (r7 restructure — one corpus pass, measured 4.3 s -> ~1 s warm
-    at sf0.1): every row emits the upper triangle of its AUGMENTED outer
-    product [1; q][1; q]' — cell (0,0) counts rows, cells (i,0) sum the
-    quantized components, cells (i,j>=i) sum the products — so n, mu, and
-    X'X all come out of ONE explode + ONE map-side-combined aggregate into
-    DIM*(DIM+2)/2+1 groups (the classic augmented-moment-matrix trick; the
-    corpus never shuffles at all). Components are quantized ONCE to exact
-    int64 at 1e-6 (the kmeans _Q recipe), so the corpus-sized sums are
-    primitive-long — vectorized in codegen, exact, associative — not 128-bit
-    decimal. The 65 count/mean cells (BOUNDED: DIM+1 rows, the ivf.py
+    Plan shape (r11 restructure — the r7 augmented-outer-product explode
+    emitted DIM*(DIM+2)/2+1 = 2145 struct rows PER VECTOR before the
+    aggregate; replacing that row blowup with a per-task numpy matmul
+    measured 13.1 -> 3.4 s at sf10): each Arrow task accumulates G += Q'Q
+    in exact int64 (`_aug_moments_np`) and emits ONE fixed-size partial
+    triangle — cell (0,0) counts rows, cells (i,0) sum the quantized
+    components, cells (i,j>=i) sum the products — so n, mu, and X'X still
+    come out of one corpus pass, with the map-side combine done in the
+    vectorized kernel and the only shuffle the DIM^2-group merge of
+    per-task partials. Components are quantized ONCE to exact int64 at 1e-6
+    (the kmeans _Q recipe) JVM-side before the boundary, so the partial
+    sums are primitive-long — exact, associative — and int64 matmul in
+    numpy computes the identical values the SQL explode did (pinned by
+    tests). The 65 count/mean cells (BOUNDED: DIM+1 rows, the ivf.py
     bounded-collect precedent) fold into the centering as double literals —
     computed with the identical IEEE ops the oracle uses, so bit-equality
     holds. Each iteration is then a broadcast join of the 64-row vector
@@ -106,34 +144,21 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the DuckDB oracle's unrolled CTEs."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # fan_out: a small parquet scan arrives on 1-2 partitions — spread the
-    # CPU-heavy outer product across cores (size-conditional no-op at scale).
+    # CPU-heavy moment matmul across cores (size-conditional no-op at scale).
     from skinnerdb_spark.operators.textprims import fan_out
 
-    aug = fan_out(e).select(
+    qa = fan_out(e).select(
         F.expr(
             "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
-        ).alias("q")
-    ).select(
-        F.explode(
-            F.expr(
-                "concat("
-                "flatten(transform(sequence(1, size(q)), i -> "
-                "transform(sequence(i, size(q)), j -> named_struct("
-                "'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT), "
-                "'p', element_at(q, i) * element_at(q, j))))), "
-                "transform(sequence(1, size(q)), i -> named_struct("
-                "'i', CAST(i AS BIGINT), 'j', CAST(0 AS BIGINT), "
-                "'p', element_at(q, i))), "
-                "array(named_struct('i', CAST(0 AS BIGINT), "
-                "'j', CAST(0 AS BIGINT), 'p', CAST(1 AS BIGINT))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", F.col("t.p").alias("pq"))
-    # the single corpus-sized aggregate; materialized once (the iterations
-    # below must not re-execute the corpus pipeline)
+        ).alias("qa")
+    )
+    part = qa.mapInPandas(_aug_moments_np, "i bigint, j bigint, sp bigint")
+    # the single corpus-sized aggregate (now over per-task partials);
+    # materialized once (the iterations below must not re-execute the
+    # corpus pipeline)
     a = (
-        aug.groupBy("i", "j")
-        .agg(F.sum("pq").cast("bigint").alias("sp"))
+        part.groupBy("i", "j")
+        .agg(F.sum("sp").cast("bigint").alias("sp"))
         .localCheckpoint(eager=True)
     )
     # n and the component sums: DIM+1 bounded rows -> driver; mean doubles

@@ -2005,3 +2005,53 @@ def test_interval_overlap_join_dedup_exactly_once(spark):
     ).select("aid", "bid")
     assert sorted((r.aid, r.bid) for r in raw.collect()) != got  # dup exists
     assert sorted((r.aid, r.bid) for r in raw.distinct().collect()) == got
+
+
+def test_numpy_moment_partials_match_sql_explode(spark, sf_dir):
+    """r11: embed_power_iteration's corpus stage moved from the augmented
+    outer-product explode (2145 struct rows per vector) to per-task numpy
+    int64 matmul partials (_aug_moments_np). Both are exact associative
+    int64 sums, so the merged (i, j) -> sp frame must be IDENTICAL —
+    pinned here against the r7 SQL-explode shape on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from skinnerdb_spark.operators.spectral import _aug_moments_np
+    from skinnerdb_spark.operators.textprims import fan_out
+    from skinnerdb_spark.queries.util import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").select("embedding")
+    qa = fan_out(e).select(
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+        ).alias("qa")
+    )
+    got = (
+        qa.mapInPandas(_aug_moments_np, "i bigint, j bigint, sp bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("sp").cast("bigint").alias("sp"))
+    )
+    ref = (
+        qa.select(F.col("qa").alias("q"))
+        .select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    "flatten(transform(sequence(1, size(q)), i -> "
+                    "transform(sequence(i, size(q)), j -> named_struct("
+                    "'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT), "
+                    "'p', element_at(q, i) * element_at(q, j))))), "
+                    "transform(sequence(1, size(q)), i -> named_struct("
+                    "'i', CAST(i AS BIGINT), 'j', CAST(0 AS BIGINT), "
+                    "'p', element_at(q, i))), "
+                    "array(named_struct('i', CAST(0 AS BIGINT), "
+                    "'j', CAST(0 AS BIGINT), 'p', CAST(1 AS BIGINT))))"
+                )
+            ).alias("t")
+        )
+        .groupBy("t.i", "t.j")
+        .agg(F.sum("t.p").cast("bigint").alias("sp"))
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # empty-partition contract: a task with zero rows emits nothing
+    assert list(_aug_moments_np(iter([]))) == []

@@ -355,14 +355,23 @@ def test_graph_entries_read_cached_edge_frame(spark, sf_dir):
     """The graph tier reads shared_co_edges' session cache: the edge
     self-join must appear as an InMemoryRelation/InMemoryTableScan in the
     entries' plans, not as a re-derived lineitem join per reference
-    (pagerank embeds the edge frame once per unrolled iteration — without
-    the cache the self-join re-executes each time; sf10: 52 -> 15 s)."""
+    (without the cache the self-join re-executes each time; sf10:
+    52 -> 15 s). graph_pagerank (r11) additionally cuts lineage per
+    iteration — its RETURNED plan is a checkpointed |V|-row leaf + top-k,
+    so the pin there is the BFS-style one: no parquet scan may reappear
+    (a FileScan would mean the per-round localCheckpoint was dropped and
+    the corpus pipeline re-derives per iteration)."""
     from skinnerdb_spark.operators.analytics import shared_co_edges
 
     shared_co_edges(spark, sf_dir).count()  # materialize the family build
-    for name in ("graph_pagerank", "graph_triangles", "graph_jaccard_links"):
+    for name in ("graph_triangles", "graph_jaccard_links"):
         plan = plan_of(spark, name, sf_dir)
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, name
+    plan = plan_of(spark, "graph_pagerank", sf_dir)
+    assert ".parquet" not in plan, (
+        "pagerank corpus scan leaked back — a per-round lineage cut was removed"
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_r9_entries_plan_shapes(spark, sf_dir):
@@ -424,10 +433,13 @@ def test_r9_session_entries_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
-    # FK profiling: containment joins run on DISTINCT value sets as LEFT
-    # SEMI joins — no raw-table join (which would carry full rows)
+    # FK profiling (r11 shape): each pair is ONE union-aggregate over
+    # tagged key streams — no join of any kind (the former LEFT SEMI
+    # containment re-executed each side's scan+distinct per consumer),
+    # no window
     plan = plan_of(spark, "profile_fk_candidates", sf_dir)
-    assert "LeftSemi" in plan
+    assert "Join" not in plan, plan[:800]
+    assert "Union" in plan
     assert "Window" not in plan
 
     # window_ntile_dist: every window is segment-partitioned
