@@ -185,6 +185,14 @@ _REVERIFY: list[str] = [
     # r11 session 3: signatures cross the pair join as xxhash64 int64
     # arrays instead of md5 strings (position equality preserved)
     "dedup_minhash_lsh",
+    # r11 session 3: gate_check flagged plan drift on the IVF entries —
+    # no code change; the persisted sf0.001 index was REBUILT mid-round
+    # (a stale-fingerprint rebuild during an interrupted session), which
+    # changes the centroid literals the plan inlines. Oracle re-derives
+    # from the same persisted centroids, so both engines stay aligned —
+    # re-verified canonical-equal at sf0.01 — but the plan fingerprint
+    # legitimately moved, so both rotate forward for fresh driver rows.
+    "sim_ivf_ann", "sim_ivfpq_ann",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
