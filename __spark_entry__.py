@@ -193,6 +193,14 @@ _REVERIFY: list[str] = [
     # re-verified canonical-equal at sf0.01 — but the plan fingerprint
     # legitimately moved, so both rotate forward for fresh driver rows.
     "sim_ivf_ann", "sim_ivfpq_ann",
+    # r11 session 4: minhash_signatures restructured from the in-row
+    # transform+array_min fold to explode(distinct shingles) + one
+    # groupBy(doc_id) with H top-level MIN aggregates — aggregate
+    # expressions stay in codegen where folds nested inside transform()
+    # drop to the interpreted path (sf10: 10.4 -> 6.7 s warm, rows
+    # identical). Every consumer of the shared signature frame rotates
+    # (dedup_minhash_lsh / dedup_lsh_recall_report already listed above):
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_pipeline_decisions",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
