@@ -201,6 +201,21 @@ _REVERIFY: list[str] = [
     # identical). Every consumer of the shared signature frame rotates
     # (dedup_minhash_lsh / dedup_lsh_recall_report already listed above):
     "dedup_containment", "dedup_ngram_jaccard", "dedup_pipeline_decisions",
+    # r11 session 5: the (doc_id, a, b, k) bigram-instance pre-aggregate is
+    # now the session-shared family memo (its 4-5 differently-pruned plan
+    # consumers each re-ran the corpus explode: cold family total at sf10
+    # 273 -> 55 s) — the three bigram entries above are already listed;
+    # theil-sen's calendar-bounded daily frame gets an eager lineage cut
+    # (6 orders scans -> 1, wall-clock tie at sf10, kept for the scan
+    # reduction); the Lloyd rounds of embed_kmeans/dedup_semantic fuse
+    # assign+update into ONE exact-int64 numpy pass per round (sf10:
+    # 14.4 -> 4.4 s / 32.5 -> 7.1 s, rows identical both arms)
+    "stats_theil_sen", "embed_kmeans", "dedup_semantic",
+    # r11 session 5: examined, measured, and deliberately left unchanged —
+    # the per-value lineage cut measured SLOWER at sf10 (notes in
+    # stattests.py); they rotate only because the source fingerprint moved
+    # with the recorded negative-result comments
+    "stats_ks_test", "stats_mann_whitney",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -93,9 +93,11 @@ def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dic
     from skinnerdb_spark.operators import analytics as _ana
     from skinnerdb_spark.operators import dedup as _dedup
     from skinnerdb_spark.operators import similarity as _sim
+    from skinnerdb_spark.operators import text as _text
 
     for label, build in (
         ("family:co_edges", _ana.shared_co_edges),
+        ("family:bigram_inst", _text.shared_bigram_instances),
         ("family:minhash_sigs", _dedup.shared_sigs),
         ("family:shingle_sets", _dedup.shared_shingle_sets),
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),

@@ -56,18 +56,19 @@ DIM = 64
 _Q = "CAST(ROUND(CAST({x} AS DOUBLE) * 1e6, 0) AS BIGINT)"
 
 
-def _exploded_vectors(e: DataFrame) -> DataFrame:
-    """(vec_id, pos, xq): the embeddings table quantized and exploded to one
-    row per (vector, dimension) — loop-invariant, computed once per query
-    and lineage-cut with an eager localCheckpoint so every round reads the
-    materialized 3-column frame instead of re-scanning parquet. ~|rows|*DIM
-    long rows; partial aggregation keeps all downstream shuffles at
-    K * DIM or |rows| granularity, never this one."""
+def _quantized_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, qa): the embeddings table quantized IN-ROW — loop-invariant,
+    computed once per query and lineage-cut with an eager localCheckpoint so
+    every round reads the materialized 2-column frame instead of re-scanning
+    parquet. Quantization happens JVM-side by the module's `_Q` expression
+    (the exactness contract); the numpy kernels below only ever do exact
+    int64 sums over these values (r11 session 5 — the embed_power_iteration
+    §14 discipline: quantization and every double division stay JVM-side,
+    Python holds integers only). One row per vector (64-element long array)
+    — 64x fewer rows than the posexplode frame this replaces."""
     return e.select(
         "vec_id",
-        F.posexplode(
-            F.expr(f"transform(embedding, x -> {_Q.format(x='x')})")
-        ).alias("pos", "xq"),
+        F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("qa"),
     ).localCheckpoint(eager=True)
 
 
@@ -79,60 +80,118 @@ def _init_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-def _cent_components(cents: DataFrame) -> DataFrame:
-    """(cell, pos, cq): the K x DIM centroid components, quantized — K*DIM
-    rows, broadcast into every assignment join."""
-    return cents.select(
+def _collect_qcents(cents: DataFrame):
+    """K x DIM int64 numpy matrix of the QUANTIZED centroid components,
+    row index = cell id. Quantization runs JVM-side by the identical `_Q`
+    expression the old broadcast-join assignment used; the collect is K
+    rows (8 x 64 longs) — the bounded-small-frame class (the MW bucket
+    offsets precedent), never corpus-sized."""
+    import numpy as np
+
+    rows = cents.select(
         "cell",
-        F.posexplode(
-            F.expr(f"transform(carr, x -> {_Q.format(x='x')})")
-        ).alias("pos", "cq"),
+        F.expr(f"transform(carr, x -> {_Q.format(x='x')})").alias("cq"),
+    ).collect()
+    C = np.zeros((KMEANS_K, DIM), dtype=np.int64)
+    for r in rows:
+        C[int(r["cell"])] = r["cq"]
+    return C
+
+
+def _np_assign_fn(C):
+    """mapInPandas kernel: (vec_id, qa) -> (vec_id, cell, score, xn), the
+    nearest-centroid assignment as ONE exact int64 numpy matmul per batch
+    (r11 session 5 — replaces the posexplode + broadcast-join + double
+    hash-aggregate plan, which shuffled |rows|*K dot rows per round).
+
+    Exactness is unchanged from the join form: score = ||c||^2 - 2*x.c in
+    scaled int64 (products <= ~4e12, 64-term dots <= ~3e14 — far inside
+    int64; integer matmul is exact and order-free), and np.argmin returns
+    the FIRST minimum = the lowest cell, the same tie rule as
+    min(struct(score, cell)). xn = x.x rides along for the callers that
+    need it (final distance / SemDeDup centroid-distance rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cn = (C * C).sum(axis=1)  # K int64 exact centroid norms
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["qa"].to_list(), dtype=np.int64)  # n x DIM
+            S = cn[None, :] - 2 * (X @ C.T)  # n x K int64 scores
+            a = S.argmin(axis=1)  # first min = lowest cell (tie rule)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": a.astype(np.int64),
+                    "score": S[np.arange(len(a)), a],
+                    "xn": (X * X).sum(axis=1),
+                }
+            )
+
+    return fn
+
+
+def _np_update_partials_fn(C):
+    """mapInPandas kernel for one Lloyd round: assign each batch's vectors
+    (same exact-int64 argmin as `_np_assign_fn`) and emit ONLY the per-cell
+    per-dimension partial sums + member counts — K*DIM rows per batch, so
+    no per-vector row ever leaves the Python worker and the only shuffle
+    in a round is the K*DIM-group merge of partials (the
+    embed_power_iteration §14 moment-partial pattern). Per-batch sums are
+    exact int64 (|xq| <= ~2e6, members per batch <= arrow batch size);
+    the merge and the ONLY double division (mean, then re-quantization)
+    happen JVM-side in the identical expressions the join form used."""
+    import numpy as np
+    import pandas as pd
+
+    cn = (C * C).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["qa"].to_list(), dtype=np.int64)
+            S = cn[None, :] - 2 * (X @ C.T)
+            a = S.argmin(axis=1)
+            cells, poss, sums, ns = [], [], [], []
+            for c in range(KMEANS_K):
+                mask = a == c
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                s = X[mask].sum(axis=0)  # DIM int64 exact
+                cells.append(np.full(DIM, c, dtype=np.int64))
+                poss.append(np.arange(DIM, dtype=np.int32))
+                sums.append(s)
+                ns.append(np.full(DIM, n, dtype=np.int64))
+            if not cells:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells),
+                    "pos": np.concatenate(poss),
+                    "s": np.concatenate(sums),
+                    "n": np.concatenate(ns),
+                }
+            )
+
+    return fn
+
+
+def _update_from_partials(q: DataFrame, C, prev: DataFrame) -> DataFrame:
+    """New (cell, carr) from one fused assign+partial-sum pass over the
+    quantized vectors: merge the per-batch partials (K * DIM groups), take
+    the member mean with the SAME division expression the join form used —
+    (CAST(sum AS DOUBLE) / 1e6) / count, sum exact int64 so the double cast
+    is lossless — and keep the previous centroid for empty cells."""
+    partials = q.mapInPandas(
+        _np_update_partials_fn(C), "cell long, pos int, s long, n long"
     )
-
-
-def _assign(ev: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell, score): nearest centroid per vector, ties -> lowest
-    cell, entirely in whole-stage codegen.
-
-    score = ||c||^2 - 2*x.c (the vector's own norm is argmin-invariant) in
-    scaled int64: the exploded vectors join the broadcast K*DIM component
-    table on pos (map-side — every probe row matches K build rows), partial
-    sums reduce |rows|*DIM*K products down to |rows|*K (vec_id, cell) dots
-    before the shuffle, a second aggregate takes the integer argmin, and the
-    8-row cnorm table (sum cq^2, computed once per round from the SAME
-    quantized components) lands via broadcast. No embedding row ever
-    shuffles."""
-    cc = _cent_components(cents)
-    cn = cc.groupBy("cell").agg(
-        F.sum(F.col("cq") * F.col("cq")).alias("cnorm")
-    )
-    dots = (
-        ev.join(F.broadcast(cc), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("xq") * F.col("cq")).alias("dot"))
-    )
-    scored = dots.join(F.broadcast(cn), "cell").select(
-        "vec_id", "cell", (F.col("cnorm") - 2 * F.col("dot")).alias("score")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("score", "cell")).alias("m")
-    ).select("vec_id", F.col("m.cell").alias("cell"), F.col("m.score").alias("score"))
-
-
-def _update(ev: DataFrame, asn: DataFrame, prev: DataFrame) -> DataFrame:
-    """New (cell, carr): per-dimension member means. One (cell, pos)-keyed
-    partial aggregate over the exploded vectors joined with the assignment
-    (AQE broadcasts the |rows|-sized asn at bench scale; at cluster scale it
-    falls back to a co-partitioned join on vec_id — both exact): K * DIM
-    rows out of the shuffle, quantized int64 sums — codegen-fast long adds;
-    empty cells keep their previous centroid (deterministic at any scale,
-    even though the seed-from-data init makes them rare)."""
-    comp = (
-        ev.join(asn.select("vec_id", "cell"), "vec_id")
-        .groupBy("cell", "pos")
-        .agg(
-            (F.sum("xq").cast("double") / F.lit(1e6) / F.count(F.lit(1))).alias("cv")
-        )
+    comp = partials.groupBy("cell", "pos").agg(
+        (F.sum("s").cast("double") / F.lit(1e6) / F.sum("n")).alias("cv")
     )
     arrs = comp.groupBy("cell").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
@@ -142,6 +201,24 @@ def _update(ev: DataFrame, asn: DataFrame, prev: DataFrame) -> DataFrame:
     return prev.join(arrs, "cell", "left").select(
         "cell", F.coalesce("new_carr", "carr").alias("carr")
     )
+
+
+def _lloyd_final_assign(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd pipeline for embed_kmeans / dedup_semantic: KMEANS_ITERS
+    fused (assign, update) numpy rounds, then the final assignment frame
+    (vec_id, cell, score, xn). Returns (q, final) — q is the checkpointed
+    quantized-vector frame callers may reuse."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _quantized_vectors(e)
+    cents = _init_centroids(e).localCheckpoint(eager=True)
+    for _ in range(KMEANS_ITERS):
+        C = _collect_qcents(cents)
+        cents = _update_from_partials(q, C, cents).localCheckpoint(eager=True)
+    final = q.mapInPandas(
+        _np_assign_fn(_collect_qcents(cents)),
+        "vec_id long, cell long, score long, xn long",
+    )
+    return q, final
 
 
 #: DuckDB mirror of the quantized dot product (1-based list indexing,
@@ -223,7 +300,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the INDEX-build path; this is the model-training path a 100 TB curation
     pipeline runs.
 
-    Lineage discipline (VERDICT r6 item 2): the loop-invariant exploded
+    Lineage discipline (VERDICT r6 item 2): the loop-invariant quantized
     vector frame and each round's K-row centroid frame are cut with eager
     ``localCheckpoint`` (the dedup_clusters pattern, dedup.py) — round k's
     ``prev`` is consumed twice (assign + empty-cell fallback), so a fully
@@ -232,16 +309,17 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY CONSTRUCTION; rounds execute at plan-build time, which bench.py's
     build-inclusive timing attributes to this query. The DuckDB oracle
     unrolls the same rounds as CTEs — feasible at test scale only, which is
-    the point of the distributed path."""
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ev = _exploded_vectors(e)
-    cents = _init_centroids(e).localCheckpoint(eager=True)
-    for _ in range(KMEANS_ITERS):
-        asn = _assign(ev, cents)
-        cents = _update(ev, asn, cents).localCheckpoint(eager=True)
-    final = _assign(ev, cents)
-    xn = ev.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("xn"))
-    return final.join(xn, "vec_id").select(
+    the point of the distributed path.
+
+    r11 session 5: each round is ONE fused numpy pass (assign + per-cell
+    partial sums inside the Arrow worker, `_np_update_partials_fn`) —
+    replacing the posexplode + broadcast-join + two-hash-aggregate plan,
+    which generated |rows|*DIM*K products JVM-side per round. Exactness is
+    byte-identical (exact int64 everywhere Python touches; quantization and
+    the mean division stay JVM-side in the original expressions); pinned by
+    tests/test_quality.py::test_kmeans_numpy_rounds_match_reference."""
+    _, final = _lloyd_final_assign(spark, sf_dir)
+    return final.select(
         "vec_id",
         "cell",
         F.expr("CAST(xn + score AS DOUBLE) / 1e12").alias("dist2"),
@@ -373,20 +451,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     work linear in N. The k-means stages are the embed_kmeans plan
     (broadcast component joins, partial aggregation, per-round lineage
     cuts)."""
-    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ev = _exploded_vectors(e)
-    cents = _init_centroids(e).localCheckpoint(eager=True)
-    for _ in range(KMEANS_ITERS):
-        asn = _assign(ev, cents)
-        cents = _update(ev, asn, cents).localCheckpoint(eager=True)
-    final = _assign(ev, cents)
-    xn = ev.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("xn"))
-    mem = final.join(xn, "vec_id").select(
+    q, final = _lloyd_final_assign(spark, sf_dir)
+    mem = final.select(
         "vec_id", "cell", "xn", (F.col("xn") + F.col("score")).alias("d2i")
-    )
-    q = e.select(
-        "vec_id",
-        F.expr(f"transform(embedding, x -> {_Q.format(x='x')})").alias("qa"),
     )
     from pyspark.sql import Window
 

@@ -332,6 +332,12 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0v"),
     )
     per = per.withColumn("bucket", F.expr(f"v DIV {MWU_BUCKET_CENTS}"))
+    # NOTE (r11 session 5, measured negative result): per is consumed
+    # twice (offset collect + window path) so the scan + value aggregate
+    # run twice per query — but an eager localCheckpoint of the
+    # value-domain frame measured SLOWER at sf10 (4.47 -> 6.57 s,
+    # interleaved best-of-2): materializing ~6M rows costs more than the
+    # saved re-scan. The double execution stands, deliberately.
     btot = (
         per.groupBy("bucket").agg(F.sum("n0v").cast("bigint").alias("b0"))
         .orderBy("bucket")
@@ -570,6 +576,9 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0v"),
     )
     per = per.withColumn("bucket", F.expr(f"v DIV {MWU_BUCKET_CENTS}"))
+    # double execution (offset collect + window path) kept deliberately —
+    # the localCheckpoint cut measured SLOWER at sf10 (3.81 -> 6.08 s);
+    # see the stats_mann_whitney note.
     btot = (
         per.groupBy("bucket")
         .agg(
@@ -894,6 +903,12 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+    # daily is calendar-bounded (<= 365 x |priority| rows forever) but
+    # feeds THREE consumers (both pair-join sides + the OLS moments), and
+    # lazy evaluation re-ran the orders scan + aggregate per consumer —
+    # 6 parquet scans in the before-plan (plans/r11/). One eager
+    # localCheckpoint makes every consumer read the materialized frame.
+    daily = daily.localCheckpoint(eager=True)
     a = daily.select("pri", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select("pri", F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = (

@@ -1015,27 +1015,49 @@ def shared_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "bigram_lm", lambda: _bigram_lm_scores(spark, sf_dir))
 
 
+def shared_bigram_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, a, b, k) bigram-instance pre-aggregate — the
+    ONE corpus explode the whole bigram family (docs_bigram_lm_score,
+    docs_kn_bigram_score, docs_ccnet_buckets via the LM memo) derives from.
+
+    Why a memo and not an inline frame (r11 session 5): `inst` feeds the
+    per-doc scoring join AND the model tables (cab -> ca/cb/ntot), whose
+    column prunings differ, so ReusedExchange does not fire and one lazy
+    plan re-executed the corpus explode per consumer — 5 parquet scans in
+    docs_kn_bigram_score's before-plan (plans/r11/), the docs_dsir_weights
+    dbt story exactly. The cache bounds that to one explode per session;
+    the frame is the per-doc DISTINCT-bigram count (narrower than the
+    exploded instance stream) and both LM entries read it."""
+    from skinnerdb_spark.operators.dedup import _memo
+
+    def build() -> DataFrame:
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        big = (
+            d.select("doc_id", F.col("text"))
+            .withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
+            .select("doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
+        )
+        return big.groupBy("doc_id", "a", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k")
+        )
+
+    return _memo(spark, sf_dir, "bigram_inst", build)
+
+
 def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    # ONE corpus explode: the (doc_id, a, b) pre-aggregate is the shared
+    # family memo and the corpus-wide model derives from it — c(ab) =
+    # SUM(k) over doc_id, exactly.
+    inst = shared_bigram_instances(spark, sf_dir)
+    # cab feeds ca and the scoring join with different prunings (no
+    # ReusedExchange); cache the vocab^2-bounded model so the pass over
+    # inst runs once (the docs_dsir_weights precedent).
+    cab = (
+        inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab")).cache()
     )
-    big = d.select(
-        "doc_id",
-        F.col("text"),
-    ).withColumn(
-        "toks", F.expr("filter(split(text, ' '), x -> x != '')")
-    ).select(
-        "doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p")
-    ).select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
-    # ONE corpus explode: the (doc_id, a, b) pre-aggregate is computed
-    # first and the corpus-wide model derives from it — c(ab) = SUM(k)
-    # over doc_id, exactly (r11: the earlier cab-from-big branch made the
-    # DAG explode+split the corpus TWICE, once per consumer; the
-    # "explodes ONCE" contract in the docstring now matches the plan).
-    inst = big.groupBy("doc_id", "a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
-    cab = inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab"))
     ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
     j = (
         inst.join(cab, ["a", "b"])
@@ -1217,23 +1239,17 @@ def docs_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the instance table and the vocabulary^2-bounded model tables;
     the model joins broadcast when small / co-partition on the bigram key
     otherwise; n1tot is a 1-row broadcast."""
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    big = (
-        d.select("doc_id", "text")
-        .withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
-        .select("doc_id", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-        .select("doc_id", F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
-    )
     # ONE corpus explode (r11, same fold as _bigram_lm_scores): the
-    # (doc_id, a, b) pre-aggregate comes first; the bigram model and all
-    # three N1+ distinct-context counts derive from it exactly
-    # (c(ab) = SUM(k) over doc_id).
-    inst = big.groupBy("doc_id", "a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
+    # (doc_id, a, b) pre-aggregate is the shared family memo; the bigram
+    # model and all three N1+ distinct-context counts derive from it
+    # exactly (c(ab) = SUM(k) over doc_id). cab is cached because its FOUR
+    # consumers (ca, cb, ntot, the scoring join) prune it differently —
+    # without the cache each one re-aggregated inst (5 corpus explodes in
+    # the before-plan, plans/r11/docs_kn_bigram_score_before.txt).
+    inst = shared_bigram_instances(spark, sf_dir)
+    cab = (
+        inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab")).cache()
     )
-    cab = inst.groupBy("a", "b").agg(F.sum("k").cast("bigint").alias("cab"))
     ca = cab.groupBy("a").agg(
         F.sum("cab").cast("bigint").alias("ca"),
         F.count(F.lit(1)).cast("bigint").alias("n1a"),

@@ -344,3 +344,67 @@ def test_countmin_counters_buildable_as_streaming_agg(spark, sf_dir):
         for r in counters(read_table(spark, sf_dir, "events")).collect()
     }
     assert got == expected
+
+
+def test_kmeans_numpy_rounds_match_reference():
+    """Kernel-identity pin for the r11 fused numpy Lloyd rounds
+    (operators/kmeans.py): `_np_assign_fn` must reproduce the exact
+    integer argmin (score = ||c||^2 - 2*x.c, ties -> LOWEST cell — the
+    old min(struct(score, cell)) rule) and `_np_update_partials_fn`'s
+    merged partials must equal the brute per-member sums/counts, empty
+    batches and empty cells included."""
+    import numpy as np
+    import pandas as pd
+
+    from skinnerdb_spark.operators.kmeans import (
+        DIM,
+        KMEANS_K,
+        _np_assign_fn,
+        _np_update_partials_fn,
+    )
+
+    rng = np.random.RandomState(7)
+    m = 64
+    X = rng.randint(-2_000_000, 2_000_000, size=(m, DIM)).astype(np.int64)
+    # force ties: make centroid 5 identical to centroid 2 so their scores
+    # tie for every vector — the assignment must pick cell 2
+    C = rng.randint(-2_000_000, 2_000_000, size=(KMEANS_K, DIM)).astype(np.int64)
+    C[5] = C[2]
+    vid = np.arange(m, dtype=np.int64) + 100
+
+    def ref_assign():
+        cn = (C.astype(object) ** 2).sum(axis=1)  # object -> unbounded ints
+        out = []
+        for i in range(m):
+            scores = [
+                int(cn[c]) - 2 * int(sum(int(a) * int(b) for a, b in zip(X[i], C[c])))
+                for c in range(KMEANS_K)
+            ]
+            best = min(range(KMEANS_K), key=lambda c: (scores[c], c))
+            out.append((int(vid[i]), best, scores[best],
+                        int(sum(int(a) * int(a) for a in X[i]))))
+        return out
+
+    pdf = pd.DataFrame({"vec_id": vid, "qa": [list(r) for r in X]})
+    # two chunks + one empty chunk: the iterator contract
+    chunks = [pdf.iloc[:40], pdf.iloc[40:40], pdf.iloc[40:]]
+    got = pd.concat(list(_np_assign_fn(C)(iter(chunks))), ignore_index=True)
+    exp = ref_assign()
+    assert [
+        (int(r.vec_id), int(r.cell), int(r.score), int(r.xn))
+        for r in got.itertuples()
+    ] == exp
+    # ties resolved to the LOWEST cell: no vector may land on cell 5
+    assert not (got.cell == 5).any() and (got.cell == 2).any()
+
+    parts = pd.concat(
+        list(_np_update_partials_fn(C)(iter(chunks))), ignore_index=True
+    )
+    merged = parts.groupby(["cell", "pos"]).agg(s=("s", "sum"), n=("n", "sum"))
+    for (cell, pos), row in merged.iterrows():
+        members = [i for i, (_, c, _, _) in enumerate(exp) if c == cell]
+        assert row["n"] == len(members)
+        assert row["s"] == int(X[members, pos].sum())
+    # cells with no members emit no partial rows at all
+    assigned = {c for _, c, _, _ in exp}
+    assert set(merged.index.get_level_values(0)) == assigned
