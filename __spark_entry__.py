@@ -216,6 +216,22 @@ _REVERIFY: list[str] = [
     # stattests.py); they rotate only because the source fingerprint moved
     # with the recorded negative-result comments
     "stats_ks_test", "stats_mann_whitney",
+    # r11 session 6: the CMS sketch derives from the per-user count
+    # aggregate (bucket hash depends only on (d, user_id)) — one corpus
+    # pass instead of two x-depth explodes + a truth scan (sf10 cold
+    # 14.6/18.3 -> 10.5/8.4 s, warm 8.6 -> 1.0 s, rows identical; fold
+    # identity pinned in tests/test_quality.py)
+    "ev_countmin_sketch",
+    # r11 session 6: verbatim spans hash to int64 at the explode (output
+    # carries only pair counts — span equality is all downstream needs);
+    # the documented shared-shingle-hash collision class, row-identical
+    # against the string-keyed oracle at sf0.01/sf0.1
+    "dedup_verbatim_spans",
+    # r11 session 6: the corpus tokenize (doc lengths) and the query-term
+    # tf explode become the shared sparse-retrieval family memos
+    # (shared_doc_lengths / shared_bm25_tf) — both retrievers compose them
+    # (family cold total at sf10: 18.7/16.5 -> 11.6/11.7 s interleaved)
+    "docs_bm25_topk", "docs_hybrid_rrf",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

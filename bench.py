@@ -98,6 +98,8 @@ def run_pass(spark, sf_dir: str, csv_lines: list[str] | None) -> tuple[dict, dic
     for label, build in (
         ("family:co_edges", _ana.shared_co_edges),
         ("family:bigram_inst", _text.shared_bigram_instances),
+        ("family:doc_len", _ana.shared_doc_lengths),
+        ("family:bm25_tf", _ana.shared_bm25_tf),
         ("family:minhash_sigs", _dedup.shared_sigs),
         ("family:shingle_sets", _dedup.shared_shingle_sets),
         ("family:shingle_hashes", _dedup.shared_shingle_hashes),

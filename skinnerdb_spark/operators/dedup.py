@@ -1336,9 +1336,17 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression) -> span-keyed self-join restricted to spans shared by
     2..{cap} docs (boilerplate/hot-span cap, applied BEFORE the join so the
     pair explosion is bounded by cap^2 per span) -> pair aggregate ->
-    bounded ranked_topk. At 100 TB the span strings would be int64 rolling
-    hashes (the dedup_prefix_filter trick); strings are kept here because
-    the oracle compares the actual spans."""
+    bounded ranked_topk.
+
+    Spans are hashed to int64 (``xxhash64``) at the explode, top-level so
+    the hash stays in codegen (r11, the dedup_prefix_filter/dedup_segments
+    recipe): the output carries only pair COUNTS — no span string ever
+    appears in it — and every downstream step (per-doc DISTINCT, the
+    2..{cap} frequency filter, the pair self-join key) needs only span
+    EQUALITY, which the hash preserves. No 8-word string ever crosses an
+    exchange. Collision risk is the documented shared-shingle-hash class
+    (~1e-9 for any fixed pair at 64 bits), gate-certified row-identical
+    against the string-keyed oracle at the test SFs."""
     from skinnerdb_spark.queries.util import ranked_topk
 
     d = read_table(spark, sf_dir, "documents").filter(
@@ -1348,15 +1356,21 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
     ).filter(F.size("w") >= VERBATIM_N)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(w) - {VERBATIM_N}),"
-                f" i -> array_join(slice(w, i + 1, {VERBATIM_N}), ' '))"
-            )
-        ).alias("g"),
-    ).distinct()
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {VERBATIM_N}),"
+                    f" i -> array_join(slice(w, i + 1, {VERBATIM_N}), ' '))"
+                )
+            ).alias("gs"),
+        )
+        # top-level hash (codegen'd), BEFORE the distinct exchange: the
+        # per-doc DISTINCT, frequency filter and pair join move int64 keys
+        .select("doc_id", F.xxhash64("gs").alias("g"))
+        .distinct()
+    )
     ok = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("nd"))

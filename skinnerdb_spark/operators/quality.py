@@ -598,13 +598,20 @@ def ev_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pure int64 — nothing floating anywhere.
 
     Scale shape (the reason CMS exists): the corpus-sized work is ONE
-    explode x{CMS_DEPTH} immediately pre-aggregated (map-side combine) into
-    d*w = {CMS_DEPTH * CMS_WIDTH} counter cells — constant memory at ANY
-    stream size, mergeable across shards/batches by addition (the same
-    contract the streaming rollup uses). The estimate lookup joins the
-    (user, d, bucket) keys against the broadcast {CMS_DEPTH * CMS_WIDTH}-row
-    counter table. The exact `truth` side exists only to verify the sketch
-    at test scale."""
+    map-side-combinable per-user count aggregate — the bucket hash depends
+    only on (d, user_id), never on the individual event, so the sketch rows
+    derive EXACTLY from the per-user counts: the (d, b) counter is the
+    integer sum of true_n over the users hashing into the cell, identical
+    to counting the exploded event stream (r11: the previous shape exploded
+    the corpus x{CMS_DEPTH} TWICE — the counter and key subtrees prune
+    different columns, so ReusedExchange never fired — plus a third corpus
+    scan for `truth`; 6 scans in the before-plan, one in the after-plan).
+    Everything past the first aggregate operates on the |users|-sized
+    frame (cached — bounded, stats-bearing): the x{CMS_DEPTH} explode, the
+    {CMS_DEPTH * CMS_WIDTH}-cell counter sum, and the broadcast estimate
+    lookup. Constant sketch memory at ANY stream size, mergeable across
+    shards by addition (the same contract the streaming rollup uses). The
+    exact `truth` side exists only to verify the sketch at test scale."""
     e = read_table(spark, sf_dir, "events")
     d_arr = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
     bucket = (
@@ -625,15 +632,24 @@ def ev_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % CMS_WIDTH
     )
-    h = e.select("user_id", d_arr).select("user_id", "d", bucket.alias("b"))
-    counters = h.groupBy("d", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    keys = h.select("user_id", "d", "b").distinct()
+    # ONE corpus pass; cached because `truth` feeds three consumers with
+    # different prunings (the dbt/no-ReusedExchange story above)
+    truth = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .cache()
+    )
+    # (user_id, d) is unique by construction, so h needs no DISTINCT
+    h = truth.select("user_id", "true_n", d_arr).select(
+        "user_id", "true_n", "d", bucket.alias("b")
+    )
+    counters = h.groupBy("d", "b").agg(F.sum("true_n").cast("bigint").alias("c"))
     est = (
-        keys.join(F.broadcast(counters), ["d", "b"])
+        h.select("user_id", "d", "b")
+        .join(F.broadcast(counters), ["d", "b"])
         .groupBy("user_id")
         .agg(F.min("c").cast("bigint").alias("cms_n"))
     )
-    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
     return truth.join(est, "user_id").select(
         "user_id",
         "true_n",

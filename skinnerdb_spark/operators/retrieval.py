@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skinnerdb_spark.operators.analytics import BM25_TERMS, _BM25_TERMS_SQL
+from skinnerdb_spark.operators.analytics import (
+    BM25_TERMS,
+    _BM25_TERMS_SQL,
+    shared_bm25_tf,
+    shared_doc_lengths,
+)
 from skinnerdb_spark.operators.similarity import DIM, _oracle_dot, dot_exact, norm_exact
 from skinnerdb_spark.queries.util import read_table, ranked_topk
 from skinnerdb_spark.registry import register
@@ -118,26 +123,14 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (module docstring): top {RRF_TOP} documents for the fixed query
     ({BM25_TERMS} / vector {RRF_QUERY_VEC}), with each side's rank and the
     exact integer-scaled RRF score."""
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    dl = d.select(
-        "doc_id",
-        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint").alias("dl"),
-    )
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    # sparse side: the docs_bm25_topk family frames (r11 — shared, so the
+    # corpus tokenize+explode runs once per session across both retrievers)
+    dl = shared_doc_lengths(spark, sf_dir)
     corpus = dl.agg(
         F.sum("dl").cast("bigint").alias("sd"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    q = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
-    tf = (
-        toks.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
+    tf = shared_bm25_tf(spark, sf_dir)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
 
     def dec(c):  # 128-bit exact-integer lane (docs_bm25_topk precedent)

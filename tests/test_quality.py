@@ -408,3 +408,57 @@ def test_kmeans_numpy_rounds_match_reference():
     # cells with no members emit no partial rows at all
     assigned = {c for _, c, _, _ in exp}
     assert set(merged.index.get_level_values(0)) == assigned
+
+
+def test_countmin_per_user_fold_matches_exploded_reference(spark, sf_dir):
+    """r11: ev_countmin_sketch derives the sketch from the per-user count
+    aggregate instead of exploding the event corpus x depth (the bucket
+    hash depends only on (d, user_id), so the (d, b) counter is the integer
+    sum of true_n over the users hashing into the cell). Pin the identity:
+    the entry's output equals the original exploded-corpus computation."""
+    from skinnerdb_spark.operators.quality import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        ev_countmin_sketch,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    d_arr = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+    h = e.select("user_id", d_arr).select("user_id", "d", bucket.alias("b"))
+    counters = h.groupBy("d", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    keys = h.select("user_id", "d", "b").distinct()
+    est = (
+        keys.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+    )
+    truth = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    ref = truth.join(est, "user_id").select(
+        "user_id",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).cast("bigint").alias("overestimate"),
+    )
+    got = sorted(map(tuple, ev_countmin_sketch(spark, sf_dir).collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
