@@ -232,6 +232,14 @@ _REVERIFY: list[str] = [
     # (shared_doc_lengths / shared_bm25_tf) — both retrievers compose them
     # (family cold total at sf10: 18.7/16.5 -> 11.6/11.7 s interleaved)
     "docs_bm25_topk", "docs_hybrid_rrf",
+    # r11 session 6: the sketch-tier distinct-key frames are cached — each
+    # fed 2-5 consumers with different prunings, so the corpus scan +
+    # distinct (+ md5) re-executed per consumer (kmv_merge warm at sf10
+    # 10.8/12.7 -> 3.3/3.7 s; distinct_kmv 9.5 -> 1.6 s; bloom 5.8/7.3 ->
+    # 3.9/4.2 s; rows identical in every arm). approx_distinct_kmv's exact
+    # side now derives from the same cached dk frame (same computation,
+    # one subtree).
+    "approx_kmv_merge", "approx_distinct_kmv", "approx_bloom_semijoin",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

@@ -639,10 +639,11 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k of a bottom-k union is exact, the TakeOrderedAndProject idea
     applied per group), so the final group window sees <= k * n_partitions
     rows however large the key space grows. The exact count (the report's
-    honesty column) is its own two-level distinct aggregate, joined on the
-    3-row group key."""
+    honesty column) derives from the SAME cached distinct-key frame (r11:
+    it previously re-ran the corpus scan + distinct as its own subtree —
+    2 scans in the before-plan, 1 after), joined on the 3-row group key."""
     l = read_table(spark, sf_dir, "lineitem")
-    dk = l.select("l_returnflag", "l_partkey").distinct()
+    dk = l.select("l_returnflag", "l_partkey").distinct().cache()
     h = dk.select(
         "l_returnflag",
         F.expr(
@@ -668,11 +669,8 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("in_sketch"),
         )
     )
-    ex = (
-        l.select("l_returnflag", "l_partkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_parts"))
+    ex = dk.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_parts")
     )
     est = (
         f"CASE WHEN in_sketch < {KMV_K} THEN CAST(in_sketch AS DOUBLE)"
@@ -793,7 +791,14 @@ def approx_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the partitioned sketches are (groups x statuses x k) rows;
     the merge re-ranks THAT bounded frame (distinct-by-hash first — the
     same key under two statuses hashes identically); the direct side
-    reuses the entry-level bottom-k shape. Every window is group-keyed."""
+    reuses the entry-level bottom-k shape. Every window is group-keyed.
+    The hashed distinct-key frame is CACHED (r11): it feeds the
+    partitioned and the direct sketch with different prunings, so without
+    materialization the corpus scan + 3-column distinct + md5 re-executed
+    per side (2 scans in the before-plan; the dbt story) — three narrow
+    columns per distinct key, stats-bearing. The direct side must stay an
+    independent computation over the full key frame (deriving it from
+    part_bot would assume the very merge property the entry verifies)."""
     l = read_table(spark, sf_dir, "lineitem")
     dk = l.select("l_returnflag", "l_linestatus", "l_partkey").distinct()
     h = dk.select(
@@ -803,7 +808,7 @@ def approx_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
             " 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
-    )
+    ).cache()
 
     def bottom_k(df: DataFrame, keys: list[str]) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy("h")
@@ -1074,6 +1079,12 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/indexing/Index.java — this is the distributed, bounded-memory
     equivalent a 100 TB fact scan actually ships)."""
     o = read_table(spark, sf_dir, "orders")
+    # build / probe / bits are each read by 2-5 consumers below (bits x3
+    # union branches, the flags fold, the cardinality columns) with
+    # different prunings — uncached, the filtered scan + distinct
+    # re-executed per consumer (11 scans in the r11 before-plan, 3 after).
+    # All three are bounded: build and probe are distinct KEY sets (the
+    # selective filters applied first), bits is <= BLOOM_M rows.
     build = (
         o.filter(
             (F.col("o_orderpriority") == "1-URGENT")
@@ -1082,18 +1093,19 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .cache()
     )
     bits = None
     for i in (1, 2, 3):
         part = build.select(F.expr(_bloom_bucket_spark(i)).alias("b"))
         bits = part if bits is None else bits.unionAll(part)
-    bits = bits.distinct()
+    bits = bits.distinct().cache()
 
     li = read_table(spark, sf_dir, "lineitem")
     rows_probe = li.filter(
         (F.col("l_shipdate") >= "1995-07-01") & (F.col("l_shipdate") < "1996-01-01")
     ).select(F.col("l_orderkey").alias("k"))
-    probe = rows_probe.distinct()
+    probe = rows_probe.distinct().cache()
     pe = probe.select(
         "k",
         F.explode(
