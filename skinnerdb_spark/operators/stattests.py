@@ -747,26 +747,43 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ':', CAST(bg AS STRING)) AS BINARY))"
         ).alias("h"),
     )
-    rows_b = rows_g.select(
-        "pri", "c", "bg", "h",
-        F.explode(F.expr("sequence(0, 3)")).alias("s"),
-    ).select(
-        "pri", "c",
-        (F.col("bg") * 4 + F.col("s")).alias("b"),
+    # r11 session 6: the four 32-bit slices of each digest are aggregated
+    # as FOUR top-level (swc, sw) expression pairs over the (row, group)
+    # frame instead of exploding x4 first — at sf10 the old shape pushed
+    # 960M generated rows through the hash aggregate; this one feeds it
+    # 240M rows with 4x the per-row work and unpivots the 80-cell result.
+    # The summed integer terms per (pri, b) cell are IDENTICAL (b = bg*4+s
+    # is fixed within a (bg, s) slice; integer addition is associative),
+    # so swc/sw — and the CI — are bit-equal to the exploded shape's.
+    # u and w are projected ONCE per slice — referencing the conv() inside
+    # the CASE chain, or the CASE chain inside both SUMs, would re-evaluate
+    # them per branch (the rule the old in-line comment pinned).
+    us = rows_g.select(
+        "pri", "c", "bg",
+        *[
+            F.expr(
+                f"CAST(conv(substring(h, {1 + 8 * s}, 8), 16, 10) AS DOUBLE)"
+                " / 4294967296.0"
+            ).alias(f"u{s}")
+            for s in range(4)
+        ],
+    )
+    ws = us.select(
+        "pri", "c", "bg",
+        *[F.expr(_pois_w(f"u{s}")).alias(f"w{s}") for s in range(4)],
+    )
+    gp = ws.groupBy("pri", "bg").agg(
+        *[F.expr(f"CAST(SUM(w{s} * c) AS BIGINT)").alias(f"swc{s}") for s in range(4)],
+        *[F.expr(f"CAST(SUM(w{s}) AS BIGINT)").alias(f"sw{s}") for s in range(4)],
+    )
+    rep = gp.select(
+        "pri",
         F.expr(
-            "CAST(conv(substring(h, 1 + 8 * s, 8), 16, 10) AS DOUBLE)"
-            " / 4294967296.0"
-        ).alias("u"),
-    )
-    # project the weight ONCE per exploded row — referencing the CASE chain
-    # inside both SUMs would evaluate it twice per row
-    weighted = rows_b.select(
-        "pri", "b", "c", F.expr(_pois_w("u")).alias("w")
-    )
-    rep = weighted.groupBy("pri", "b").agg(
-        F.expr("CAST(SUM(w * c) AS BIGINT)").alias("swc"),
-        F.expr("CAST(SUM(w) AS BIGINT)").alias("sw"),
-    )
+            "stack(4, "
+            + ", ".join(f"bg * 4 + {s}, swc{s}, sw{s}" for s in range(4))
+            + ") AS (b, swc, sw)"
+        ),
+    ).select("pri", "b", "swc", "sw")
     means = rep.select(
         "pri", "b",
         F.expr("CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)").alias("m"),

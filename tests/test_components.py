@@ -2055,3 +2055,67 @@ def test_numpy_moment_partials_match_sql_explode(spark, sf_dir):
     assert ref.exceptAll(got).count() == 0
     # empty-partition contract: a task with zero rows emits nothing
     assert list(_aug_moments_np(iter([]))) == []
+
+
+def test_bootstrap_fused_slices_match_exploded_reference(spark, sf_dir):
+    """r11: stats_bootstrap_ci aggregates the four 32-bit digest slices as
+    four top-level (swc, sw) pairs per (pri, bg) instead of exploding x4
+    before the aggregate. Pin the identity: the entry's CI equals the one
+    computed by the original exploded-slice replicate chain (same integer
+    terms per (pri, b) cell; addition associative)."""
+    from pyspark.sql.window import Window
+
+    from skinnerdb_spark.operators.stattests import BOOT_B, _pois_w, stats_bootstrap_ci
+    from skinnerdb_spark.operators.textprims import fan_out
+    from skinnerdb_spark.queries.util import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    rows_g = fan_out(
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+            F.col("o_orderkey"),
+        )
+    ).select(
+        "pri", "c", "o_orderkey",
+        F.explode(F.expr(f"sequence(0, {BOOT_B // 4 - 1})")).alias("bg"),
+    ).select(
+        "pri", "c", "bg",
+        F.expr(
+            "md5(CAST(concat(CAST(o_orderkey AS STRING),"
+            " ':', CAST(bg AS STRING)) AS BINARY))"
+        ).alias("h"),
+    )
+    rows_b = rows_g.select(
+        "pri", "c", "bg", "h",
+        F.explode(F.expr("sequence(0, 3)")).alias("s"),
+    ).select(
+        "pri", "c",
+        (F.col("bg") * 4 + F.col("s")).alias("b"),
+        F.expr(
+            "CAST(conv(substring(h, 1 + 8 * s, 8), 16, 10) AS DOUBLE)"
+            " / 4294967296.0"
+        ).alias("u"),
+    )
+    weighted = rows_b.select("pri", "b", "c", F.expr(_pois_w("u")).alias("w"))
+    rep = weighted.groupBy("pri", "b").agg(
+        F.expr("CAST(SUM(w * c) AS BIGINT)").alias("swc"),
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("sw"),
+    )
+    means = rep.select(
+        "pri", "b", F.expr("CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)").alias("m")
+    )
+    rw = Window.partitionBy("pri").orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(rw))
+    ref_ci = ranked.groupBy("pri").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi_cents"),
+    )
+    want = {r.pri: (r.ci_lo_cents, r.ci_hi_cents) for r in ref_ci.collect()}
+    got = {
+        r.o_orderpriority: (r.ci_lo_cents, r.ci_hi_cents)
+        for r in stats_bootstrap_ci(spark, sf_dir).collect()
+    }
+    assert got == want
