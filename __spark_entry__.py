@@ -240,6 +240,14 @@ _REVERIFY: list[str] = [
     # side now derives from the same cached dk frame (same computation,
     # one subtree).
     "approx_kmv_merge", "approx_distinct_kmv", "approx_bloom_semijoin",
+    # r11 session 6: the exact-Jaccard verify stage intersects the int64
+    # shingle-HASH arrays (shared_shingle_hashes — the recipe its own
+    # docstring promised, already used by dedup_containment) instead of
+    # the string arrays: sf10 verify 9.1/8.4 -> 4.1 s cold, 7.1/8.0 ->
+    # 2.9 s warm, 4,705,124 pairs identical in every arm. All three
+    # verified-pairs consumers rotate (ngram_jaccard/pipeline_decisions
+    # already listed above):
+    "dedup_clusters",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

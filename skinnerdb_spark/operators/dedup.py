@@ -543,20 +543,29 @@ def _exact_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, and nothing else.
 
     Scale shape: join the (small) candidate-pair table to the per-doc shingle
-    ARRAYS (one row per doc, no explode) and compute
-    ``size(array_intersect(sh_a, sh_b))`` in-row. Cost is O(|candidates| *
-    doc_length) — a shingle appearing in k docs contributes k rows, never k^2:
-    the all-pairs exploded-shingle self-join (which Catalyst could not push
-    the candidate restriction below, because the restriction sat above its
-    groupBy) is gone. Pairs with an empty intersection are dropped, mirroring
-    the oracle's inner join against its intersection CTE."""
+    HASH arrays (shared_shingle_hashes — one row per doc, no explode) and
+    compute ``size(array_intersect(sh_a, sh_b))`` in-row over primitive
+    longs. Cost is O(|candidates| * doc_length) — a shingle appearing in k
+    docs contributes k rows, never k^2: the all-pairs exploded-shingle
+    self-join (which Catalyst could not push the candidate restriction
+    below, because the restriction sat above its groupBy) is gone. Pairs
+    with an empty intersection are dropped, mirroring the oracle's inner
+    join against its intersection CTE.
+
+    r11 session 6: the intersect runs on the int64 hash arrays instead of
+    the string arrays — the dedup_containment/§16 recipe this stage had
+    not yet adopted (the docstring of shared_shingle_hashes promised it;
+    the pair join now moves 8-byte elements and compares primitives).
+    Collision risk is the documented shared-shingle-hash class — the
+    string-side oracle stays unchanged and the gate certifies
+    row-identical outputs at the test SFs."""
     cand = lsh_candidates(spark, sf_dir)
-    sets = shared_shingle_sets(spark, sf_dir)
+    sets = shared_shingle_hashes(spark, sf_dir)
     a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"), F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("sh_a"), F.col("n").alias("na")
     )
     b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n").alias("nb")
+        F.col("doc_id").alias("doc_b"), F.col("sh_h").alias("sh_b"), F.col("n").alias("nb")
     )
     both_n = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = both_n.cast("double") / (F.col("na") + F.col("nb") - both_n)
