@@ -248,6 +248,14 @@ _REVERIFY: list[str] = [
     # verified-pairs consumers rotate (ngram_jaccard/pipeline_decisions
     # already listed above):
     "dedup_clusters",
+    # r12 (ADVICE r11 medium): the entry-body .cache() frames route
+    # through the dedup _memo LRU so eviction unpersists them (storage no
+    # longer grows unbounded across a multi-SF session). Values unchanged
+    # — same frames, tracked persist; oracle canonical-equal at sf0.01.
+    # The approx_* / ev_countmin_sketch siblings of the same change are
+    # already in the front above; only this entry's fingerprint newly
+    # moved this round.
+    "docs_dsir_weights",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

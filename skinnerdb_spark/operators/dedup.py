@@ -556,9 +556,16 @@ def _exact_jaccard_on_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the string arrays — the dedup_containment/§16 recipe this stage had
     not yet adopted (the docstring of shared_shingle_hashes promised it;
     the pair join now moves 8-byte elements and compares primitives).
-    Collision risk is the documented shared-shingle-hash class — the
-    string-side oracle stays unchanged and the gate certifies
-    row-identical outputs at the test SFs."""
+    Collision risk is the documented shared-shingle-hash class, with one
+    sharpening (ADVICE r11): na/nb stay STRING-set sizes while the
+    intersection counts hashes, so a cross-shingle collision inflates
+    ``both_n`` and with it the jaccard value — and that value feeds the
+    ``>= 0.5`` keep/drop threshold consumed by dedup_ngram_jaccard,
+    dedup_pipeline_decisions and dedup_clusters, so at SFs the gate never
+    certifies a near-threshold pair can FLIP its decision (not merely
+    carry a perturbed score). The string-side oracle stays unchanged and
+    the gate certifies row-identical outputs at the test SFs; the
+    birthday-bound scale note on dedup_verbatim_spans applies here too."""
     cand = lsh_candidates(spark, sf_dir)
     sets = shared_shingle_hashes(spark, sf_dir)
     a = sets.select(
@@ -1353,9 +1360,17 @@ def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in it — and every downstream step (per-doc DISTINCT, the
     2..{cap} frequency filter, the pair self-join key) needs only span
     EQUALITY, which the hash preserves. No 8-word string ever crosses an
-    exchange. Collision risk is the documented shared-shingle-hash class
-    (~1e-9 for any fixed pair at 64 bits), gate-certified row-identical
-    against the string-keyed oracle at the test SFs."""
+    exchange. Collision risk (ADVICE r11): the per-pair figure (~1e-9 at
+    64 bits) is NOT the governing bound — with D DISTINCT spans corpus-wide
+    the birthday bound is P(any collision) ~ D^2 / 2^65, i.e. ~3% at
+    D = 10^9 and near-certain by D ~ 10^10, which a 100 TB corpus reaches.
+    A collision at an uncertified SF merges two span groups and can perturb
+    pair counts and the top-{VERBATIM_TOP} ranking nondeterministically vs
+    the string-keyed oracle. Boundary: beyond ~10^9 distinct spans, switch
+    to a dual hash (xxhash64 of the span and of its reverse — independent
+    64-bit keys, collision ~ D^2 / 2^129) or fall back to string keys for
+    any oracle-gated SF. Gate-certified row-identical at the test SFs,
+    where D < 10^6 keeps the bound < 1e-7."""
     from skinnerdb_spark.queries.util import ranked_topk
 
     d = read_table(spark, sf_dir, "documents").filter(

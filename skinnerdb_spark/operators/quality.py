@@ -270,7 +270,12 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory cache (NOT DISK_ONLY: the frame is 4 int columns per
     # doc-bucket — ~0.3 GB at sf10, far below the verbatim-spans multi-GB
     # heap-competition threshold, and the 4 reads dominate the cost).
-    dbt = dbt.cache()
+    # r12 (ADVICE r11): tracked by the dedup _memo LRU so eviction
+    # unpersists it instead of stranding one frame per sf_dir.
+    from skinnerdb_spark.operators.dedup import _memo
+
+    _dbt = dbt
+    dbt = _memo(spark, sf_dir, "dsir_dbt", lambda: _dbt)
     raw = dbt.groupBy("b").agg(F.sum("k").cast("bigint").alias("cr"))
     tgt = (
         dbt.filter(F.col("is_tgt") == 1)
@@ -633,11 +638,16 @@ def ev_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         % CMS_WIDTH
     )
     # ONE corpus pass; cached because `truth` feeds three consumers with
-    # different prunings (the dbt/no-ReusedExchange story above)
-    truth = (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
-        .cache()
+    # different prunings (the dbt/no-ReusedExchange story above). r12
+    # (ADVICE r11): tracked by the dedup _memo LRU — raw .cache() was
+    # never unpersisted across a multi-SF session.
+    from skinnerdb_spark.operators.dedup import _memo
+
+    truth = _memo(
+        spark, sf_dir, "cms_truth",
+        lambda: e.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("true_n")
+        ),
     )
     # (user_id, d) is unique by construction, so h needs no DISTINCT
     h = truth.select("user_id", "true_n", d_arr).select(

@@ -641,9 +641,18 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows however large the key space grows. The exact count (the report's
     honesty column) derives from the SAME cached distinct-key frame (r11:
     it previously re-ran the corpus scan + distinct as its own subtree —
-    2 scans in the before-plan, 1 after), joined on the 3-row group key."""
+    2 scans in the before-plan, 1 after), joined on the 3-row group key.
+    The cache is tracked by the dedup ``_memo`` LRU (r12, ADVICE r11): a
+    raw ``.cache()`` here was never unpersisted, so a multi-SF session
+    stranded one distinct-key frame per sf_dir in the JVM CacheManager;
+    the memo's cap/eviction unpersists evicted frames."""
+    from skinnerdb_spark.operators.dedup import _memo
+
     l = read_table(spark, sf_dir, "lineitem")
-    dk = l.select("l_returnflag", "l_partkey").distinct().cache()
+    dk = _memo(
+        spark, sf_dir, "kmv_dk",
+        lambda: l.select("l_returnflag", "l_partkey").distinct(),
+    )
     h = dk.select(
         "l_returnflag",
         F.expr(
@@ -798,17 +807,25 @@ def approx_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per side (2 scans in the before-plan; the dbt story) — three narrow
     columns per distinct key, stats-bearing. The direct side must stay an
     independent computation over the full key frame (deriving it from
-    part_bot would assume the very merge property the entry verifies)."""
+    part_bot would assume the very merge property the entry verifies).
+    r12 (ADVICE r11): the cache is tracked by the dedup ``_memo`` LRU so
+    eviction unpersists it — a raw ``.cache()`` grew executor storage
+    unbounded across a multi-SF session."""
+    from skinnerdb_spark.operators.dedup import _memo
+
     l = read_table(spark, sf_dir, "lineitem")
     dk = l.select("l_returnflag", "l_linestatus", "l_partkey").distinct()
-    h = dk.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
-            " 1, 15), 16, 10) AS BIGINT)"
-        ).alias("h"),
-    ).cache()
+    h = _memo(
+        spark, sf_dir, "kmv_merge_h",
+        lambda: dk.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        ),
+    )
 
     def bottom_k(df: DataFrame, keys: list[str]) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy("h")
@@ -1078,34 +1095,42 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (the reference prunes via in-RAM key indexes,
     src/indexing/Index.java — this is the distributed, bounded-memory
     equivalent a 100 TB fact scan actually ships)."""
+    from skinnerdb_spark.operators.dedup import _memo
+
     o = read_table(spark, sf_dir, "orders")
     # build / probe / bits are each read by 2-5 consumers below (bits x3
     # union branches, the flags fold, the cardinality columns) with
     # different prunings — uncached, the filtered scan + distinct
     # re-executed per consumer (11 scans in the r11 before-plan, 3 after).
     # All three are bounded: build and probe are distinct KEY sets (the
-    # selective filters applied first), bits is <= BLOOM_M rows.
-    build = (
-        o.filter(
+    # selective filters applied first), bits is <= BLOOM_M rows. r12
+    # (ADVICE r11): caches tracked by the dedup _memo LRU so eviction
+    # unpersists them instead of stranding blocks across a multi-SF run.
+    build = _memo(
+        spark, sf_dir, "bloom_build",
+        lambda: o.filter(
             (F.col("o_orderpriority") == "1-URGENT")
             & (F.col("o_orderdate") >= "1995-01-01")
             & (F.col("o_orderdate") < "1996-01-01")
         )
         .select(F.col("o_orderkey").alias("k"))
-        .distinct()
-        .cache()
+        .distinct(),
     )
-    bits = None
-    for i in (1, 2, 3):
-        part = build.select(F.expr(_bloom_bucket_spark(i)).alias("b"))
-        bits = part if bits is None else bits.unionAll(part)
-    bits = bits.distinct().cache()
+
+    def _bits() -> DataFrame:
+        acc = None
+        for i in (1, 2, 3):
+            part = build.select(F.expr(_bloom_bucket_spark(i)).alias("b"))
+            acc = part if acc is None else acc.unionAll(part)
+        return acc.distinct()
+
+    bits = _memo(spark, sf_dir, "bloom_bits", _bits)
 
     li = read_table(spark, sf_dir, "lineitem")
     rows_probe = li.filter(
         (F.col("l_shipdate") >= "1995-07-01") & (F.col("l_shipdate") < "1996-01-01")
     ).select(F.col("l_orderkey").alias("k"))
-    probe = rows_probe.distinct().cache()
+    probe = _memo(spark, sf_dir, "bloom_probe", lambda: rows_probe.distinct())
     pe = probe.select(
         "k",
         F.explode(
