@@ -256,6 +256,12 @@ _REVERIFY: list[str] = [
     # already in the front above; only this entry's fingerprint newly
     # moved this round.
     "docs_dsir_weights",
+    # r12: the correlated-AVG side is semi-filtered by the broadcast
+    # Brand#2 partkey set before aggregating (guide §3.2) — the old shape
+    # aggregated EVERY partkey and broadcast every average (sf10 12.6/8.1
+    # -> 3.5/3.3 s, avg_yearly bit-identical; oracle canonical-equal at
+    # sf0.01 and sf0.1).
+    "tpch_q17",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
