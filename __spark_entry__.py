@@ -262,6 +262,12 @@ _REVERIFY: list[str] = [
     # -> 3.5/3.3 s, avg_yearly bit-identical; oracle canonical-equal at
     # sf0.01 and sf0.1).
     "tpch_q17",
+    # r12: with a UNIQUE left key the forward as-of degenerates to a
+    # filtered MIN(STRUCT(shipdate, qty)) aggregate — the union + per-key
+    # descending sort + window carry is gone (sf10 20.9/14.9 -> 6.1/5.5 s,
+    # rows identical; the general carry machinery stays exercised by
+    # asof_latest_order and the component tests).
+    "asof_first_shipment",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

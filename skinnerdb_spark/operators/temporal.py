@@ -233,28 +233,47 @@ def asof_first_shipment(spark, sf_dir):
     synthetic lineitem does NOT guarantee l_linenumber uniqueness within
     (orderkey, shipdate) (8 duplicate groups at sf0.01 with differing
     quantities), so a min_by/arg_min on line number is partition-order
-    nondeterministic exactly where it matters. Same union + descending
-    carry plan as the backward direction — one shuffle on the key, no
-    range explosion."""
+    nondeterministic exactly where it matters.
+
+    r12 plan shape: the LEFT key (o_orderkey) is UNIQUE, so the forward
+    as-of degenerates exactly to a filtered min-struct aggregate — for
+    the one left row of each key, "smallest right_ts >= left_ts, then
+    smallest tiebreak" IS ``MIN(STRUCT(l_shipdate, l_quantity))`` over
+    the lines passing ``l_shipdate >= o_orderdate`` (struct min compares
+    shipdate first, then quantity — reproducing the same-day MIN(qty)
+    pre-dedup; inner semantics: orders with no eligible line drop from
+    the groupBy, as the ASOF inner join dropped them). This replaces the
+    union + per-key DESCENDING sort + window carry (which pays a
+    corpus-wide sort to support MANY left rows per key — machinery this
+    entry never uses; asof_latest_order and the component tests keep the
+    general carry path exercised) with one equi-join shuffle + a
+    map-side-combinable aggregate that reuses the join's partitioning.
+    sf10: 20.9/14.9 -> 6.1/5.5 s, rows identical; oracle (DuckDB native
+    ASOF JOIN) unchanged."""
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderdate", "o_orderpriority"
     )
-    l = (
-        read_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey", "l_shipdate")
-        .agg(F.min("l_quantity").alias("first_qty"))
-        .select(F.col("l_orderkey").alias("k"), "l_shipdate", "first_qty")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_shipdate", "l_quantity"
     )
-    j = asof_join(
-        o, l, key="k", left_ts="o_orderdate", right_ts="l_shipdate",
-        direction="forward",
+    per_order = (
+        l.join(o, "k")
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("k")
+        .agg(
+            F.min(F.struct("l_shipdate", "l_quantity")).alias("fs"),
+            # o_orderkey is unique, so these are constant within the
+            # group — MIN is a deterministic carry-through
+            F.min("o_orderdate").alias("o_orderdate"),
+            F.min("o_orderpriority").alias("o_orderpriority"),
+        )
     )
-    return j.groupBy("o_orderpriority").agg(
+    return per_order.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+        F.sum(F.datediff(F.col("fs.l_shipdate"), F.col("o_orderdate")))
         .cast("bigint")
         .alias("total_wait_days"),
-        dsum(F.col("first_qty")).alias("first_ship_qty"),
+        dsum(F.col("fs.l_quantity")).alias("first_ship_qty"),
     )
 
 
