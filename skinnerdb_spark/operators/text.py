@@ -446,18 +446,35 @@ def name_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chars each and the keyed table is |names| * (|name|+1) rows, so the
     # self-join shuffle is dominated by key bytes; a hash collision only
     # adds a candidate the exact Levenshtein verify rejects (output
-    # unchanged)
-    keyed = names.select(
-        "name",
-        F.explode(
-            F.expr(
-                "transform(array_union(array(name), "
-                "transform(sequence(1, length(name)), i -> "
-                "concat(substring(name, 1, i - 1), "
-                "substring(name, i + 1, length(name) - i)))), x -> xxhash64(x))"
+    # unchanged).
+    # r12 build shape (guide §4.1 + §2.1): the deletion index explodes
+    # FIRST and the deletion string + xxhash64 evaluate as a TOP-LEVEL
+    # projection — the old transform(...)-lambda chain ran interpreted
+    # (the documented transform-lambda codegen dropout), and because the
+    # self-join broadcasts one side, the whole keyed build executed TWICE
+    # (once per side, no exchange to reuse). The distinct reproduces the
+    # old array_union's in-row dedup of coinciding deletions, and the
+    # frame is memoized so both join sides read one cached build. sf1:
+    # cold 67.9 -> 13.3 s, warm 9.7 -> 4.0 s, output identical.
+    from skinnerdb_spark.operators.dedup import _memo
+
+    def _keyed() -> DataFrame:
+        idx = names.select(
+            "name",
+            F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+        )
+        # i = 0 keeps the name itself; i >= 1 deletes the i-th character
+        k = F.xxhash64(
+            F.when(F.col("i") == 0, F.col("name")).otherwise(
+                F.concat(
+                    F.expr("substring(name, 1, i - 1)"),
+                    F.expr("substring(name, i + 1, length(name) - i)"),
+                )
             )
-        ).alias("k"),
-    )
+        )
+        return idx.select("name", k.alias("k")).distinct()
+
+    keyed = _memo(spark, sf_dir, "ned_keyed", _keyed)
     a = keyed.select(F.col("name").alias("name_a"), "k")
     b = keyed.select(F.col("name").alias("name_b"), "k")
     # verify BEFORE dedup: the in-row Levenshtein is cheaper than shuffling
