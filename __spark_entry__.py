@@ -274,6 +274,12 @@ _REVERIFY: list[str] = [
     # building it twice (sf1 cold 67.9 -> 13.3 s, warm 9.7 -> 4.0 s,
     # output identical; oracle canonical-equal at sf0.01/sf0.1).
     "name_edit_distance_pairs",
+    # r12: PMI derives its bigram counts from the shared bigram-instance
+    # family memo (cab = SUM(k), exact) and memoizes its vocab-sized
+    # unigram frame — the inline plan re-executed the corpus tokenize per
+    # consumer (10 scans / 6 Generates before; sf10 warm 8.7 -> 0.8-1.0 s,
+    # oracle canonical-equal at sf0.01/sf0.1).
+    "docs_pmi_topk",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for

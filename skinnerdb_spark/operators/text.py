@@ -1141,29 +1141,40 @@ def docs_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI is monotone in the RATIO p(ab)/(p(a)p(b)) = cab*T^2/(S*ca*cb), so no
     logarithm is needed (libm is not bit-reproducible across engines): the
     ratio is one double expression over exact integers with an identical
-    operation tree on both sides. Scale shape: one corpus explode into
-    unigram + bigram count aggregates (both map-side combinable), a
-    vocabulary-sized join to attach unigram counts (AQE broadcasts it when
-    small), scalar totals ride broadcast 1-row frames, and the top-k is
+    operation tree on both sides. Scale shape (r12, guide §2.1
+    re-computation): the bigram counts derive from the session-memoized
+    family pre-aggregate (``shared_bigram_instances``; cab = SUM(k) is the
+    corpus count exactly — integer arithmetic) and the unigram counts are
+    their own memoized vocab-sized frame — the old inline plan re-executed
+    the corpus tokenize+explode per consumer (uni feeds tot/ca/cb and big
+    feeds stot/scored with different prunings, so ReusedExchange never
+    fired: 10 parquet scans / 6 Generates in the before-plan; sf10 warm
+    8.7 -> see OPTIMIZATION_r12.md). The vocabulary-sized joins broadcast
+    under AQE, scalar totals ride broadcast 1-row frames, and the top-k is
     `ranked_topk` (TakeOrderedAndProject + k x k rank join — no
     unpartitioned window)."""
+    from skinnerdb_spark.operators.dedup import _memo
     from skinnerdb_spark.queries.util import ranked_topk
 
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    ts = d.withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
-    uni = (
-        ts.select(F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    def _uni() -> DataFrame:
+        d = read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        ts = d.withColumn("toks", F.expr("filter(split(text, ' '), x -> x != '')"))
+        return (
+            ts.select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    uni = _memo(spark, sf_dir, "pmi_uni", _uni)
     tot = uni.agg(F.sum("c").cast("bigint").alias("t"))
-    big = (
-        ts.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-        .select(F.col("p.lhs").alias("a"), F.col("p.rhs").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    inst = shared_bigram_instances(spark, sf_dir)
+    big = _memo(
+        spark, sf_dir, "pmi_cab",
+        lambda: inst.groupBy("a", "b").agg(
+            F.sum("k").cast("bigint").alias("cab")
+        ),
     )
     stot = big.agg(F.sum("cab").cast("bigint").alias("s"))
     ua = uni.select(F.col("term").alias("a"), F.col("c").alias("ca"))
