@@ -280,6 +280,11 @@ _REVERIFY: list[str] = [
     # consumer (10 scans / 6 Generates before; sf10 warm 8.7 -> 0.8-1.0 s,
     # oracle canonical-equal at sf0.01/sf0.1).
     "docs_pmi_topk",
+    # r12: the (doc_id, term) tf aggregate is memoized — it fed both the
+    # df aggregate and the scoring join, so the corpus explode re-executed
+    # per consumer (sf10 same-session A/B 29.4/13.6 -> 14.0/10.3 s; oracle
+    # canonical-equal at sf0.01/sf0.1).
+    "text_tfidf_topk",
 ]
 
 #: pinned to the very FRONT of the gate window: new registry entries for
