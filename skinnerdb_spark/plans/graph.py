@@ -249,6 +249,28 @@ class ExtractionError(ValueError):
     """Query shape not eligible for adaptive reordering (caller falls back)."""
 
 
+#: per-JVM cache of resolved JavaClass handles, keyed by id(gateway jvm
+#: view). Every dotted component of a `spark._jvm.a.b.c.D` chain is its own
+#: py4j reflection ROUND TRIP (~0.3 ms), and extraction resolves the same
+#: four classes on every query — ~40 ms/query of pure class lookup at the
+#: bench's 172-query corpus (r12, measured by cProfile: 220 JVMView
+#: __getattr__ calls per 10 extractions). Keyed on id() of the JVMView:
+#: a new session builds a new gateway, so stale handles can never be
+#: served to a different JVM.
+_JVM_CLASSES: dict[tuple[int, str], Any] = {}
+
+
+def _jcls(spark: SparkSession, path: str) -> Any:
+    key = (id(spark._jvm), path)
+    cls = _JVM_CLASSES.get(key)
+    if cls is None:
+        cls = spark._jvm
+        for part in path.split("."):
+            cls = getattr(cls, part)
+        _JVM_CLASSES[key] = cls
+    return cls
+
+
 def _j(spark: SparkSession, seq: Any) -> list:
     """Scala Seq -> Python list, by INDEX access — never by py4j iteration.
 
@@ -257,19 +279,19 @@ def _j(spark: SparkSession, seq: Any) -> list:
     per occurrence; a typical extraction iterates ~12 collections, which was
     ~90% of a measured 342 ms/query extraction cost. size()+get(i) performs
     the same traversal exception-free (measured: extraction drops to ~30 ms)."""
-    jl = spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
+    jl = _jcls(spark, "scala.jdk.javaapi.CollectionConverters").asJava(seq)
     return [jl.get(i) for i in range(jl.size())]
 
 
 def _scala_seq(spark: SparkSession, items: list) -> Any:
-    al = spark._jvm.java.util.ArrayList()
+    al = _jcls(spark, "java.util.ArrayList")()
     for it in items:
         al.add(it)
-    return spark._jvm.scala.jdk.javaapi.CollectionConverters.asScala(al).toSeq()
+    return _jcls(spark, "scala.jdk.javaapi.CollectionConverters").asScala(al).toSeq()
 
 
 def _of_rows(spark: SparkSession, plan: Any) -> DataFrame:
-    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+    jdf = _jcls(spark, "org.apache.spark.sql.classic.Dataset").ofRows(
         spark._jsparkSession, plan
     )
     return DataFrame(jdf, spark)
@@ -278,7 +300,7 @@ def _of_rows(spark: SparkSession, plan: Any) -> DataFrame:
 def _col(spark: SparkSession, expr: Any) -> Column:
     from pyspark.sql.classic.column import Column as _CCol
 
-    jc = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(expr)
+    jc = _jcls(spark, "org.apache.spark.sql.classic.ExpressionUtils").column(expr)
     return _CCol(jc)
 
 
@@ -452,7 +474,6 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
     safe; the caller must then use the original DataFrame unchanged.
     """
     spark = df.sparkSession
-    jvm = spark._jvm
     analyzed = df._jdf.queryExecution().analyzed()
 
     # -- descend through replayable parents to the topmost inner-join chain
@@ -538,7 +559,9 @@ def extract_query_graph(df: DataFrame) -> QueryGraph:
             attr_leaf[aid] = name
 
     # -- classify the conjunct pool
-    has_subquery = jvm.org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    has_subquery = _jcls(
+        spark, "org.apache.spark.sql.catalyst.expressions.SubqueryExpression"
+    )
     local_filters: dict[str, list[Any]] = {n: [] for n in names}
     local_sql: list[str] = []
     edges: list[JoinEdge] = []
